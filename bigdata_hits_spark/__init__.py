@@ -1,0 +1,38 @@
+"""bigdata_hits_spark — a PySpark-native analytics engine.
+
+A from-scratch, DataFrame-first re-expression of the query surface of the
+reference project ``JustAToaster/BigData_HITS`` (link-analysis over a
+directed, labeled, weighted property graph: six HITS variants, six SALSA
+variants, topic listing), extended with the operators a large-scale
+training-data pipeline needs (dedup, similarity search, text analysis,
+multimodal plumbing, streaming).
+
+Design stance (see SURVEY.md §7): everything is declared via the DataFrame
+API so Catalyst/AQE own the physical plan; the only imperative construct is
+the driver-side power-iteration loop, which is checkpoint-disciplined.
+No RDDs, no row-at-a-time Python UDFs in any hot path.
+"""
+
+from bigdata_hits_spark.session import get_spark
+from bigdata_hits_spark.operators.graph import Graph, topic_induced, neighborhood
+from bigdata_hits_spark.operators.ranking import (
+    RankResult,
+    hits,
+    salsa,
+    salsa_simplified,
+    list_topics,
+)
+
+__all__ = [
+    "get_spark",
+    "Graph",
+    "topic_induced",
+    "neighborhood",
+    "RankResult",
+    "hits",
+    "salsa",
+    "salsa_simplified",
+    "list_topics",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,106 @@
+"""Directed property graph as two DataFrames, plus subgraph builders.
+
+The reference encodes its graph relationally (nodes CSV + edges CSV,
+SURVEY §1.1) and derives two subgraph shapes:
+
+- topic-induced subgraph (both endpoints carry the topic label) —
+  ``/root/reference/src/topic_exclusive_hits.py:48-50`` (intended
+  semantics per SURVEY §2.4(b); the literal single-join line only keeps
+  self-loops and contradicts the committed outputs).
+- query/neighborhood subgraph (edges touching >=1 topic node, then nodes
+  incident to a kept edge) — ``/root/reference/src/query_dependent_hits.py:50-55``.
+
+The reference expresses the neighborhood filter as one OR-predicate
+left-semi join, which Spark can only execute as a BroadcastNestedLoopJoin
+— quadratic work and a broadcast of a potentially huge node set.  At 100 TB
+that plan is not viable, so :func:`neighborhood` rewrites it as two
+equi-joins with existence markers (hash-partitioned, AQE-eligible,
+multiplicity-preserving).  Equivalence is asserted in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Graph:
+    """A directed property graph.
+
+    nodes: DataFrame with at least ``id`` (string); label/weight attribute
+        columns ride along (default label column: ``labels``).
+    edges: DataFrame with at least ``src``, ``dst`` (string FKs into
+        ``nodes.id``); numeric weight columns ride along.
+    """
+
+    nodes: DataFrame
+    edges: DataFrame
+    label_col: str = "labels"
+
+    def topic_nodes(self, topic: str) -> DataFrame:
+        """Nodes whose label equals ``topic`` (strict string equality, like
+        the reference — ``gene:protein`` != ``gene``, SURVEY §2.4(d))."""
+        return self.nodes.filter(F.col(self.label_col) == F.lit(topic))
+
+    def topic_indicator(self, topic: str) -> DataFrame:
+        """(id, topic_specific 0/1) — mirrors the reference's label vector
+        (``/root/reference/src/topic_specific_hits.py:54``)."""
+        return self.nodes.select(
+            "id",
+            F.when(F.col(self.label_col) == F.lit(topic), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("topic_specific"),
+        )
+
+
+def topic_induced(graph: Graph, topic: str) -> Graph:
+    """Subgraph induced by topic-labeled nodes: keep edges whose *both*
+    endpoints are topic nodes (intended semantics of
+    ``topic_exclusive_hits.py`` per SURVEY §2.4(b)).
+
+    Two equi-left-semi joins; the topic node set is usually far smaller
+    than the edge set, so AQE will typically broadcast it.
+    """
+    topic_ids = graph.topic_nodes(topic).select("id")
+    edges = (
+        graph.edges.alias("e")
+        .join(topic_ids.alias("ts"), F.col("e.src") == F.col("ts.id"), "leftsemi")
+        .join(topic_ids.alias("td"), F.col("e.dst") == F.col("td.id"), "leftsemi")
+    )
+    return replace(graph, nodes=graph.topic_nodes(topic), edges=edges)
+
+
+def neighborhood(graph: Graph, topic: str) -> Graph:
+    """Kleinberg-style neighborhood graph: edges touching >=1 topic node,
+    then nodes incident to >=1 kept edge
+    (``/root/reference/src/query_dependent_hits.py:50-55``).
+
+    Scale rewrite of the reference's OR-predicate semi join (which plans as
+    BroadcastNestedLoopJoin): mark src/dst membership with two equi
+    left-joins against the (distinct, typically small) topic-id set and
+    filter on either marker.  Preserves edge multiplicity exactly like a
+    left-semi join would.
+    """
+    topic_ids = graph.topic_nodes(topic).select("id").distinct()
+    e = graph.edges
+    src_hit = topic_ids.select(F.col("id").alias("__src_id"), F.lit(True).alias("__src_hit"))
+    dst_hit = topic_ids.select(F.col("id").alias("__dst_id"), F.lit(True).alias("__dst_hit"))
+    edges = (
+        e.join(src_hit, e["src"] == src_hit["__src_id"], "left")
+        .join(dst_hit, e["dst"] == dst_hit["__dst_id"], "left")
+        .filter(F.col("__src_hit").isNotNull() | F.col("__dst_hit").isNotNull())
+        .drop("__src_id", "__src_hit", "__dst_id", "__dst_hit")
+    )
+    # Nodes incident to a kept edge: semi-join against the distinct
+    # endpoint set (equi), instead of the reference's OR-theta semi join.
+    endpoints = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes = graph.nodes.alias("n").join(
+        endpoints.alias("ep"), F.col("n.id") == F.col("ep.id"), "leftsemi"
+    )
+    return replace(graph, nodes=nodes, edges=edges)

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference hard-codes ``local[*]`` inside every job
+(``/root/reference/src/base_hits.py:21``); here the master comes from the
+environment so the same code runs on a laptop and on a 1000-executor
+cluster unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs applied to every session this engine creates.  All of them are
+#: safe on a real cluster; the sizing knobs (shuffle partitions) are
+#: overridable via env for local iteration.
+_ENGINE_CONFS: dict[str, str] = {
+    # AQE: runtime coalescing of shuffle partitions, skew-join splitting,
+    # and SMJ->BHJ conversion once a side turns out to be small.  This is
+    # the main reason we never hand-pick join strategies.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF path (dedup/similarity/multimodal modules).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's `events` table is written with nanosecond parquet
+    # timestamps, which Spark 4 refuses by default; read them as raw
+    # nanos (long) and convert explicitly (sources/readers.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Self-joins on aliased lineage are used heavily (SURVEY §2.4(e)).
+    "spark.sql.analyzer.failAmbiguousSelfJoin": "true",
+}
+
+
+def get_spark(app_name: str = "bigdata-hits-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` resolution order: explicit arg > ``SPARK_GRAFT_MASTER`` env >
+    ``local[$SPARK_GRAFT_CPUS]`` > Spark's own default (cluster deploy).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus:
+            master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
+    for key, value in _ENGINE_CONFS.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

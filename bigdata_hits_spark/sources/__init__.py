@@ -1,0 +1,19 @@
+from bigdata_hits_spark.sources.readers import (
+    NODES_SCHEMA,
+    EDGES_BASE_SCHEMA,
+    load_table,
+    load_testdata,
+    read_neo4j_csv,
+    read_nodes_csv,
+    read_edges_csv,
+)
+
+__all__ = [
+    "NODES_SCHEMA",
+    "EDGES_BASE_SCHEMA",
+    "load_table",
+    "load_testdata",
+    "read_neo4j_csv",
+    "read_nodes_csv",
+    "read_edges_csv",
+]

@@ -1,0 +1,146 @@
+"""Schema-checked readers.
+
+Parquet-first (the driver testdata), plus a compatibility reader for the
+reference's Neo4j-bulk-import CSV convention (``name:TYPE`` headers, e.g.
+``id:ID,names,size:int,labels:LABEL,rho:double`` —
+``/root/reference/data/nodes_elab.csv:1``).
+
+Unlike the reference (``header+inferSchema`` on every read,
+``/root/reference/src/base_hits.py:36-37``, which costs an extra full pass
+over the file), these readers derive the schema from the header's type
+suffixes in a single pass: read everything as string, then cast by the
+declared suffix.  At 100 TB an inference pre-pass is a non-starter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+#: Clean-name schema of the reference's nodes table (SURVEY §1.1).
+NODES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("names", T.StringType()),
+        T.StructField("size", T.IntegerType()),
+        T.StructField("labels", T.StringType()),
+        T.StructField("rho", T.DoubleType()),
+    ]
+)
+
+#: Clean-name base schema of the reference's edges table (weight columns
+#: beyond these are kept dynamically — the table carries >=2 weights,
+#: SURVEY §1.1).
+EDGES_BASE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+    ]
+)
+
+#: Mapping from Neo4j header type-suffix to Spark type.  ``ID``/``LABEL``/
+#: ``START_ID``/``END_ID`` are string-typed markers, not value types.
+_NEO4J_TYPE_MAP: dict[str, T.DataType] = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "string": T.StringType(),
+    "id": T.StringType(),
+    "label": T.StringType(),
+    "start_id": T.StringType(),
+    "end_id": T.StringType(),
+}
+
+#: Canonical renames so engine code never sees positional columns
+#: (the reference indexes rows positionally after `.rdd` —
+#: ``/root/reference/src/base_hits.py:40``).
+_CANONICAL_RENAMES = {
+    "id:ID": "id",
+    "src:START_ID": "src",
+    "dst:END_ID": "dst",
+    "labels:LABEL": "labels",
+}
+
+
+def split_neo4j_header(name: str) -> tuple[str, T.DataType]:
+    """``'size:int'`` -> ``('size', IntegerType())``; bare names stay string."""
+    if ":" in name:
+        base, suffix = name.rsplit(":", 1)
+        dtype = _NEO4J_TYPE_MAP.get(suffix.strip().lower())
+        if dtype is not None and base:
+            return base, dtype
+    return name, T.StringType()
+
+
+def read_neo4j_csv(spark: SparkSession, path: str, delimiter: str = ",") -> DataFrame:
+    """Read a ``name:TYPE``-headed CSV into clean names and proper types.
+
+    Single pass: strings in, header-driven casts out (no inferSchema).
+    """
+    raw = spark.read.options(header=True, delimiter=delimiter).csv(path)
+    cols = []
+    for name in raw.columns:
+        clean, dtype = split_neo4j_header(name)
+        cols.append(F.col(f"`{name}`").cast(dtype).alias(clean))
+    return raw.select(*cols)
+
+
+def read_nodes_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Reference nodes table -> DataFrame(id, names, size, labels, rho)."""
+    df = read_neo4j_csv(spark, path)
+    missing = [f.name for f in NODES_SCHEMA.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"nodes CSV at {path} lacks expected columns: {missing}")
+    return df
+
+
+def read_edges_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Reference edges table -> DataFrame(src, dst, <weight columns...>).
+
+    The reference selects weight columns by raw header including the type
+    suffix (``'mrho:double'`` — ``/root/reference/src/weighted_hits.py:26``);
+    here they come out clean (``mrho``).
+    """
+    df = read_neo4j_csv(spark, path)
+    missing = [f.name for f in EDGES_BASE_SCHEMA.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"edges CSV at {path} lacks expected columns: {missing}")
+    return df
+
+
+#: Driver testdata table names (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata parquet table.
+
+    ``events.ts`` arrives as raw nanoseconds (see session.py nanosAsLong);
+    it is exposed both as ``ts_ns`` (long, lossless) and ``ts``
+    (microsecond timestamp_ntz) so event-time operators can use either.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        )
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
