@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the declared headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is materialized through the `noop` sink so the full plan
+(including all output columns) executes without disk writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_hits_spark import queries as q
+from bigdata_hits_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark("bigdata-hits-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = q.queries()
+    # flagship: reference-default 8 iterations on the bipartite graph
+    from bigdata_hits_spark.operators.ranking import hits
+    from bigdata_hits_spark.sources.derived import g_ps
+
+    registry = {"base_hits_k8": lambda s, d: q.rank_union(hits(g_ps(s, d), k=8)), **registry}
+
+    timings: dict[str, float] = {}
+    for name, fn in registry.items():
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench line parseable even on failure
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Relational primitives — the reference's operator inventory (SURVEY §2.1,
+O1-O22) as thin, tested DataFrame wrappers.
+
+Most primitives are one Catalyst expression; they exist as named functions
+so each has a declared query + DuckDB oracle in the driver contract, and so
+scale-sensitive rewrites (OR-semi-join, top-K) live in exactly one place.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def project(df: DataFrame, *cols: str) -> DataFrame:
+    """O2 — column pruning; reaches the parquet scan as ReadSchema."""
+    return df.select(*cols)
+
+
+def filter_eq(df: DataFrame, col: str, value) -> DataFrame:
+    """O4 — equality predicate; pushes down to the scan (PushedFilters)."""
+    return df.filter(F.col(col) == F.lit(value))
+
+
+def conditional_flag(df: DataFrame, cond: Column, flag_col: str) -> DataFrame:
+    """O5 — 0/1 indicator column via when/otherwise
+    (``topic_specific_hits.py:54``)."""
+    return df.withColumn(flag_col, F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+
+def semi_join_and(
+    left: DataFrame, right_a: DataFrame, cond_a: Column, right_b: DataFrame, cond_b: Column
+) -> DataFrame:
+    """O8 — conjunctive existence filter as two equi left-semi joins
+    (the intended semantics of ``topic_exclusive_hits.py:49``,
+    SURVEY §2.4(b))."""
+    return left.join(right_a, cond_a, "leftsemi").join(right_b, cond_b, "leftsemi")
+
+
+def semi_join_or(
+    left: DataFrame, conds: list[tuple[DataFrame, str, str]]
+) -> DataFrame:
+    """O9 — disjunctive existence filter: keep left rows where ANY
+    ``(right_df, left_key, right_key)`` membership condition holds.
+
+    The reference writes this as one OR-predicate left-semi join
+    (``query_dependent_hits.py:50``), which Spark must execute as a
+    BroadcastNestedLoopJoin — O(|L|·|R|) and a full broadcast.  Rewritten
+    here as k equi left-joins against the distinct key sets with existence
+    markers, filtered on any marker: hash joins all the way down,
+    multiplicity-preserving, AQE/skew-eligible.
+    """
+    out = left
+    markers = []
+    for i, (right, lk, rk) in enumerate(conds):
+        marker = f"__hit_{i}"
+        markers.append(marker)
+        hit = right.select(F.col(rk).alias(f"__k_{i}"), F.lit(True).alias(marker)).distinct()
+        out = out.join(hit, out[lk] == hit[f"__k_{i}"], "left")
+    pred = F.lit(False)
+    for marker in markers:
+        pred = pred | F.col(marker).isNotNull()
+    return out.filter(pred).drop(*[f"__k_{i}" for i in range(len(conds))], *markers)
+
+
+def degrees(edges: DataFrame, key: str, *, weight: str | None = None, out_col: str = "degree") -> DataFrame:
+    """O10/O11 — grouped count (degree) or grouped sum (weighted degree)
+    per node (``base_salsa_2.py:14-17``, ``weighted_salsa.py:41-42``).
+    HashAggregate with map-side partials — one shuffle."""
+    agg = F.sum(F.col(weight)) if weight else F.count(F.lit(1))
+    return edges.groupBy(F.col(key).alias("id")).agg(agg.alias(out_col))
+
+
+def grand_norm(df: DataFrame, col: str, how: str = "l2") -> DataFrame:
+    """O12 — one-row grand aggregate: L2 norm or L1 sum of a column
+    (``base_hits.py:16-19``, ``base_salsa.py:13-15``).  Stays a DataFrame
+    (no driver collect)."""
+    c = F.col(col)
+    agg = F.sqrt(F.sum(c * c)) if how == "l2" else F.sum(c)
+    return df.agg(agg.cast("double").alias("norm"))
+
+
+def distinct_values(df: DataFrame, col: str, alias: str | None = None) -> DataFrame:
+    """O15 — distinct values of one column (``list_topics.py:17``)."""
+    return df.select(F.col(col).alias(alias or col)).distinct()
+
+
+def top_k(df: DataFrame, order_col: str, k: int, *tiebreak: str) -> DataFrame:
+    """O16/O17 — global desc sort + limit; Spark plans it as
+    TakeOrderedAndProject (per-partition heaps + driver merge), never a
+    full sort at scale.  Tiebreak columns make the result set
+    deterministic across engines."""
+    order = [F.desc(order_col), *[F.asc(c) for c in tiebreak]]
+    return df.orderBy(*order).limit(k)
+
+
+def bernoulli_sample(df: DataFrame, fraction: float, seed: int) -> DataFrame:
+    """O19 — seeded Bernoulli sample without replacement
+    (``base_hits.py:78-79``).  Seeded per-engine, so correctness checks
+    are rows-only (SURVEY §2.5)."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)

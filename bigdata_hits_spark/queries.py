@@ -1,0 +1,347 @@
+"""Declared query registry — the driver contract's backing store.
+
+Every implemented operator from SURVEY §2 gets a named entry: a Spark
+callable ``(spark, sf_dir) -> DataFrame`` and (where SQL-expressible) a
+DuckDB oracle string over the same parquet tables.  Column names/aliases
+match pairwise so the driver's order-insensitive value-hash compares equal.
+
+Floating-point outputs are rounded identically on both sides (see
+oracles.py for the parity discipline).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from bigdata_hits_spark.operators import relops
+from bigdata_hits_spark.operators.graph import neighborhood, topic_induced
+from bigdata_hits_spark.operators.ranking import (
+    RankResult,
+    hits,
+    list_topics,
+    salsa,
+    salsa_query_dependent,
+    salsa_simplified,
+)
+from bigdata_hits_spark.oracles import ranking_oracle, salsa_simplified_oracle
+from bigdata_hits_spark.sources import derived
+from bigdata_hits_spark.sources.readers import load_table
+
+ROUND = 7
+K_ITER = 3
+BETA = 0.8
+
+#: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def rank_union(res: RankResult, digits: int = ROUND) -> DataFrame:
+    """(kind, id, score) union of hub+auth vectors, scores rounded for
+    cross-engine comparison."""
+    hub = res.hubs.select(
+        F.lit("hub").alias("kind"), "id", F.round(F.col("score"), digits).alias("score")
+    )
+    auth = res.auths.select(
+        F.lit("auth").alias("kind"), "id", F.round(F.col("score"), digits).alias("score")
+    )
+    return hub.unionByName(auth)
+
+
+# ---------------------------------------------------------------------------
+# Primitive operators (SURVEY §2.1 / §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register("scan_project", "SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem")
+def q_scan_project(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return relops.project(li, "l_orderkey", "l_partkey", "l_extendedprice")
+
+
+@register("filter_eq", "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'")
+def q_filter_eq(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return relops.project(relops.filter_eq(orders, "o_orderstatus", "F"), "o_orderkey", "o_totalprice")
+
+
+@register(
+    "conditional_flag",
+    "SELECT p_partkey, CASE WHEN p_size > 25 THEN 1 ELSE 0 END AS big_flag FROM part",
+)
+def q_conditional_flag(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    flagged = relops.conditional_flag(part, F.col("p_size") > 25, "big_flag")
+    return flagged.select("p_partkey", "big_flag")
+
+
+@register(
+    "join_inner",
+    "SELECT c_custkey, c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey",
+)
+def q_join_inner(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return customer.join(
+        nation, customer["c_nationkey"] == nation["n_nationkey"], "inner"
+    ).select("c_custkey", "c_name", "n_name")
+
+
+@register(
+    "join_leftsemi_and",
+    "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem l "
+    "WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_size > 25) "
+    "AND EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal > 5000)",
+)
+def q_join_leftsemi_and(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    kept = relops.semi_join_and(
+        li,
+        part,
+        li["l_partkey"] == part["p_partkey"],
+        supp,
+        li["l_suppkey"] == supp["s_suppkey"],
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+
+@register(
+    "join_leftsemi_or",
+    "SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem l "
+    "WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey AND p.p_size > 45) "
+    "OR EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal > 9000)",
+)
+def q_join_leftsemi_or(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
+    kept = relops.semi_join_or(
+        li, [(part, "l_partkey", "p_partkey"), (supp, "l_suppkey", "s_suppkey")]
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+
+@register(
+    "groupby_count_degree",
+    f"SELECT src AS id, COUNT(*) AS out_degree FROM ({derived.G_PS_EDGES_SQL}) GROUP BY src",
+)
+def q_groupby_count_degree(spark, sf_dir):
+    g = derived.g_ps(spark, sf_dir)
+    return relops.degrees(g.edges, "src", out_col="out_degree")
+
+
+@register(
+    "groupby_sum",
+    f"SELECT src AS id, ROUND(CAST(SUM(weight) AS DOUBLE), {ROUND}) AS wdegree "
+    f"FROM ({derived.G_PS_EDGES_SQL}) GROUP BY src",
+)
+def q_groupby_sum(spark, sf_dir):
+    g = derived.g_ps(spark, sf_dir)
+    deg = relops.degrees(g.edges, "src", weight="weight", out_col="wdegree")
+    return deg.select("id", F.round(F.col("wdegree"), ROUND).alias("wdegree"))
+
+
+@register(
+    "grand_agg_l2",
+    "SELECT ROUND(CAST(SQRT(SUM(c_acctbal * c_acctbal)) AS DOUBLE), 4) AS norm FROM customer",
+)
+def q_grand_agg_l2(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    norm = relops.grand_norm(customer, "c_acctbal", "l2")
+    return norm.select(F.round(F.col("norm"), 4).alias("norm"))
+
+
+@register(
+    "scalar_normalize",
+    "SELECT c_custkey, ROUND(CAST(c_acctbal / (SELECT SUM(c_acctbal) FROM customer) AS DOUBLE), 9) "
+    "AS share FROM customer",
+)
+def q_scalar_normalize(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    total = customer.agg(F.sum("c_acctbal").alias("__norm"))
+    return customer.crossJoin(F.broadcast(total)).select(
+        "c_custkey", F.round(F.col("c_acctbal") / F.col("__norm"), 9).alias("share")
+    )
+
+
+@register("distinct_labels", "SELECT DISTINCT p_brand AS label FROM part")
+def q_distinct_labels(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    return relops.distinct_values(part, "p_brand", "label")
+
+
+@register(
+    "sort_desc",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey",
+)
+def q_sort_desc(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+
+
+@register(
+    "topk_50",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50",
+)
+def q_topk_50(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return relops.top_k(orders.select("o_orderkey", "o_totalprice"), "o_totalprice", 50, "o_orderkey")
+
+
+@register("count_rows", "SELECT COUNT(*) AS n FROM lineitem")
+def q_count_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("sample_bernoulli", None)  # seeded sampling isn't bitwise-portable: rows-only check
+def q_sample_bernoulli(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return relops.bernoulli_sample(li.select("l_orderkey", "l_linenumber"), 0.1, seed=81)
+
+
+# ---------------------------------------------------------------------------
+# Ranking algorithms (SURVEY §2.2) on the derived graphs
+# ---------------------------------------------------------------------------
+
+_PS = dict(edges_sql=derived.G_PS_EDGES_SQL, nodes_sql=derived.G_PS_NODES_SQL)
+_PP = dict(edges_sql=derived.G_PP_EDGES_SQL, nodes_sql=derived.G_PP_NODES_SQL)
+
+
+@register("list_topics", "SELECT DISTINCT p_brand AS label FROM part")
+def q_list_topics(spark, sf_dir):
+    return list_topics(derived.g_pp(spark, sf_dir))
+
+
+@register("base_salsa", salsa_simplified_oracle(derived.G_PS_EDGES_SQL))
+def q_base_salsa(spark, sf_dir):
+    return rank_union(salsa_simplified(derived.g_ps(spark, sf_dir)))
+
+
+@register("weighted_salsa", salsa_simplified_oracle(derived.G_PS_EDGES_SQL, weighted=True))
+def q_weighted_salsa(spark, sf_dir):
+    return rank_union(salsa_simplified(derived.g_ps(spark, sf_dir), weight="weight"))
+
+
+@register(
+    "query_dependent_salsa",
+    salsa_simplified_oracle(
+        derived.G_PP_EDGES_SQL,
+        derived.G_PP_NODES_SQL,
+        subgraph="neighborhood",
+        topic=derived.G_PP_TOPIC,
+    ),
+)
+def q_query_dependent_salsa(spark, sf_dir):
+    return rank_union(salsa_query_dependent(derived.g_pp(spark, sf_dir), derived.G_PP_TOPIC))
+
+
+@register("base_hits_k3", ranking_oracle(**_PS, family="hits", k=K_ITER))
+def q_base_hits(spark, sf_dir):
+    return rank_union(hits(derived.g_ps(spark, sf_dir), k=K_ITER))
+
+
+@register("weighted_hits_k3", ranking_oracle(**_PS, family="hits", k=K_ITER, weighted=True))
+def q_weighted_hits(spark, sf_dir):
+    return rank_union(hits(derived.g_ps(spark, sf_dir), k=K_ITER, weight="weight"))
+
+
+@register(
+    "teleport_hits_k3",
+    ranking_oracle(**_PS, family="hits", k=K_ITER, teleport="uniform", beta=BETA),
+)
+def q_teleport_hits(spark, sf_dir):
+    return rank_union(hits(derived.g_ps(spark, sf_dir), k=K_ITER, teleport="uniform", beta=BETA))
+
+
+@register(
+    "topic_specific_hits_k3",
+    ranking_oracle(
+        **_PP, family="hits", k=K_ITER, teleport="topic", beta=BETA, topic=derived.G_PP_TOPIC
+    ),
+)
+def q_topic_specific_hits(spark, sf_dir):
+    return rank_union(
+        hits(
+            derived.g_pp(spark, sf_dir),
+            k=K_ITER,
+            teleport="topic",
+            beta=BETA,
+            topic=derived.G_PP_TOPIC,
+        )
+    )
+
+
+@register(
+    "topic_exclusive_hits_k3",
+    ranking_oracle(**_PP, family="hits", k=K_ITER, subgraph="exclusive", topic=derived.G_PP_TOPIC),
+)
+def q_topic_exclusive_hits(spark, sf_dir):
+    return rank_union(hits(topic_induced(derived.g_pp(spark, sf_dir), derived.G_PP_TOPIC), k=K_ITER))
+
+
+@register(
+    "query_dependent_hits_k3",
+    ranking_oracle(
+        **_PP, family="hits", k=K_ITER, subgraph="neighborhood", topic=derived.G_PP_TOPIC
+    ),
+)
+def q_query_dependent_hits(spark, sf_dir):
+    return rank_union(hits(neighborhood(derived.g_pp(spark, sf_dir), derived.G_PP_TOPIC), k=K_ITER))
+
+
+@register("salsa_mutual_k3", ranking_oracle(**_PS, family="salsa", k=K_ITER))
+def q_salsa_mutual(spark, sf_dir):
+    return rank_union(salsa(derived.g_ps(spark, sf_dir), k=K_ITER))
+
+
+@register(
+    "teleport_salsa_k3",
+    ranking_oracle(**_PS, family="salsa", k=K_ITER, teleport="uniform", beta=BETA),
+)
+def q_teleport_salsa(spark, sf_dir):
+    return rank_union(salsa(derived.g_ps(spark, sf_dir), k=K_ITER, teleport="uniform", beta=BETA))
+
+
+@register(
+    "topic_specific_salsa_k3",
+    ranking_oracle(
+        **_PP, family="salsa", k=K_ITER, teleport="topic", beta=BETA, topic=derived.G_PP_TOPIC
+    ),
+)
+def q_topic_specific_salsa(spark, sf_dir):
+    return rank_union(
+        salsa(
+            derived.g_pp(spark, sf_dir),
+            k=K_ITER,
+            teleport="topic",
+            beta=BETA,
+            topic=derived.G_PP_TOPIC,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract accessors
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

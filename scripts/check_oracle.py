@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Local emulation of the driver's t2 correctness gate.
+
+Runs every declared query (optionally filtered by substring argv[1]) on
+Spark and its DuckDB oracle at sf0.01, then compares row count, column
+names/dtypes, and cell values after sorting columns by name and rows by all
+columns — a strictly harsher check than the driver's order-insensitive
+value hash.
+
+Usage: python scripts/check_oracle.py [name_substring] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigdata_hits_spark import queries as q
+from bigdata_hits_spark.session import get_spark
+from bigdata_hits_spark.sources.readers import TESTDATA_TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        problems.append(f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
+        return problems
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count differ: spark={len(spark_df)} duck={len(duck_df)}")
+        return problems
+    a, b = canon(spark_df), canon(duck_df)
+    for c in a.columns:
+        if np.issubdtype(a[c].dtype, np.floating):
+            eq = (a[c].values == b[c].values) | (np.isnan(a[c].values) & np.isnan(b[c].values))
+        else:
+            eq = a[c].values == b[c].values
+        bad = int((~eq).sum())
+        if bad:
+            idx = int(np.argmax(~eq))
+            problems.append(
+                f"{bad} mismatching cells in col {c!r}; first at row {idx}: "
+                f"spark={a[c].iloc[idx]!r} duck={b[c].iloc[idx]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    filt = None
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    args = [a for a in sys.argv[1:]]
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
+    if args:
+        filt = args[0]
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connection(sf_dir)
+
+    all_q = q.queries()
+    all_o = q.oracle_sql()
+    names = [n for n in all_q if filt is None or filt in n]
+    failed = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = all_q[name](spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in all_o:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle; rows-only) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            ddf = con.execute(all_o[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      - {p}")
+            failed.append(name)
+        else:
+            print(f"OK    {name}: {len(sdf)} rows match [{time.time()-t0:.1f}s]")
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
