@@ -1,0 +1,97 @@
+"""Text-analysis column expressions for the ``documents`` table.
+
+All operators are pure built-in Column expressions (JVM-side, codegen) —
+no Python UDFs — and each has an exactly-mirrored DuckDB SQL twin in
+``queries_text.py`` for the correctness gate.  Portable-hash discipline:
+token hashes are the first 8 hex digits of md5 parsed as a long, which
+both engines compute identically (``F.conv`` / strpos-expansion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Tiny per-language stopword sets for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small and deterministic; real deployments
+#: would swap in a proper profile table.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "en", "que", "pour", "dans"],
+}
+
+#: Deterministic language priority for argmax tiebreaks (must match the
+#: CASE cascade in the SQL twin).
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space convention of the corpus)."""
+    return F.split(text, " ")
+
+
+def token_hash(token: Column) -> Column:
+    """Portable 32-bit-ish token hash: first 8 hex digits of md5 as long."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long")
+
+
+def stopword_count(toks: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """stopword-hit ratio per language; 0.0 for empty docs."""
+    n = F.size(toks)
+    return {
+        lang: (stopword_count(toks, lang) / F.when(n > 0, n).otherwise(F.lit(1))).cast("double")
+        for lang in LANG_ORDER
+    }
+
+
+def predicted_lang(scores: dict[str, Column]) -> Column:
+    """Argmax over lang_scores with LANG_ORDER tiebreak, as a CASE cascade
+    (mirrored verbatim in SQL so ties resolve identically)."""
+    expr = F.lit(LANG_ORDER[-1])
+    for i in range(len(LANG_ORDER) - 2, -1, -1):
+        lang = LANG_ORDER[i]
+        cond = F.lit(True)
+        for later in LANG_ORDER[i + 1 :]:
+            cond = cond & (scores[lang] >= scores[later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic:
+    0.5·min(1, n_tokens/100) + 0.3·(1 − en_stopword_ratio)
+    + 0.2·min(1, avg_token_len/8)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    n_safe = F.when(n > 0, n).otherwise(F.lit(1))
+    avg_len = (F.length(text) - (n - F.lit(1))) / n_safe
+    stop_ratio = stopword_count(toks, "en") / n_safe
+    return (
+        F.lit(0.5) * F.least(F.lit(1.0), n / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    ).cast("double")
+
+
+def fingerprint_terms(toks: Column) -> Column:
+    """Array of position-weighted token hashes: hash(token_i)·(i+1).
+    Summed (then mod) by the caller — SUM order is associative on exact
+    int64 values, so it is engine-order-independent."""
+    return F.transform(toks, lambda t, i: token_hash(t) * (i + F.lit(1)).cast("long"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: sum of position-weighted token
+    hashes mod FINGERPRINT_MOD (a rolling-hash analogue that stays
+    SQL-expressible; max |terms| ~2^51 so the int64 sum cannot overflow)."""
+    terms = fingerprint_terms(tokens(text))
+    total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (total % F.lit(FINGERPRINT_MOD)).cast("long")

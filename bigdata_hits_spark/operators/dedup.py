@@ -1,0 +1,262 @@
+"""Deduplication operators for document corpora.
+
+Four families, each the canonical shape used on multi-TB training-data
+pipelines (all built-in Column expressions; shuffles only on compact keys):
+
+- exact:   hash-groupBy on md5(text) — never shuffles full text.
+- MinHash+LSH: word-shingles -> 16 portable minhashes -> 4 banded
+  signatures -> bucket self-join for candidates -> exact-Jaccard verify.
+  Work is O(candidates), not O(n²).
+- SimHash: 60-bit signature from per-word contribution sums; near-dup
+  candidates via 15-bit chunk banding; Hamming verify via xor/bit_count.
+- n-gram inverted index: exact Jaccard on pairs sharing >= T shingles,
+  with a document-frequency cutoff that bounds the posting-list join
+  (the classic stop-shingle guard against quadratic blowup).
+
+Portable-hash discipline: all hashes derive from md5 hex digits so the
+DuckDB oracles (queries_dedup.py) reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from bigdata_hits_spark.functions.text import token_hash, tokens
+
+#: MinHash parameters — mirrored verbatim in the SQL oracle.
+MINHASH_P = 2_147_483_647  # 2^31 - 1; a*x+b stays < 2^62 (no int64 overflow)
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+MINHASH_PARAMS: list[tuple[int, int, int]] = [
+    (
+        j,
+        (1103515245 * (j + 1) + 12345) % MINHASH_P,
+        (1234567891 * (j + 7) + 54321) % MINHASH_P,
+    )
+    for j in range(NUM_HASHES)
+]
+
+SHINGLE_K = 3
+
+#: SimHash parameters.
+SIMHASH_BITS = 60  # 15 hex digits of md5 -> fits a signed int64 exactly
+SIMHASH_CHUNKS = 4  # 15-bit chunks for candidate banding
+SIMHASH_HAMMING_T = 8
+
+#: n-gram inverted-index parameters.
+NGRAM_MAX_DF = 50  # drop shingles appearing in more docs (stop-shingles)
+NGRAM_MIN_SHARED = 5  # candidate pairs must share this many shingles
+
+
+def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Array of k-word shingles ('w1 w2 w3'); empty for docs shorter than
+    k words.  (The when-guard matters: Spark's sequence() would count
+    *down* for n<k.)"""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]),
+    )
+    return F.when(n >= k, mk).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shingle) with per-document distinct shingles."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("shingle"),
+    )
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text with the
+    surviving (minimum) id and the duplicate count.  Only the 32-char md5
+    key shuffles, not the document bodies."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(F.col(id_col)).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, h0..h15): minimum of (a_j·x + b_j) mod P over the document's
+    shingle hashes.  All 16 mins ride one aggregation — a single shuffle,
+    no 16× row blowup."""
+    sh = shingle_set(docs, id_col, text_col)
+    x = token_hash(F.col("shingle")) % F.lit(MINHASH_P)
+    hashed = sh.select(
+        "id",
+        *[
+            ((F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{j}")
+            for j, a, b in MINHASH_PARAMS
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{j}").alias(f"h{j}") for j in range(NUM_HASHES)]
+    )
+
+
+def _band_rows(signatures: DataFrame) -> DataFrame:
+    """(id, band_id, sig): banded signature strings 'v,v,v,v'."""
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                ",", *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("sig"),
+        )
+        for b in range(BANDS)
+    ]
+    return signatures.select("id", F.explode(F.array(*bands)).alias("bs")).select(
+        "id", F.col("bs.band_id").alias("band_id"), F.col("bs.sig").alias("sig")
+    )
+
+
+def _jaccard_verify(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (id1, id2) pairs from the shingle sets;
+    keeps pairs with jaccard >= threshold (rounded to 7 for the oracle)."""
+    s1 = sh.select(F.col("id").alias("id1"), "shingle")
+    s2 = sh.select(F.col("id").alias("id2"), "shingle")
+    inter = (
+        candidates.join(s1, "id1")
+        .join(s2, ["id2", "shingle"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    jac = (
+        inter.join(sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 7
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate generation + exact verify: (id1, id2, jaccard) with
+    id1 < id2 and jaccard >= threshold."""
+    bands = _band_rows(minhash_signatures(docs, id_col, text_col))
+    b1 = bands.select(F.col("id").alias("id1"), "band_id", "sig")
+    b2 = bands.select(F.col("id").alias("id2"), "band_id", "sig")
+    candidates = (
+        b1.join(b2, ["band_id", "sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    return _jaccard_verify(candidates, shingle_set(docs, id_col, text_col), threshold)
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): 60-bit SimHash over word multisets.  Per (doc, word)
+    weights = occurrence counts; bit b is set when the weighted ±1
+    contributions of that bit across words sum > 0."""
+    words = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    wc = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("w"))
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
+    # Unrolled literal bit structs (shift amounts must be literals in Spark);
+    # each row carries its bit's place value so the final fold needs no
+    # column-valued shift either.
+    bit_structs = [
+        F.struct(
+            F.lit(b).alias("bit"),
+            F.lit(1 << b).cast("long").alias("bitval"),
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
+            .otherwise(-F.col("w"))
+            .alias("contrib"),
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    bits = wc.select("id", F.explode(F.array(*bit_structs)).alias("bc")).select(
+        "id",
+        F.col("bc.bit").alias("bit"),
+        F.col("bc.bitval").alias("bitval"),
+        F.col("bc.contrib").alias("contrib"),
+    )
+    bit_sums = bits.groupBy("id", "bit", "bitval").agg(F.sum("contrib").alias("s"))
+    return bit_sums.groupBy("id").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("bitval")).otherwise(F.lit(0).cast("long"))).alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    hamming_threshold: int = SIMHASH_HAMMING_T,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id1, id2, hamming): pairs sharing a 15-bit simhash chunk whose full
+    Hamming distance is <= threshold."""
+    sig = simhash_signatures(docs, id_col, text_col)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk"),
+                    )
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("cs"),
+    ).select("id", "simhash", F.col("cs.chunk_id").alias("chunk_id"), F.col("cs.chunk").alias("chunk"))
+    c1 = chunks.select(F.col("id").alias("id1"), F.col("simhash").alias("s1"), "chunk_id", "chunk")
+    c2 = chunks.select(F.col("id").alias("id2"), F.col("simhash").alias("s2"), "chunk_id", "chunk")
+    pairs = (
+        c1.join(c2, ["chunk_id", "chunk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= hamming_threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_df: int = NGRAM_MAX_DF,
+    min_shared: int = NGRAM_MIN_SHARED,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard via a frequency-capped inverted index:
+    pairs sharing >= min_shared non-stop shingles, verified on the FULL
+    shingle sets, kept at jaccard >= threshold."""
+    sh = shingle_set(docs, id_col, text_col)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+    r1 = rare.select(F.col("id").alias("id1"), "shingle")
+    r2 = rare.select(F.col("id").alias("id2"), "shingle")
+    candidates = (
+        r1.join(r2, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .select("id1", "id2")
+    )
+    return _jaccard_verify(candidates, sh, threshold)

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k neighbors for a query
+  set: O(|Q|·|C|·d) but fully JVM-side (zip_with/aggregate column
+  expressions, no UDFs).  The baseline every ANN variant is measured
+  against.
+- :func:`lsh_bucket_topk` — the scale path: random-hyperplane (sign-LSH)
+  signatures bucket the corpus; each query only scores candidates sharing
+  its bucket (or a banded sub-signature).  Hyperplanes are deterministic
+  ±1 patterns derived from (plane, dim) index parity so results are
+  reproducible across engines and runs.
+
+Ranking determinism: neighbors are ordered by cosine ROUNDED to 9 digits
+with vec_id tiebreak, so cross-engine float drift (~1e-15) cannot flip
+ranks (see oracles.py parity notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+LSH_PLANES = 16
+LSH_BANDS = 4  # 4-bit sub-signatures for candidate banding
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product with double accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, cid, cosine): exact top-k by cosine for each query vector,
+    excluding self-matches."""
+    norms_c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), l2_norm(F.col(vec_col)).alias("cnrm")
+    )
+    norms_q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), l2_norm(F.col(vec_col)).alias("qnrm")
+    )
+    pairs = norms_q.crossJoin(norms_c).filter(F.col("qid") != F.col("cid"))
+    scored = pairs.select(
+        "qid",
+        "cid",
+        F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")), 9).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id1, id2, cosine): all pairs id1 < id2 with rounded cosine >=
+    threshold — embedding-based near-duplicate detection."""
+    n = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), l2_norm(F.col(vec_col)).alias("nrm")
+    )
+    a = n.select(F.col("id").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1"))
+    b = n.select(F.col("id").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    scored = pairs.select(
+        "id1",
+        "id2",
+        F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), round_digits).alias(
+            "cosine"
+        ),
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def _hyperplane_sign(plane: int, i: Column) -> Column:
+    """Deterministic ±1 pattern for hyperplane ``plane`` at dimension i.
+    A fixed odd-multiplier parity keeps it portable and seedless."""
+    parity = (i * F.lit(2654435761 + plane) + F.lit(plane * 40503)) % 2
+    return F.when(parity == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def lsh_signature(vec: Column, planes: int = LSH_PLANES) -> Column:
+    """Sign-LSH signature: bit j set when dot(vec, hyperplane_j) > 0."""
+    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    sig = F.lit(0).cast("long")
+    for j in range(planes):
+        proj = F.aggregate(
+            F.transform(
+                dim_idx,
+                lambda i: F.element_at(vec, i + 1).cast("double") * _hyperplane_sign(j, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing at least one
+    banded sub-signature with the query.  At corpus scale this replaces
+    the |Q|×|C| cross join with a bucket equi-join — the standard
+    recall/throughput trade."""
+    band_bits = planes // bands
+
+    def with_bands(df: DataFrame, role: str) -> DataFrame:
+        sig = lsh_signature(F.col(vec_col), planes)
+        rows = df.select(
+            F.col(id_col).alias(f"{role}id"),
+            F.col(vec_col).alias(f"{role}vec"),
+            l2_norm(F.col(vec_col)).alias(f"{role}nrm"),
+            sig.alias("sig"),
+        )
+        bandarr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(F.col("sig"), b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .alias("band_sig"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return rows.select(
+            f"{role}id", f"{role}vec", f"{role}nrm", F.explode(bandarr).alias("bb")
+        ).select(
+            f"{role}id",
+            f"{role}vec",
+            f"{role}nrm",
+            F.col("bb.band_id").alias("band_id"),
+            F.col("bb.band_sig").alias("band_sig"),
+        )
+
+    qb = with_bands(queries, "q")
+    cb = with_bands(corpus, "c")
+    candidates = (
+        qb.join(cb, ["band_id", "band_sig"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "qvec", "qnrm", "cid", "cvec", "cnrm")
+        .dropDuplicates(["qid", "cid"])
+    )
+    scored = candidates.select(
+        "qid",
+        "cid",
+        F.round(dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")), 9).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

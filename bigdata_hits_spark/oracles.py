@@ -32,6 +32,22 @@ def _dbl(x: float) -> str:
     return f"CAST('{x!r}' AS DOUBLE)"
 
 
+def duck_hex_to_long(expr: str, nchars: int = 8) -> str:
+    """DuckDB SQL for parsing the first ``nchars`` hex digits of ``expr``
+    as a BIGINT (DuckDB 1.0 has no strtol/conv; expand positionally).
+    Mirrors Spark's ``conv(substring(x, 1, n), 16, 10)``."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def duck_token_hash(expr: str) -> str:
+    """DuckDB twin of functions.text.token_hash: hex8(md5(x)) as BIGINT."""
+    return duck_hex_to_long(f"md5({expr})", 8)
+
+
 def ranking_oracle(
     edges_sql: str,
     nodes_sql: str,

@@ -340,8 +340,20 @@ def q_topic_specific_salsa(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _load_extensions() -> None:
+    """Import extension query modules (they self-register).  Deferred to
+    avoid import cycles: extensions import ``register`` from this module."""
+    import bigdata_hits_spark.queries_text  # noqa: F401
+    import bigdata_hits_spark.queries_dedup  # noqa: F401
+    import bigdata_hits_spark.queries_similarity  # noqa: F401
+    import bigdata_hits_spark.queries_events  # noqa: F401
+    import bigdata_hits_spark.queries_multimodal  # noqa: F401

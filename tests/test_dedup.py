@@ -1,0 +1,57 @@
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+        (4, "completely different text about spark engines and shuffles"),
+        (5, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    res = {r["keep_id"]: r["n_dups"] for r in DD.exact_duplicates(docs).collect()}
+    assert res[1] == 2  # docs 1+2 collapse, min id kept
+    assert res[3] == 1 and res[4] == 1 and res[5] == 1
+
+
+def test_shingles_short_doc_empty(spark, docs):
+    sh = DD.shingle_set(docs)
+    assert sh.filter(F.col("id") == 5).count() == 0
+
+
+def test_minhash_exact_dup_scores_one(spark, docs):
+    pairs = {(r["id1"], r["id2"]): r["jaccard"] for r in
+             DD.minhash_near_duplicates(docs, threshold=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.2 <= pairs[(1, 3)] < 1.0
+
+
+def test_minhash_signature_shape(spark, docs):
+    sig = DD.minhash_signatures(docs)
+    assert set(sig.columns) == {"id"} | {f"h{j}" for j in range(DD.NUM_HASHES)}
+    # identical docs must have identical signatures
+    rows = {r["id"]: tuple(r[f"h{j}"] for j in range(DD.NUM_HASHES)) for r in sig.collect()}
+    assert rows[1] == rows[2]
+
+
+def test_simhash_identical_zero_hamming(spark, docs):
+    pairs = {(r["id1"], r["id2"]): r["hamming"] for r in
+             DD.simhash_near_duplicates(docs, hamming_threshold=60).collect()}
+    assert pairs[(1, 2)] == 0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] > 0
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    res = {(r["id1"], r["id2"]): r["jaccard"] for r in
+           DD.ngram_jaccard_pairs(docs, threshold=0.1, min_shared=1).collect()}
+    assert res[(1, 2)] == 1.0
+    assert (1, 4) not in res

@@ -1,0 +1,44 @@
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine"), (3, "hello world")], ["doc_id", "text"]
+    )
+
+
+def test_payload_schema_and_determinism(spark, docs):
+    with_p = MM.with_payload(docs)
+    dtypes = dict(with_p.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["meta"].startswith("struct<mime:string,n_bytes:int,source_len:int")
+    rows = {r["doc_id"]: (bytes(r["payload"]), r["meta"]["n_bytes"]) for r in with_p.collect()}
+    assert rows[1][0] == rows[3][0]  # same text -> same payload
+    assert rows[1][1] == 16  # md5 digest length
+
+
+def test_extract_features_batched(spark, docs):
+    feats = MM.extract_features(MM.with_payload(docs))
+    assert dict(feats.dtypes) == {"doc_id": "bigint", "i": "int", "feat": "double"}
+    rows = feats.collect()
+    assert len(rows) == 3 * MM.FEATURE_DIM
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["i"]] = r["feat"]
+    assert by_doc[1] == by_doc[3]  # deterministic across rows/batches
+    assert all(0.0 <= v <= 1.0 for v in by_doc[1].values())
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x00")
+
+
+def test_sample_frames_offsets(spark):
+    df = spark.createDataFrame([(1, 10.0)], ["doc_id", "duration"])
+    rows = MM.sample_frames(df, "duration", n_frames=4).collect()
+    assert [(r["frame_idx"], r["offset"]) for r in rows] == [(0, 0.0), (1, 2.5), (2, 5.0), (3, 7.5)]

@@ -1,0 +1,55 @@
+"""Primitive operator tests, including the OR-semi-join rewrite equivalence
+(the one subtle scale rewrite — SURVEY §2.1 O9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators import relops
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = [("a", "c", 1.0), ("b", "c", 2.0), ("c", "d", 1.0), ("a", "d", 3.0), ("a", "c", 1.0)]
+    return spark.createDataFrame(rows, ["src", "dst", "w"])
+
+
+@pytest.fixture(scope="module")
+def topic(spark):
+    return spark.createDataFrame([("a",), ("d",)], ["id"])
+
+
+def test_semi_join_or_equals_or_predicate_semi_join(spark, edges, topic):
+    """The marker rewrite must match Spark's own OR-predicate leftsemi
+    (which plans as BroadcastNestedLoopJoin) row-for-row, duplicates
+    included."""
+    rewritten = relops.semi_join_or(edges, [(topic, "src", "id"), (topic, "dst", "id")])
+    reference = edges.join(
+        topic, on=(edges["src"] == topic["id"]) | (edges["dst"] == topic["id"]), how="leftsemi"
+    )
+    got = sorted((r["src"], r["dst"], r["w"]) for r in rewritten.collect())
+    want = sorted((r["src"], r["dst"], r["w"]) for r in reference.collect())
+    assert got == want
+    assert len(got) == 4  # (a,c)x2, (c,d), (a,d)
+
+
+def test_semi_join_or_no_bnlj_in_plan(spark, edges, topic):
+    plan = relops.semi_join_or(
+        edges, [(topic, "src", "id"), (topic, "dst", "id")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top_k_deterministic_with_ties(spark):
+    df = spark.createDataFrame([("a", 1.0), ("b", 1.0), ("c", 1.0)], ["id", "v"])
+    rows = [r["id"] for r in relops.top_k(df, "v", 2, "id").collect()]
+    assert rows == ["a", "b"]
+
+
+def test_degrees_weighted(spark, edges):
+    deg = {r["id"]: r["wd"] for r in relops.degrees(edges, "src", weight="w", out_col="wd").collect()}
+    assert deg == {"a": 5.0, "b": 2.0, "c": 1.0}
+
+
+def test_grand_norm_l2(spark):
+    df = spark.createDataFrame([(3.0,), (4.0,)], ["x"])
+    assert relops.grand_norm(df, "x", "l2").first()["norm"] == pytest.approx(5.0)

@@ -1,0 +1,46 @@
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators import similarity as SIM
+from bigdata_hits_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_topk_excludes_self_and_respects_k(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    res = SIM.cosine_topk(emb, queries, k=5).collect()
+    assert len(res) == 15
+    for r in res:
+        assert r["qid"] != r["cid"]
+        assert -1.0001 <= r["cosine"] <= 1.0001
+
+
+def test_cosine_identical_vector_scores_one(spark):
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [-3.0, 1.0, 0.5])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = {(r["qid"], r["cid"]): r["cosine"] for r in
+           SIM.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=2).collect()}
+    assert res[(1, 2)] == 1.0
+
+
+def test_lsh_recall_floor(spark, emb):
+    """The banded sign-LSH path must recover a reasonable share of the true
+    top-10 on the (adversarially random) test embeddings."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    approx = SIM.lsh_bucket_topk(emb, queries, k=10).collect()
+    truth = {(r["qid"], r["cid"]) for r in exact}
+    got = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_cosine_pairs_threshold(spark):
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id1"], r["id2"]) for r in SIM.cosine_pairs(df, 0.9).collect()}
+    assert pairs == {(1, 2)}

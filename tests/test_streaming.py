@@ -1,0 +1,51 @@
+"""Stream-batch equivalence for the event-time operators."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from bigdata_hits_spark.operators.events import hourly_event_counts
+from bigdata_hits_spark.sources.readers import load_table
+from bigdata_hits_spark.streaming.jobs import (
+    hourly_event_counts_stream,
+    read_events_stream,
+    run_to_memory,
+)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir):
+    """The file stream source needs a *directory*; stage the single-file
+    events parquet into a repo-local temp dir."""
+    d = os.path.join(REPO_ROOT, ".tmp_stream_events")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-0.parquet"))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_hourly_equals_batch(spark, sf_dir, events_dir):
+    batch = hourly_event_counts(load_table(spark, sf_dir, "events")).toPandas()
+    stream_df = hourly_event_counts_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream_df, "t_hourly")
+    streamed = spark.sql("SELECT * FROM t_hourly").toPandas()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[sorted(df.columns)]
+            .sort_values(by=sorted(df.columns))
+            .reset_index(drop=True)
+        )
+
+    a, b = canon(batch), canon(streamed)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_watermark_present_in_plan(spark, sf_dir, events_dir):
+    stream_df = hourly_event_counts_stream(read_events_stream(spark, events_dir))
+    assert "EventTimeWatermark" in stream_df._jdf.queryExecution().analyzed().toString()
