@@ -71,6 +71,16 @@ def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, shs, n): per-document distinct shingle array + its size.
+    Shuffle-free (narrow map over the docs scan) — the verify-side
+    counterpart of :func:`shingle_set` that avoids re-exploding."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col))).alias("shs"),
+    ).withColumn("n", F.size("shs"))
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via hash-groupBy: one row per distinct text with the
     surviving (minimum) id and the duplicate count.  Only the 32-char md5
@@ -115,27 +125,22 @@ def _band_rows(signatures: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_verify(candidates: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard for candidate (id1, id2) pairs from the shingle sets;
-    keeps pairs with jaccard >= threshold (rounded to 7 for the oracle)."""
-    s1 = sh.select(F.col("id").alias("id1"), "shingle")
-    s2 = sh.select(F.col("id").alias("id2"), "shingle")
-    inter = (
-        candidates.join(s1, "id1")
-        .join(s2, ["id2", "shingle"])
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+def _jaccard_verify(candidates: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (id1, id2) pairs against per-doc shingle
+    arrays (from :func:`shingle_arrays`): two id-equi-joins sized by the
+    candidate set plus an ``array_intersect`` per pair — no re-explosion of
+    the full corpus and no (id1, id2, shingle) intermediate.  Keeps pairs
+    with jaccard >= threshold (rounded to 7 for the oracle)."""
+    s1 = sets.select(F.col("id").alias("id1"), F.col("shs").alias("shs1"), F.col("n").alias("n1"))
+    s2 = sets.select(F.col("id").alias("id2"), F.col("shs").alias("shs2"), F.col("n").alias("n2"))
+    n_inter = F.size(F.array_intersect(F.col("shs1"), F.col("shs2")))
     jac = (
-        inter.join(sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1")), "id1")
-        .join(sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2")), "id2")
+        candidates.join(s1, "id1")
+        .join(s2, "id2")
         .select(
             "id1",
             "id2",
-            F.round(
-                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 7
-            ).alias("jaccard"),
+            F.round(n_inter / (F.col("n1") + F.col("n2") - n_inter), 7).alias("jaccard"),
         )
     )
     return jac.filter(F.col("jaccard") >= threshold)
@@ -158,43 +163,38 @@ def minhash_near_duplicates(
         .select("id1", "id2")
         .distinct()
     )
-    return _jaccard_verify(candidates, shingle_set(docs, id_col, text_col), threshold)
+    return _jaccard_verify(candidates, shingle_arrays(docs, id_col, text_col), threshold)
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, simhash): 60-bit SimHash over word multisets.  Per (doc, word)
-    weights = occurrence counts; bit b is set when the weighted ±1
-    contributions of that bit across words sum > 0."""
-    words = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("word")
-    )
-    wc = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("w"))
+    """(id, simhash): 60-bit SimHash over word multisets.  Bit b is set
+    when the ±1 contributions of that bit, summed over word occurrences,
+    come out positive.
+
+    Single-shuffle plan: per word *occurrence* the contribution is ±1, so
+    per-(doc, word) counting is unnecessary — all 60 per-bit sums ride one
+    ``groupBy(id)`` as conditional-sum aggregates (map-side combine reduces
+    each partition to one 60-column row per doc before the exchange; no
+    60×-row bit explosion, no second aggregation)."""
     h = F.conv(F.substring(F.md5(F.col("word")), 1, 15), 16, 10).cast("long")
-    # Unrolled literal bit structs (shift amounts must be literals in Spark);
-    # each row carries its bit's place value so the final fold needs no
-    # column-valued shift either.
-    bit_structs = [
-        F.struct(
-            F.lit(b).alias("bit"),
-            F.lit(1 << b).cast("long").alias("bitval"),
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("w"))
-            .otherwise(-F.col("w"))
-            .alias("contrib"),
-        )
+    occurrences = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("word")
+    ).select("id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    bits = wc.select("id", F.explode(F.array(*bit_structs)).alias("bc")).select(
-        "id",
-        F.col("bc.bit").alias("bit"),
-        F.col("bc.bitval").alias("bitval"),
-        F.col("bc.contrib").alias("contrib"),
-    )
-    bit_sums = bits.groupBy("id", "bit", "bitval").agg(F.sum("contrib").alias("s"))
-    return bit_sums.groupBy("id").agg(
-        F.sum(F.when(F.col("s") > 0, F.col("bitval")).otherwise(F.lit(0).cast("long"))).alias(
-            "simhash"
+    sums = occurrences.groupBy("id").agg(*bit_sums)
+    sig: Column = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+    return sums.select("id", sig.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -259,4 +259,4 @@ def ngram_jaccard_pairs(
         .filter(F.col("shared") >= min_shared)
         .select("id1", "id2")
     )
-    return _jaccard_verify(candidates, sh, threshold)
+    return _jaccard_verify(candidates, shingle_arrays(docs, id_col, text_col), threshold)

@@ -20,7 +20,8 @@ multiplicity-preserving).  Equivalence is asserted in tests.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
+from typing import Any
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -33,11 +34,33 @@ class Graph:
         columns ride along (default label column: ``labels``).
     edges: DataFrame with at least ``src``, ``dst`` (string FKs into
         ``nodes.id``); numeric weight columns ride along.
+
+    The reference's real workload runs MANY ranking jobs over one graph
+    (13 scripts, same two CSVs — SURVEY §2.2), so per-graph preparation
+    (partitioned/persisted edge relations, node counts) is memoized in
+    ``_memo`` and amortized across queries.  Call :meth:`release` to drop
+    the persisted state when done with the graph.
     """
 
     nodes: DataFrame
     edges: DataFrame
     label_col: str = "labels"
+    _memo: dict[Any, Any] = field(default_factory=dict, init=False, repr=False, compare=False)
+
+    def memo(self, key: Any, build) -> Any:
+        """Per-graph memoization of derived state (prepared edge
+        relations, counts).  ``build`` runs at most once per key."""
+        if key not in self._memo:
+            self._memo[key] = build()
+        return self._memo[key]
+
+    def release(self) -> None:
+        """Unpersist any cached DataFrames this graph memoized."""
+        for value in self._memo.values():
+            for df in value if isinstance(value, tuple) else (value,):
+                if isinstance(df, DataFrame):
+                    df.unpersist()
+        self._memo.clear()
 
     def topic_nodes(self, topic: str) -> DataFrame:
         """Nodes whose label equals ``topic`` (strict string equality, like

@@ -51,12 +51,23 @@ def _sorted(scores: DataFrame) -> DataFrame:
 
 def _step(edges_prepared: DataFrame, scores: DataFrame) -> DataFrame:
     """One propagation: for each out-node, sum mult * score of the joined
-    endpoint.  ``edges_prepared`` has columns (key, out, mult); the join on
-    ``key`` hash-partitions, the groupBy on ``out`` aggregates with
-    map-side partials (HashAggregate) — 2 shuffles, same asymptotics as
-    the reference's join+reduceByKey but JVM-side and AQE-managed."""
+    endpoint.
+
+    ``edges_prepared`` has columns (key, out, mult) and is pre-hash-
+    partitioned on ``out`` (see :func:`_power_iterate`).  The score vector
+    (one row per node — orders of magnitude smaller than the edge set) is
+    broadcast explicitly: without the hint Catalyst sees the checkpointed
+    vector as stats-less and builds the hash relation from the EDGES,
+    re-broadcasting the whole edge set every iteration.  With it, the
+    join preserves the edges' ``out`` partitioning through the aliasing
+    projection, so the grouped sum needs no exchange — per-iteration data
+    movement is just the broadcast vector plus the one-row norm.
+
+    For graphs whose node vector outgrows broadcast range (billions of
+    nodes), flip to a shuffle join: pre-partition edges on ``key`` instead
+    and let the per-iteration exchange move only the score vector."""
     return (
-        edges_prepared.join(scores, edges_prepared["key"] == scores["id"], "inner")
+        edges_prepared.join(F.broadcast(scores), edges_prepared["key"] == scores["id"], "inner")
         .select(F.col("out").alias("id"), (F.col("mult") * F.col("score")).alias("contrib"))
         .groupBy("id")
         .agg(F.sum("contrib").alias("score"))
@@ -110,65 +121,139 @@ def _power_iterate(
     k: int,
     damp: Callable[[DataFrame], DataFrame],
     norm: str,
-    checkpoint_interval: int,
 ) -> RankResult:
     """Shared loop: k iterations of (hub step, auth step, damp, normalize)
-    with lineage truncation every ``checkpoint_interval`` iterations."""
-    edges_hub = edges_hub.persist()
-    edges_auth = edges_auth.persist()
-    hubs = init
-    auths = init
-    for i in range(k):
-        hubs = damp(_step(edges_hub, auths))
-        auths = damp(_step(edges_auth, hubs))
-        hubs = normalized(hubs, norm)
-        auths = normalized(auths, norm)
-        if (i + 1) % checkpoint_interval == 0 or i == k - 1:
-            hubs = materialize(hubs)
-            auths = materialize(auths)
-    edges_hub.unpersist()
-    edges_auth.unpersist()
+    with per-iteration lineage truncation.
+
+    Dataflow per the reference (``base_hits.py:53-64``): the auth step
+    reads the just-computed *damped, un-normalized* hubs, and the next
+    iteration rebuilds hubs from the *normalized* auths — so the loop
+    state is the auth vector ALONE; hubs (normalized or not) are pure
+    output.  Each iteration therefore materializes exactly ONE job —
+    hub step and auth step fused in a single plan ending at the
+    checkpointed, normalized auths — and the final hub vector is derived
+    lazily (one join + agg + normalize) from the second-to-last auth
+    checkpoint when the caller consumes it.
+
+    Per-iteration materialization is load-bearing twice over: it bounds
+    the logical-plan depth (the in-plan norm is a broadcast-exchanged
+    one-row aggregate; nesting those across iterations re-executes
+    geometrically — measured locally, an un-truncated k=8 run
+    GC-thrashes before finishing), and it keeps each job's stage count
+    constant so wall-clock scales linearly in k.
+    """
+    if k <= 0:
+        return RankResult(hubs=_sorted(init), auths=_sorted(init))
+    # The loop's plans are fully hand-shaped (explicit broadcast of the
+    # score vector, edges pre-partitioned on the aggregation key), so
+    # AQE's per-stage re-planning buys nothing here and costs real wall
+    # clock on vector-sized shuffles; disable it for the duration of the
+    # materializing jobs.  Skew is a non-issue in this loop: the only
+    # shuffled data is node-keyed score vectors, one row per node.
+    spark = init.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    norm_expr = (
+        F.sqrt(F.sum(F.col("score") * F.col("score"))) if norm == "l2" else F.sum("score")
+    ).alias("__norm")
+    try:
+        auths = init
+        hubs_raw = init
+        for _ in range(k):
+            hubs_raw = damp(_step(edges_hub, auths))
+            auths_raw = materialize(damp(_step(edges_auth, hubs_raw)))
+            # O(1) driver scalar over the fresh checkpoint (the reference
+            # collects the same scalar — base_hits.py:17); injecting it as
+            # a literal keeps the next iteration's plan free of the extra
+            # broadcast-exchange barrier an in-plan norm would add.
+            nrm = auths_raw.agg(norm_expr).first()[0]
+            auths = auths_raw.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    hubs = normalized(hubs_raw, norm)
     return RankResult(hubs=_sorted(hubs), auths=_sorted(auths))
 
 
-def _hits_edges(edges: DataFrame, weight: str | None) -> tuple[DataFrame, DataFrame]:
-    """(hub-step, auth-step) edge relations for the HITS family.
+#: Edge rows per partition for the prepared step relations.  Sized so a
+#: partition of (key, out, mult) triples stays well under executor memory;
+#: the cap is the session's shuffle parallelism.
+_EDGES_PER_PARTITION = 50_000
+
+
+def _prepare(graph: Graph, eh: DataFrame, ea: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Hash-partition each step relation on its aggregation key and pin it:
+    paid once per (graph, family, weight), reused by every iteration of
+    every query on that graph.  Partition count scales with the edge count
+    (one memoized count job per graph) so small graphs don't schedule
+    hundreds of near-empty tasks per iteration and large ones still spread
+    across the cluster."""
+    n_edges = graph.memo(("n_edges",), graph.edges.count)
+    spark = graph.edges.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(1, min(cap, -(-n_edges // _EDGES_PER_PARTITION)))
+    return eh.repartition(parts, "out").persist(), ea.repartition(parts, "out").persist()
+
+
+def _hits_edges(graph: Graph, weight: str | None) -> tuple[DataFrame, DataFrame]:
+    """(hub-step, auth-step) edge relations for the HITS family, memoized
+    per graph.
 
     Hub step joins on dst and emits src; auth step joins on src and emits
     dst; mult is the edge weight (1.0 for unweighted —
     ``weighted_hits.py:53,56``)."""
-    mult: Column = F.col(weight).cast("double") if weight else F.lit(1.0)
-    eh = edges.select(F.col("dst").alias("key"), F.col("src").alias("out"), mult.alias("mult"))
-    ea = edges.select(F.col("src").alias("key"), F.col("dst").alias("out"), mult.alias("mult"))
-    return eh, ea
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        edges = graph.edges
+        mult: Column = F.col(weight).cast("double") if weight else F.lit(1.0)
+        eh = edges.select(F.col("dst").alias("key"), F.col("src").alias("out"), mult.alias("mult"))
+        ea = edges.select(F.col("src").alias("key"), F.col("dst").alias("out"), mult.alias("mult"))
+        return _prepare(graph, eh, ea)
+
+    return graph.memo(("hits_edges", weight), build)
 
 
-def _salsa_edges(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(hub-step, auth-step) edge relations for mutual-update SALSA:
-    contributions are divided by the joined endpoint's degree
-    (``base_salsa_2.py:14-23,75-80``), i.e. mult = 1/in_deg(dst) on the hub
-    step and 1/out_deg(src) on the auth step."""
-    in_deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_degree"))
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
-    eh = (
-        edges.alias("e")
-        .join(in_deg.alias("d"), F.col("e.dst") == F.col("d.dst"), "inner")
-        .select(
-            F.col("e.dst").alias("key"),
-            F.col("e.src").alias("out"),
-            (F.lit(1.0) / F.col("d.in_degree")).alias("mult"),
+def _salsa_edges(graph: Graph) -> tuple[DataFrame, DataFrame]:
+    """(hub-step, auth-step) edge relations for mutual-update SALSA,
+    memoized per graph: contributions are divided by the joined endpoint's
+    degree (``base_salsa_2.py:14-23,75-80``), i.e. mult = 1/in_deg(dst) on
+    the hub step and 1/out_deg(src) on the auth step."""
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        edges = graph.edges
+        in_deg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_degree"))
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+        eh = (
+            edges.alias("e")
+            .join(in_deg.alias("d"), F.col("e.dst") == F.col("d.dst"), "inner")
+            .select(
+                F.col("e.dst").alias("key"),
+                F.col("e.src").alias("out"),
+                (F.lit(1.0) / F.col("d.in_degree")).alias("mult"),
+            )
         )
-    )
-    ea = (
-        edges.alias("e")
-        .join(out_deg.alias("d"), F.col("e.src") == F.col("d.src"), "inner")
-        .select(
-            F.col("e.src").alias("key"),
-            F.col("e.dst").alias("out"),
-            (F.lit(1.0) / F.col("d.out_degree")).alias("mult"),
+        ea = (
+            edges.alias("e")
+            .join(out_deg.alias("d"), F.col("e.src") == F.col("d.src"), "inner")
+            .select(
+                F.col("e.src").alias("key"),
+                F.col("e.dst").alias("out"),
+                (F.lit(1.0) / F.col("d.out_degree")).alias("mult"),
+            )
         )
-    )
-    return eh, ea
+        return _prepare(graph, eh, ea)
+
+    return graph.memo(("salsa_edges",), build)
+
+
+def _topic_state(graph: Graph, topic: str) -> tuple[DataFrame, float]:
+    """Memoized (persisted 0/1 indicator, topic node count) per topic."""
+
+    def build():
+        ind = graph.topic_indicator(topic).persist()
+        n_topic = float(ind.agg(F.sum("topic_specific")).first()[0] or 0)
+        return ind, n_topic
+
+    return graph.memo(("topic_state", topic), build)
 
 
 def hits(
@@ -179,7 +264,6 @@ def hits(
     teleport: str | None = None,
     beta: float = 0.8,
     topic: str | None = None,
-    checkpoint_interval: int = 1,
 ) -> RankResult:
     """HITS power iteration (Kleinberg), L2-normalized per iteration.
 
@@ -195,20 +279,17 @@ def hits(
     Topic-exclusive / query-dependent variants compose via
     :func:`hits_topic_exclusive` / :func:`hits_query_dependent`.
     """
-    n = graph.nodes.count()
+    n = graph.memo(("n_nodes",), graph.nodes.count)
     indicator = None
     topic_denom = None
     if teleport == "topic":
         if topic is None:
             raise ValueError("teleport='topic' requires topic=")
-        indicator = graph.topic_indicator(topic).persist()
-        topic_denom = float(indicator.agg(F.sum("topic_specific")).first()[0] or 0)
+        indicator, n_topic = _topic_state(graph, topic)
+        topic_denom = n_topic
     damp = _make_damp(teleport, beta, float(n), indicator, topic_denom)
-    eh, ea = _hits_edges(graph.edges, weight)
-    result = _power_iterate(eh, ea, _uniform_init(graph.nodes, n), k, damp, "l2", checkpoint_interval)
-    if indicator is not None:
-        indicator.unpersist()
-    return result
+    eh, ea = _hits_edges(graph, weight)
+    return _power_iterate(eh, ea, _uniform_init(graph.nodes, n), k, damp, "l2")
 
 
 def hits_topic_exclusive(graph: Graph, topic: str, k: int = 8, **kwargs) -> RankResult:
@@ -231,7 +312,6 @@ def salsa(
     teleport: str | None = None,
     beta: float = 0.8,
     topic: str | None = None,
-    checkpoint_interval: int = 1,
 ) -> RankResult:
     """Mutual-update SALSA, L1-normalized per iteration
     (``base_salsa_2.py``, ``random_teleport_salsa.py``,
@@ -242,14 +322,13 @@ def salsa(
     (``topic_specific_salsa.py:23``).  Teleport denominators are 2N
     (uniform) / 2*N_topic (topic) per SURVEY §2.4(c).
     """
-    n = graph.nodes.count()
+    n = graph.memo(("n_nodes",), graph.nodes.count)
     indicator = None
     topic_denom = None
     if teleport == "topic":
         if topic is None:
             raise ValueError("teleport='topic' requires topic=")
-        indicator = graph.topic_indicator(topic).persist()
-        n_topic = float(indicator.agg(F.sum("topic_specific")).first()[0] or 0)
+        indicator, n_topic = _topic_state(graph, topic)
         topic_denom = 2.0 * n_topic
         init = indicator.select(
             "id",
@@ -260,11 +339,8 @@ def salsa(
     else:
         init = _uniform_init(graph.nodes, n)
     damp = _make_damp(teleport, beta, 2.0 * n, indicator, topic_denom)
-    eh, ea = _salsa_edges(graph.edges)
-    result = _power_iterate(eh, ea, init, k, damp, "l1", checkpoint_interval)
-    if indicator is not None:
-        indicator.unpersist()
-    return result
+    eh, ea = _salsa_edges(graph)
+    return _power_iterate(eh, ea, init, k, damp, "l1")
 
 
 def salsa_simplified(graph: Graph, *, weight: str | None = None) -> RankResult:

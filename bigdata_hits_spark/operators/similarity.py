@@ -71,23 +71,82 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """(id1, id2, cosine): all pairs id1 < id2 with rounded cosine >=
-    threshold — embedding-based near-duplicate detection."""
-    n = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), l2_norm(F.col(vec_col)).alias("nrm")
+    threshold — embedding-based near-duplicate detection.
+
+    Blocked matrix-product plan: vectors hash into ``num_blocks`` blocks,
+    blocks pair up (upper triangle incl. diagonal), and each block pair is
+    scored as ONE numpy float64 gram matrix inside ``mapInPandas`` — BLAS
+    does the n1·n2·d work instead of a per-element expression fold over n²
+    join rows.  Communication is the standard all-pairs lower bound (each
+    block replicated ~num_blocks times); thresholding happens inside the
+    worker so only qualifying pairs ever leave it.  At cluster scale,
+    raise ``num_blocks`` so a block pair (~2·(n/B)·d doubles) fits in one
+    task's memory.
+    """
+    import pandas as pd
+
+    blocks = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .groupBy(F.pmod(F.hash(F.col("id")), F.lit(num_blocks)).alias("blk"))
+        .agg(F.collect_list(F.col("id")).alias("ids"), F.collect_list(F.col("vec")).alias("vecs"))
     )
-    a = n.select(F.col("id").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1"))
-    b = n.select(F.col("id").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2"))
-    pairs = a.join(b, F.col("id1") < F.col("id2"))
-    scored = pairs.select(
-        "id1",
-        "id2",
-        F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), round_digits).alias(
-            "cosine"
-        ),
+    a = blocks.select(
+        F.col("blk").alias("blk1"), F.col("ids").alias("ids1"), F.col("vecs").alias("vecs1")
     )
-    return scored.filter(F.col("cosine") >= threshold)
+    b = blocks.select(
+        F.col("blk").alias("blk2"), F.col("ids").alias("ids2"), F.col("vecs").alias("vecs2")
+    )
+    block_pairs = a.join(b, F.col("blk1") <= F.col("blk2")).repartition(
+        num_blocks * (num_blocks + 1) // 2
+    )
+    # Raw cosines cross the Arrow boundary with a tolerance margin; the
+    # final round/threshold happens JVM-side so rounding semantics are
+    # exactly F.round (HALF_UP), identical to the SQL oracle.
+    margin = 10.0 ** (-round_digits) / 2.0
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_id1, out_id2, out_cos = [], [], []
+            for row in pdf.itertuples(index=False):
+                same = row.blk1 == row.blk2
+                ids1 = np.asarray(row.ids1)
+                ids2 = ids1 if same else np.asarray(row.ids2)
+                v1 = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs1])
+                v2 = v1 if same else np.array(
+                    [np.asarray(v, dtype=np.float64) for v in row.vecs2]
+                )
+                n1 = np.linalg.norm(v1, axis=1)
+                n2 = n1 if same else np.linalg.norm(v2, axis=1)
+                cos = (v1 @ v2.T) / np.outer(n1, n2)
+                keep = cos >= threshold - margin
+                if same:
+                    keep &= ids1[:, None] < ids2[None, :]
+                i, j = np.nonzero(keep)
+                # Each unordered cross-block pair appears in exactly one
+                # (blk1 <= blk2) row — canonicalize to (min, max) here.
+                out_id1.append(np.minimum(ids1[i], ids2[j]))
+                out_id2.append(np.maximum(ids1[i], ids2[j]))
+                out_cos.append(cos[i, j])
+            yield pd.DataFrame(
+                {
+                    "id1": np.concatenate(out_id1) if out_id1 else np.array([], dtype=np.int64),
+                    "id2": np.concatenate(out_id2) if out_id2 else np.array([], dtype=np.int64),
+                    "cosine": np.concatenate(out_cos) if out_cos else np.array([], dtype=np.float64),
+                }
+            )
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    scored = block_pairs.mapInPandas(
+        score, schema=f"id1 {id_type}, id2 {id_type}, cosine double"
+    )
+    return scored.select(
+        "id1", "id2", F.round(F.col("cosine"), round_digits).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def _hyperplane_sign(plane: int, i: Column) -> Column:

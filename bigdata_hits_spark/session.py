@@ -48,6 +48,13 @@ def get_spark(app_name: str = "bigdata-hits-spark", master: str | None = None) -
             master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+        if master.startswith("local"):
+            # In local mode driver == executor == one JVM, and Spark's 1g
+            # default heap GC-thrashes 32 concurrent task threads.  Only
+            # meaningful before JVM launch; ignored on getOrCreate reuse.
+            builder = builder.config(
+                "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+            )
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
     for key, value in _ENGINE_CONFS.items():

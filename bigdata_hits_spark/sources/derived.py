@@ -46,8 +46,29 @@ G_PP_TOPIC = "Brand#4"
 G_PS_TOPIC = "part"
 
 
+#: Session-lifetime cache of derived graphs.  The workload pattern (like
+#: the reference's: many ranking jobs over one graph) re-derives the same
+#: graph per query; memoizing here lets Graph-level prepared state
+#: (partitioned edge relations, counts — graph.py) amortize across the
+#: whole session.  Keyed on the live session object, so a new session
+#: after stop() builds fresh graphs.
+_GRAPH_CACHE: dict[tuple[int, str, str], Graph] = {}
+
+
+def _cached(spark: SparkSession, sf_dir: str, shape: str, build) -> Graph:
+    key = (id(spark), sf_dir, shape)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build()
+    return _GRAPH_CACHE[key]
+
+
 def g_ps(spark: SparkSession, sf_dir: str) -> Graph:
-    """Bipartite part->supplier graph from lineitem."""
+    """Bipartite part->supplier graph from lineitem (memoized per
+    session)."""
+    return _cached(spark, sf_dir, "ps", lambda: _g_ps(spark, sf_dir))
+
+
+def _g_ps(spark: SparkSession, sf_dir: str) -> Graph:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
@@ -67,11 +88,16 @@ def g_ps(spark: SparkSession, sf_dir: str) -> Graph:
 
 
 def g_pp(spark: SparkSession, sf_dir: str) -> Graph:
-    """Part->part graph with deterministic synthetic dst and brand labels.
+    """Part->part graph with deterministic synthetic dst and brand labels
+    (memoized per session).
 
     partkeys are 0..N-1 contiguous in the driver testdata, so the modulo
     always lands on a real part (asserted in tests).
     """
+    return _cached(spark, sf_dir, "pp", lambda: _g_pp(spark, sf_dir))
+
+
+def _g_pp(spark: SparkSession, sf_dir: str) -> Graph:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     n_parts = part.count()
