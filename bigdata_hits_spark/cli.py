@@ -1,0 +1,194 @@
+"""Drop-in CLI mirroring the reference's 13 ``spark-submit`` jobs.
+
+Each reference script is a standalone job with positional args (manual
+arity checks — ``/root/reference/src/base_hits.py:27-33``); here they are
+subcommands of one entry point with the SAME positional conventions, so a
+reference user can swap ``spark-submit src/base_hits.py 8 nodes.csv
+edges.csv`` for ``python -m bigdata_hits_spark.cli base_hits 8 nodes.csv
+edges.csv``.
+
+Positional conventions mirrored (file:line of the reference parser):
+
+- ``base_hits [num_iter] [nodes edges]``            (base_hits.py:27-32)
+- ``weighted_hits [num_iter] [weight_col] [nodes edges]``
+                                                    (weighted_hits.py:28-35)
+- ``random_teleport_hits [num_iter] [beta] [nodes edges]``
+                                                    (random_teleport_hits.py:28-35)
+- ``topic_specific_hits topic [num_iter] [beta] [nodes edges]``
+                                                    (topic_specific_hits.py:29-38)
+- ``topic_exclusive_hits topic [num_iter] [nodes edges]``
+                                                    (topic_exclusive_hits.py:29-36)
+- ``query_dependent_hits topic [num_iter] [nodes edges]``
+                                                    (query_dependent_hits.py:29-36)
+- ``base_salsa [nodes edges]``                      (base_salsa.py:22-25)
+- ``base_salsa_2 [num_iter] [beta] [nodes edges]``  (base_salsa_2.py:40-47)
+- ``weighted_salsa [weight_col] [nodes edges]``     (weighted_salsa.py:23-28)
+- ``random_teleport_salsa [num_iter] [beta] [nodes edges]``
+                                                    (random_teleport_salsa.py:37-44)
+- ``topic_specific_salsa topic [num_iter] [beta] [nodes edges]``
+                                                    (topic_specific_salsa.py:40-49)
+- ``query_dependent_salsa topic [nodes edges]``     (query_dependent_salsa.py:22-29)
+- ``list_topics [nodes]``                           (list_topics.py)
+
+Differences from the reference, by design: output goes under ``--out DIR``
+(default ``./outputs``) instead of hard-coded relative paths; the weight
+column is the CLEAN name (``mrho``, not ``mrho:double`` —
+weighted_hits.py:26 selects by raw header); the master is not hard-coded
+(session.py).  Defaults match the reference: num_iter=8, beta=0.8.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame
+
+from bigdata_hits_spark.operators.graph import Graph, neighborhood, topic_induced
+from bigdata_hits_spark.operators.ranking import (
+    RankResult,
+    hits,
+    list_topics,
+    salsa,
+    salsa_query_dependent,
+    salsa_simplified,
+)
+from bigdata_hits_spark.session import get_spark
+from bigdata_hits_spark.sinks import write_scores_text
+from bigdata_hits_spark.sources.readers import read_edges_csv, read_nodes_csv
+
+DEFAULT_ITER = 8  # base_hits.py:25
+DEFAULT_BETA = 0.8  # random_teleport_hits.py:26
+
+
+class _Args:
+    """Positional-arg cursor with reference-style optional tails."""
+
+    def __init__(self, argv: list[str]):
+        self.argv = argv
+        self.pos = 0
+
+    def take(self, cast=str, default=None):
+        if self.pos < len(self.argv):
+            value = cast(self.argv[self.pos])
+            self.pos += 1
+            return value
+        return default
+
+    def take_paths(self) -> tuple[str | None, str | None]:
+        """Trailing ``[nodes edges]`` pair; both or neither
+        (mirrors the reference's arity checks, base_hits.py:32)."""
+        remaining = len(self.argv) - self.pos
+        if remaining >= 2:
+            return self.argv[self.pos], self.argv[self.pos + 1]
+        if remaining == 1:
+            raise SystemExit("nodes and edges paths must be given together")
+        return None, None
+
+
+def _load_graph(spark, nodes_path: str | None, edges_path: str | None) -> Graph:
+    if nodes_path is None or edges_path is None:
+        raise SystemExit("this job needs nodes and edges CSV paths")
+    return Graph(nodes=read_nodes_csv(spark, nodes_path), edges=read_edges_csv(spark, edges_path))
+
+
+def _save(result: RankResult, out_dir: str, prefix: str) -> None:
+    """Two sorted score files, named like the reference's outputs
+    (``<prefix>_hub_scores.txt`` / ``<prefix>_authority_scores.txt``)."""
+    write_scores_text(result.hubs, os.path.join(out_dir, f"{prefix}_hub_scores.txt"))
+    write_scores_text(result.auths, os.path.join(out_dir, f"{prefix}_authority_scores.txt"))
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    out_dir = "./outputs"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_dir = argv[i + 1]
+        del argv[i : i + 2]
+    if not argv:
+        raise SystemExit(__doc__)
+    job, args = argv[0], _Args(argv[1:])
+
+    spark = get_spark(f"bigdata-hits-spark-{job}")
+
+    if job == "base_hits":
+        k = args.take(int, DEFAULT_ITER)
+        g = _load_graph(spark, *args.take_paths())
+        _save(hits(g, k=k), out_dir, "base")
+    elif job == "weighted_hits":
+        k = args.take(int, DEFAULT_ITER)
+        weight = args.take(str, "mrho")
+        g = _load_graph(spark, *args.take_paths())
+        _save(hits(g, k=k, weight=weight), out_dir, "weighted")
+    elif job == "random_teleport_hits":
+        k = args.take(int, DEFAULT_ITER)
+        beta = args.take(float, DEFAULT_BETA)
+        g = _load_graph(spark, *args.take_paths())
+        _save(hits(g, k=k, teleport="uniform", beta=beta), out_dir, "teleport")
+    elif job == "topic_specific_hits":
+        topic = args.take()
+        k = args.take(int, DEFAULT_ITER)
+        beta = args.take(float, DEFAULT_BETA)
+        g = _load_graph(spark, *args.take_paths())
+        _save(
+            hits(g, k=k, teleport="topic", beta=beta, topic=topic),
+            out_dir,
+            f"{topic}_specific",
+        )
+    elif job == "topic_exclusive_hits":
+        topic = args.take()
+        k = args.take(int, DEFAULT_ITER)
+        g = _load_graph(spark, *args.take_paths())
+        _save(hits(topic_induced(g, topic), k=k), out_dir, f"{topic}_exclusive")
+    elif job == "query_dependent_hits":
+        topic = args.take()
+        k = args.take(int, DEFAULT_ITER)
+        g = _load_graph(spark, *args.take_paths())
+        _save(hits(neighborhood(g, topic), k=k), out_dir, f"{topic}_dependent")
+    elif job == "base_salsa":
+        g = _load_graph(spark, *args.take_paths())
+        _save(salsa_simplified(g), out_dir, "baseSALSA")
+    elif job == "base_salsa_2":
+        k = args.take(int, DEFAULT_ITER)
+        args.take(float, DEFAULT_BETA)  # parsed-but-unused, like the reference (SURVEY §2.4(g))
+        g = _load_graph(spark, *args.take_paths())
+        _save(salsa(g, k=k), out_dir, "SALSA2")
+    elif job == "weighted_salsa":
+        weight = args.take(str, "mrho")
+        g = _load_graph(spark, *args.take_paths())
+        _save(salsa_simplified(g, weight=weight), out_dir, "weightedSALSA")
+    elif job == "random_teleport_salsa":
+        k = args.take(int, DEFAULT_ITER)
+        beta = args.take(float, DEFAULT_BETA)
+        g = _load_graph(spark, *args.take_paths())
+        _save(salsa(g, k=k, teleport="uniform", beta=beta), out_dir, "teleportSALSA")
+    elif job == "topic_specific_salsa":
+        topic = args.take()
+        k = args.take(int, DEFAULT_ITER)
+        beta = args.take(float, DEFAULT_BETA)
+        g = _load_graph(spark, *args.take_paths())
+        _save(
+            salsa(g, k=k, teleport="topic", beta=beta, topic=topic),
+            out_dir,
+            f"{topic}_specificSALSA",
+        )
+    elif job == "query_dependent_salsa":
+        topic = args.take()
+        g = _load_graph(spark, *args.take_paths())
+        _save(salsa_query_dependent(g, topic), out_dir, f"{topic}_dependentSALSA")
+    elif job == "list_topics":
+        nodes_path = args.take()
+        if nodes_path is None:
+            raise SystemExit("list_topics needs a nodes CSV path")
+        g = Graph(nodes=read_nodes_csv(spark, nodes_path), edges=None)
+        labels: DataFrame = list_topics(g)
+        labels.coalesce(1).write.mode("overwrite").text(
+            os.path.join(out_dir, "node_topics.txt")
+        )
+    else:
+        raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")
+
+
+if __name__ == "__main__":
+    main()

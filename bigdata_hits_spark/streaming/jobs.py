@@ -62,6 +62,126 @@ def hourly_event_counts_stream(events: DataFrame, watermark: str = "2 hours") ->
     )
 
 
+#: Output schema of the stateful sessionizer — matches the batch operator
+#: (operators/events.py sessionize) so stream-vs-batch equivalence is a
+#: straight row comparison.
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_s", T.LongType()),
+        T.StructField("end_s", T.LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_idx", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_ns", T.LongType()),
+        T.StructField("last_ns", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_ns: int = 1_800_000_000_000,
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (``applyInPandasWithState`` — the reference has nothing stateful; this
+    is the engine's scale path for continuous session rollups).
+
+    State per user: (current session index, event count, start, last ts).
+    Each micro-batch folds its arrivals in ts order: a gap > ``gap_ns``
+    closes the current session and opens the next.  Every session touched
+    in the batch is (re-)emitted, so the sink's LATEST row per
+    (user_id, session_idx) is the session's current shape — update-sink
+    semantics.
+
+    ``state_timeout_ms`` bounds state for CONTINUOUS deployments: idle
+    users' state drops after that much processing time (the watermark
+    analogue for this operator).  It is opt-in (default None -> NoTimeout)
+    because a processing-time timeout keeps an ``availableNow`` finite
+    backfill/test run spinning state-cleanup triggers instead of
+    terminating.
+
+    In-order delivery per user is assumed within and across batches
+    (events later than an already-closed session extend the CURRENT
+    session, they do not reopen history) — the standard trade of
+    single-pass sessionization.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            session_idx, n_events, start_ns, last_ns = state.get
+        else:
+            session_idx, n_events, start_ns, last_ns = 0, 0, None, None
+        touched: dict[int, tuple[int, int, int]] = {}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ns", "event_id"])
+            ts = pdf["ts_ns"].to_numpy()
+            if len(ts) == 0:
+                continue
+            # Vectorized gap detection: flag rows whose distance to the
+            # previous event (carried state for row 0) exceeds the gap,
+            # then a cumulative sum numbers the sessions.
+            prev = np.empty_like(ts)
+            prev[1:] = ts[:-1]
+            prev[0] = last_ns if last_ns is not None else ts[0] - gap_ns - 1
+            idx = session_idx + np.cumsum((ts - prev) > gap_ns)
+            agg = pd.DataFrame({"idx": idx, "ts": ts}).groupby("idx")["ts"].agg(
+                ["count", "min", "max"]
+            )
+            for sid, row in agg.iterrows():
+                cnt, mn, mx = int(row["count"]), int(row["min"]), int(row["max"])
+                if sid == session_idx and start_ns is not None:
+                    cnt += n_events  # continues the carried session
+                    mn = start_ns
+                touched[sid] = (cnt, mn, mx)
+            session_idx = int(idx[-1])
+            n_events, start_ns, last_ns = touched[session_idx]
+        state.update((session_idx, n_events, start_ns, last_ns))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(touched),
+                    "session_idx": list(touched.keys()),
+                    "n_events": [v[0] for v in touched.values()],
+                    "start_s": [v[1] // 1_000_000_000 for v in touched.values()],
+                    "end_s": [v[2] // 1_000_000_000 for v in touched.values()],
+                }
+            )
+
+    return (
+        events.select("user_id", "event_id", "ts_ns")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drain a finite stream into an in-memory table (availableNow) and
     block until done.  Returns the StreamingQuery (already terminated)."""

@@ -1,0 +1,87 @@
+"""CLI shims + reference-parity sinks: end-to-end on a tiny name:TYPE CSV
+graph (the reference's on-disk convention, SURVEY §1.1)."""
+
+import ast
+import glob
+import math
+import os
+
+import pytest
+
+from bigdata_hits_spark import cli
+from bigdata_hits_spark.sinks import write_scores_text
+
+NODES_CSV = """id:ID,names,size:int,labels:LABEL,rho:double
+a,node a,3,drug,0.5
+b,node b,1,drug,0.4
+c,node c,2,gene:protein,0.9
+"""
+
+EDGES_CSV = """src:START_ID,dst:END_ID,mrho:double,tfidf:double
+a,b,0.5,1.0
+a,c,0.25,2.0
+b,c,1.0,3.0
+c,a,0.75,4.0
+"""
+
+
+@pytest.fixture(scope="module")
+def csv_graph(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refcsv")
+    nodes = d / "nodes.csv"
+    edges = d / "edges.csv"
+    nodes.write_text(NODES_CSV)
+    edges.write_text(EDGES_CSV)
+    return str(nodes), str(edges), str(d)
+
+
+def _read_scores(path: str) -> list[tuple[str, float]]:
+    """Parse the reference tuple-text shape back into (id, score) pairs."""
+    (part,) = glob.glob(os.path.join(path, "part-*"))
+    with open(part) as fh:
+        return [ast.literal_eval(line) for line in fh if line.strip()]
+
+
+def test_cli_base_hits_writes_reference_layout(spark, csv_graph):
+    nodes, edges, d = csv_graph
+    out = os.path.join(d, "out_hits")
+    cli.main(["base_hits", "2", nodes, edges, "--out", out])
+    hubs = _read_scores(os.path.join(out, "base_hub_scores.txt"))
+    auths = _read_scores(os.path.join(out, "base_authority_scores.txt"))
+    # inner-join drop semantics: only nodes with out-edges appear as hubs
+    assert {h[0] for h in hubs} == {"a", "b", "c"}
+    assert {a[0] for a in auths} == {"a", "b", "c"}
+    # sorted descending, L2-normalized
+    scores = [s for _, s in hubs]
+    assert scores == sorted(scores, reverse=True)
+    assert math.isclose(sum(s * s for s in scores), 1.0, rel_tol=1e-9)
+
+
+def test_cli_weighted_salsa_uses_clean_weight_name(spark, csv_graph):
+    nodes, edges, d = csv_graph
+    out = os.path.join(d, "out_wsalsa")
+    cli.main(["weighted_salsa", "mrho", nodes, edges, "--out", out])
+    hubs = _read_scores(os.path.join(out, "weightedSALSA_hub_scores.txt"))
+    # weighted out-degrees L1-normalized: a: 0.75, b: 1.0, c: 0.75 -> /2.5
+    got = dict(hubs)
+    assert math.isclose(got["b"], 1.0 / 2.5, rel_tol=1e-9)
+    assert math.isclose(got["a"], 0.75 / 2.5, rel_tol=1e-9)
+
+
+def test_cli_list_topics(spark, csv_graph):
+    nodes, _, d = csv_graph
+    out = os.path.join(d, "out_topics")
+    cli.main(["list_topics", nodes, "--out", out])
+    (part,) = glob.glob(os.path.join(out, "node_topics.txt", "part-*"))
+    labels = {line.strip() for line in open(part) if line.strip()}
+    assert labels == {"drug", "gene:protein"}  # strict labels, not split
+
+
+def test_write_scores_text_single_file_order(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("x", 0.5), ("y", 0.3), ("z", 0.2)], "id string, score double"
+    ).orderBy("score", ascending=False)
+    path = str(tmp_path / "scores.txt")
+    write_scores_text(df, path)
+    rows = _read_scores(path)
+    assert rows == [("x", 0.5), ("y", 0.3), ("z", 0.2)]

@@ -6,12 +6,13 @@ import shutil
 import pandas as pd
 import pytest
 
-from bigdata_hits_spark.operators.events import hourly_event_counts
+from bigdata_hits_spark.operators.events import hourly_event_counts, sessionize
 from bigdata_hits_spark.sources.readers import load_table
 from bigdata_hits_spark.streaming.jobs import (
     hourly_event_counts_stream,
     read_events_stream,
     run_to_memory,
+    sessionize_stream,
 )
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -49,3 +50,21 @@ def test_stream_hourly_equals_batch(spark, sf_dir, events_dir):
 def test_watermark_present_in_plan(spark, sf_dir, events_dir):
     stream_df = hourly_event_counts_stream(read_events_stream(spark, events_dir))
     assert "EventTimeWatermark" in stream_df._jdf.queryExecution().analyzed().toString()
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, events_dir):
+    """applyInPandasWithState sessionizer over a finite stream reproduces
+    the batch window-function sessionization exactly (update-mode sink:
+    latest row per (user_id, session_idx) is the session's final shape)."""
+    batch = sessionize(load_table(spark, sf_dir, "events")).toPandas()
+    stream_df = sessionize_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream_df, "t_sessions", output_mode="update")
+    streamed = (
+        spark.sql("SELECT * FROM t_sessions").toPandas()
+        .drop_duplicates(subset=["user_id", "session_idx"], keep="last")
+    )
+    key = ["user_id", "session_idx"]
+    a = batch.sort_values(key).reset_index(drop=True)[sorted(batch.columns)]
+    b = streamed.sort_values(key).reset_index(drop=True)[sorted(streamed.columns)]
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
