@@ -17,6 +17,9 @@ ranks (see oracles.py parity notes).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 LSH_PLANES = 16
@@ -86,8 +89,6 @@ def cosine_pairs(
     raise ``num_blocks`` so a block pair (~2·(n/B)·d doubles) fits in one
     task's memory.
     """
-    import pandas as pd
-
     blocks = (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .groupBy(F.pmod(F.hash(F.col("id")), F.lit(num_blocks)).alias("blk"))
@@ -108,8 +109,6 @@ def cosine_pairs(
     margin = 10.0 ** (-round_digits) / 2.0
 
     def score(batches):
-        import numpy as np
-
         for pdf in batches:
             out_id1, out_id2, out_cos = [], [], []
             for row in pdf.itertuples(index=False):
@@ -149,27 +148,37 @@ def cosine_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
-def _hyperplane_sign(plane: int, i: Column) -> Column:
-    """Deterministic ±1 pattern for hyperplane ``plane`` at dimension i.
-    A fixed odd-multiplier parity keeps it portable and seedless."""
-    parity = (i * F.lit(2654435761 + plane) + F.lit(plane * 40503)) % 2
-    return F.when(parity == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def _hyperplane_matrix(planes: int, dim: int):
+    """Deterministic ±1 hyperplane matrix (planes × dim): entry (j, i) is
+    +1 when ``(i·(2654435761+j) + j·40503) mod 2 == 0``.  A fixed
+    odd-multiplier parity keeps it portable, seedless, and rebuildable on
+    any worker without shipping state."""
+    i = np.arange(dim, dtype=np.int64)
+    rows = [
+        np.where((i * (2654435761 + j) + j * 40503) % 2 == 0, 1.0, -1.0)
+        for j in range(planes)
+    ]
+    return np.stack(rows)  # (planes, dim)
 
 
-def lsh_signature(vec: Column, planes: int = LSH_PLANES) -> Column:
-    """Sign-LSH signature: bit j set when dot(vec, hyperplane_j) > 0."""
-    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    sig = F.lit(0).cast("long")
-    for j in range(planes):
-        proj = F.aggregate(
-            F.transform(
-                dim_idx,
-                lambda i: F.element_at(vec, i + 1).cast("double") * _hyperplane_sign(j, i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(proj > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+def lsh_signature_udf(planes: int = LSH_PLANES):
+    """Vectorized sign-LSH signature: bit j set when dot(vec,
+    hyperplane_j) > 0.  One numpy matmul per Arrow batch scores every
+    (vector, plane) pair — the per-plane expression-fold alternative
+    re-walks each array ``planes`` times in the interpreter."""
+    from pyspark.sql.functions import pandas_udf
+
+    weights = (np.int64(1) << np.arange(planes, dtype=np.int64))  # (planes,)
+
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])  # (n, d)
+        h = _hyperplane_matrix(planes, mat.shape[1])  # (planes, d)
+        bits = (mat @ h.T) > 0  # (n, planes)
+        return pd.Series(bits @ weights)
+
     return sig
 
 
@@ -187,9 +196,10 @@ def lsh_bucket_topk(
     the |Q|×|C| cross join with a bucket equi-join — the standard
     recall/throughput trade."""
     band_bits = planes // bands
+    sig_udf = lsh_signature_udf(planes)
 
     def with_bands(df: DataFrame, role: str) -> DataFrame:
-        sig = lsh_signature(F.col(vec_col), planes)
+        sig = sig_udf(F.col(vec_col))
         rows = df.select(
             F.col(id_col).alias(f"{role}id"),
             F.col(vec_col).alias(f"{role}vec"),

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bigdata_hits_spark.operators import events as EV
+from bigdata_hits_spark.operators.asof import asof_join
 from bigdata_hits_spark.queries import register
 from bigdata_hits_spark.sources.readers import load_table
 
@@ -32,3 +35,48 @@ def q_events_hourly(spark, sf_dir):
 )
 def q_events_sessionize(spark, sf_dir):
     return EV.sessionize(load_table(spark, sf_dir, "events"))
+
+
+_ASOF_SQL = (
+    "WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type, value FROM events), "
+    "u AS ("
+    "SELECT user_id, ts_ns, 1 AS side, NULL::BIGINT AS tb, event_id, "
+    "NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value FROM e WHERE event_type = 'click' "
+    "UNION ALL "
+    "SELECT user_id, ts_ns, 0, event_id, NULL, event_id, value FROM e "
+    "WHERE event_type = 'purchase'), "
+    "f AS (SELECT user_id, ts_ns, side, event_id, "
+    "LAST_VALUE(p_id IGNORE NULLS) OVER w AS purchase_id, "
+    "LAST_VALUE(p_value IGNORE NULLS) OVER w AS purchase_value "
+    "FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, side, tb "
+    "ROWS UNBOUNDED PRECEDING)) "
+    "SELECT event_id AS click_id, user_id, ts_ns // 1000 AS ts_us, purchase_id, "
+    "purchase_value FROM f WHERE side = 1"
+)
+
+
+@register("events_asof_attribution", _ASOF_SQL)
+def q_events_asof(spark, sf_dir):
+    """Marketing-attribution shape: each click joined as-of to the user's
+    latest prior-or-simultaneous purchase (operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_ns")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ns", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="ts_ns",
+        by="user_id",
+        value_cols=["event_id", "value"],
+        tiebreak="event_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),  # oracle reads the parquet
+        # timestamp at microsecond resolution; compare at that grain
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("value_r").alias("purchase_value"),
+    )
