@@ -27,10 +27,23 @@ LANG_ORDER = ["en", "de", "es", "fr"]
 
 FINGERPRINT_MOD = 1_000_000_007
 
+#: BPE-ish pre-tokenizer: letter runs, single digits, or single
+#: non-alphanumeric marks — the GPT-2-style split shape reduced to
+#: character classes that Java and RE2-family regex engines interpret
+#: identically (no lookarounds, no unicode property classes).
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (single-space convention of the corpus)."""
     return F.split(text, " ")
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Sub-word-ish tokens via the BPE-style split regex.  A real BPE
+    merges these further against a vocabulary; the pre-tokenize count is
+    the standard cheap proxy for token budgeting at corpus scale."""
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)
 
 
 def token_hash(token: Column) -> Column:

@@ -35,6 +35,16 @@ def q_text_token_count(spark, sf_dir):
 
 
 @register(
+    "text_bpe_token_count",
+    f"SELECT doc_id, len(regexp_extract_all(text, '{TX.BPE_SPLIT_PATTERN}')) AS n_bpe_tokens "
+    "FROM documents",
+)
+def q_text_bpe_token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.size(TX.bpe_tokens(F.col("text"))).alias("n_bpe_tokens"))
+
+
+@register(
     "text_quality",
     "SELECT doc_id, ROUND(CAST("
     "0.5 * LEAST(1.0, len(w) / 100.0) "
