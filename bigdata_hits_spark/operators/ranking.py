@@ -104,7 +104,9 @@ def _make_damp(
         add = F.lit((1.0 - beta) / topic_denom)
 
         def damp(df: DataFrame) -> DataFrame:
-            joined = df.join(indicator, "id", "inner")
+            # node-count-sized and persisted: broadcast, same rationale as
+            # the score vector in _step
+            joined = df.join(F.broadcast(indicator), "id", "inner")
             damped = F.when(
                 F.col("topic_specific") == 0, F.lit(beta) * F.col("score")
             ).otherwise(F.lit(beta) * F.col("score") + add)

@@ -74,3 +74,10 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return SIM.lsh_bucket_topk(emb, queries, k=TOP_K)
+
+
+@register("ann_ivf_topk", None)  # approximate: recall floor asserted in tests, rows-only here
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return SIM.ivf_topk(emb, queries, k=TOP_K)

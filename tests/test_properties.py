@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): distributed operators vs trusted
+single-node reference implementations on randomized inputs.
+
+Sessions are expensive, so strategies are bounded and example counts kept
+small; the value is shape coverage (dup timestamps, empty sides, single
+users, gap edges) rather than volume.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bigdata_hits_spark.operators.asof import asof_join
+from bigdata_hits_spark.operators.events import sessionize
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=10_000),  # ts (small units)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(raw=events_strategy)
+def test_sessionize_matches_bruteforce(spark, raw):
+    gap = 1_000
+    rows = [(i, u, t) for i, (u, t) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_ns long")
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["start_s"], r["end_s"])
+        for r in sessionize(df, gap_ns=gap).collect()
+    }
+
+    expect = {}
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, t) in enumerate(raw):
+        by_user.setdefault(u, []).append((t, i))
+    for u, ts in by_user.items():
+        ts.sort()
+        idx, prev = 0, None
+        bucket: list[int] = []
+        for t, _ in ts:
+            if prev is None or t - prev > gap:
+                if bucket:
+                    expect[(u, idx)] = (
+                        len(bucket),
+                        min(bucket) // 1_000_000_000,
+                        max(bucket) // 1_000_000_000,
+                    )
+                idx += 1
+                bucket = []
+            bucket.append(t)
+            prev = t
+        expect[(u, idx)] = (
+            len(bucket),
+            min(bucket) // 1_000_000_000,
+            max(bucket) // 1_000_000_000,
+        )
+    assert got == expect
+
+
+asof_strategy = st.tuples(
+    st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 100)), min_size=1, max_size=15
+    ),  # left (key, t)
+    st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 100)), min_size=0, max_size=15
+    ),  # right (key, t)
+)
+
+
+@settings(**_SETTINGS)
+@given(data=asof_strategy)
+def test_asof_matches_pandas_merge_asof(spark, data):
+    lraw, rraw = data
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lraw)], "lid long, k long, t long"
+    )
+    # unique right timestamps per key keep pandas merge_asof's tie handling
+    # out of play; the engine's explicit tiebreak is covered in test_asof.py
+    rrows = [(100 + i, k, t) for i, (k, t) in enumerate({(k, t) for k, t in rraw})]
+    if rrows:
+        right = spark.createDataFrame(rrows, "rid long, k long, t long")
+    else:
+        right = spark.createDataFrame([], "rid long, k long, t long")
+    got = {
+        r["lid"]: r["rid_r"]
+        for r in asof_join(
+            left, right, on="t", by="k", value_cols=["rid"], tiebreak="rid"
+        ).collect()
+    }
+
+    lpdf = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(lraw)], columns=["lid", "k", "t"])
+    rpdf = pd.DataFrame(rrows, columns=["rid", "k", "t"]).astype("int64")
+    merged = pd.merge_asof(
+        lpdf.sort_values("t", kind="stable"),
+        rpdf.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    expect = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid)) for r in merged.itertuples()
+    }
+    assert got == expect

@@ -39,6 +39,18 @@ def test_lsh_recall_floor(spark, emb):
     assert recall >= 0.3, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall_floor(spark, emb):
+    """IVF with 4-of-16 probes must recover most of the true top-10 (it
+    exact-scores everything in the probed buckets)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    approx = SIM.ivf_topk(emb, queries, k=10).collect()
+    truth = {(r["qid"], r["cid"]) for r in exact}
+    got = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
 def test_cosine_pairs_threshold(spark):
     rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
