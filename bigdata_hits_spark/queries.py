@@ -246,7 +246,9 @@ def q_weighted_salsa(spark, sf_dir):
     ),
 )
 def q_query_dependent_salsa(spark, sf_dir):
-    return rank_union(salsa_query_dependent(derived.g_pp(spark, sf_dir), derived.G_PP_TOPIC))
+    return rank_union(
+        salsa_simplified(_sub_neighborhood(derived.g_pp(spark, sf_dir), derived.G_PP_TOPIC))
+    )
 
 
 @register("base_hits_k3", ranking_oracle(**_PS, family="hits", k=K_ITER))
@@ -285,12 +287,22 @@ def q_topic_specific_hits(spark, sf_dir):
     )
 
 
+def _sub_exclusive(g, topic):
+    """Topic-induced subgraph, memoized on the parent graph so repeated
+    queries share one prepared subgraph instead of pinning a new one."""
+    return g.memo(("subgraph_exclusive", topic), lambda: topic_induced(g, topic))
+
+
+def _sub_neighborhood(g, topic):
+    return g.memo(("subgraph_neighborhood", topic), lambda: neighborhood(g, topic))
+
+
 @register(
     "topic_exclusive_hits_k3",
     ranking_oracle(**_PP, family="hits", k=K_ITER, subgraph="exclusive", topic=derived.G_PP_TOPIC),
 )
 def q_topic_exclusive_hits(spark, sf_dir):
-    return rank_union(hits(topic_induced(derived.g_pp(spark, sf_dir), derived.G_PP_TOPIC), k=K_ITER))
+    return rank_union(hits(_sub_exclusive(derived.g_pp(spark, sf_dir), derived.G_PP_TOPIC), k=K_ITER))
 
 
 @register(
@@ -300,7 +312,7 @@ def q_topic_exclusive_hits(spark, sf_dir):
     ),
 )
 def q_query_dependent_hits(spark, sf_dir):
-    return rank_union(hits(neighborhood(derived.g_pp(spark, sf_dir), derived.G_PP_TOPIC), k=K_ITER))
+    return rank_union(hits(_sub_neighborhood(derived.g_pp(spark, sf_dir), derived.G_PP_TOPIC), k=K_ITER))
 
 
 @register("salsa_mutual_k3", ranking_oracle(**_PS, family="salsa", k=K_ITER))
