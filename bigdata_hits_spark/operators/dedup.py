@@ -19,6 +19,8 @@ DuckDB oracles (queries_dedup.py) reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from bigdata_hits_spark.functions.text import token_hash, tokens
@@ -49,25 +51,47 @@ NGRAM_MAX_DF = 50  # drop shingles appearing in more docs (stop-shingles)
 NGRAM_MIN_SHARED = 5  # candidate pairs must share this many shingles
 
 
+_SHINGLE_UDFS: dict[int, object] = {}
+
+
+def _shingles_udf(k: int):
+    """Arrow-batched distinct k-word shingler.  Semantically identical to
+    the Column formulation (split on single space -> join k tokens with a
+    space -> per-doc distinct, first-occurrence order) but ~an order of
+    magnitude cheaper: Catalyst executes higher-order array lambdas in
+    the interpreter, paying per-element costs that a tight Python loop
+    over an Arrow batch does not."""
+    if k not in _SHINGLE_UDFS:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def sh(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                w = t.split(" ") if t else []
+                if len(w) >= k:
+                    out.append(
+                        list(dict.fromkeys(" ".join(w[i : i + k]) for i in range(len(w) - k + 1)))
+                    )
+                else:
+                    out.append([])
+            return pd.Series(out)
+
+        _SHINGLE_UDFS[k] = sh
+    return _SHINGLE_UDFS[k]
+
+
 def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Array of k-word shingles ('w1 w2 w3'); empty for docs shorter than
-    k words.  (The when-guard matters: Spark's sequence() would count
-    *down* for n<k.)"""
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - F.lit(k))
-    mk = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]),
-    )
-    return F.when(n >= k, mk).otherwise(F.array().cast("array<string>"))
+    """Array of per-document DISTINCT k-word shingles ('w1 w2 w3');
+    empty for docs shorter than k words."""
+    return _shingles_udf(k)(text)
 
 
 def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shingle) with per-document distinct shingles."""
     return docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col)))).alias("shingle"),
+        F.explode(word_shingles(F.col(text_col))).alias("shingle"),
     )
 
 
@@ -77,7 +101,7 @@ def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     counterpart of :func:`shingle_set` that avoids re-exploding."""
     return docs.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col))).alias("shs"),
+        word_shingles(F.col(text_col)).alias("shs"),
     ).withColumn("n", F.size("shs"))
 
 
@@ -248,7 +272,10 @@ def ngram_jaccard_pairs(
     shingle sets, kept at jaccard >= threshold."""
     sh = shingle_set(docs, id_col, text_col)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle")
+    # df = 1 shingles cannot form a pair, and in natural text they are the
+    # vast majority of the postings — dropping them up front shrinks the
+    # self-join input by that factor with identical output.
+    rare = sh.join(df_counts.filter((F.col("df") >= 2) & (F.col("df") <= max_df)), "shingle")
     r1 = rare.select(F.col("id").alias("id1"), "shingle")
     r2 = rare.select(F.col("id").alias("id2"), "shingle")
     candidates = (

@@ -98,3 +98,36 @@ def bernoulli_sample(df: DataFrame, fraction: float, seed: int) -> DataFrame:
     (``base_hits.py:78-79``).  Seeded per-engine, so correctness checks
     are rows-only (SURVEY §2.5)."""
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: split each hot key across ``salts``
+    shuffle partitions.
+
+    The probe (left) side gets a random salt per row; the build (right)
+    side is replicated across every salt value, so the join key becomes
+    (key, salt) and a single hot key's rows spread over ``salts``
+    reducers.  Which salt a row draws never changes the OUTPUT (the right
+    row exists under every salt), so task retries are safe despite the
+    nondeterministic draw.  Cost: right side ×``salts`` — use for
+    skewed-fact × modest-dim joins when AQE's skew-join can't apply
+    (e.g. the exchange feeds a non-join operator).  grouped aggregation
+    does NOT need this: partial aggregation already collapses hot groups
+    map-side."""
+    salted_left = left.withColumn("__salt", (F.rand(seed=0) * salts).cast("int"))
+    salt_values = F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("__salt")
+    salted_right = right.select("*", salt_values)
+    joined = salted_left.join(
+        salted_right,
+        (salted_left[left_key] == salted_right[right_key])
+        & (salted_left["__salt"] == salted_right["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
