@@ -91,6 +91,32 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing: emits (id, payload, target_w, target_h,
+    scale_meta) where the payload passes through untouched and scale_meta
+    records what a decoder-backed resizer would do.  The real pixel work
+    belongs in the same ``mapInPandas`` slot as
+    :func:`extract_features`; without codecs (:func:`decode_image`) the
+    contract — binary in, binary + typed metadata out, partition-parallel
+    — is what the pipeline depends on and what is tested."""
+    return df.select(
+        id_col,
+        payload_col,
+        F.lit(target_w).alias("target_w"),
+        F.lit(target_h).alias("target_h"),
+        F.struct(
+            F.length(F.col(payload_col)).cast("int").alias("in_bytes"),
+            F.lit("pass-through-stub").alias("method"),
+        ).alias("scale_meta"),
+    )
+
+
 def sample_frames(
     df: DataFrame, duration_col: str, n_frames: int = 4, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -28,3 +28,24 @@ def _features_sql() -> str:
 def q_multimodal_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.with_payload(docs))
+
+
+N_FRAMES = 4
+
+
+@register(
+    "multimodal_frame_offsets",
+    f"WITH f AS (SELECT doc_id, n_chars, unnest(range({N_FRAMES})) AS frame_idx FROM documents) "
+    "SELECT doc_id AS id, CAST(frame_idx AS INTEGER) AS frame_idx, "
+    f"CAST(n_chars * frame_idx / {N_FRAMES} AS DOUBLE) AS offset_pos FROM f",
+)
+def q_multimodal_frame_offsets(spark, sf_dir):
+    """Frame-sampling plumbing over the documents table, with n_chars
+    standing in for a media duration (no codecs in this container)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.sample_frames(docs, duration_col="n_chars", n_frames=N_FRAMES)
+    return frames.select(
+        "id", F.col("frame_idx").cast("int").alias("frame_idx"), F.col("offset").alias("offset_pos")
+    )
