@@ -132,6 +132,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     it is exposed both as ``ts_ns`` (long, lossless) and ``ts``
     (microsecond timestamp_ntz) so event-time operators can use either.
     """
+    if name == "events":
+        # The events parquet carries nanosecond timestamps, which Spark 4
+        # refuses unless this legacy conf is on.  The engine's own session
+        # factory sets it, but the driver harness hands queries a vanilla
+        # session — set it here so the contract is session-agnostic.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = (
