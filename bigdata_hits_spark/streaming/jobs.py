@@ -182,6 +182,14 @@ def sessionize_stream(
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event ids: at-least-once sources re-deliver,
+    ``dropDuplicatesWithinWatermark`` makes the pipe effectively-once with
+    BOUNDED state — dedup state for an id is dropped once the watermark
+    passes it, unlike plain dropDuplicates whose state grows forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drain a finite stream into an in-memory table (availableNow) and
     block until done.  Returns the StreamingQuery (already terminated)."""

@@ -52,6 +52,28 @@ def test_watermark_present_in_plan(spark, sf_dir, events_dir):
     assert "EventTimeWatermark" in stream_df._jdf.queryExecution().analyzed().toString()
 
 
+def test_stream_dedup_drops_redelivered_events(spark, sf_dir, events_dir):
+    """A doubled source (same file staged twice) must dedup back to the
+    original event count, with bounded (watermarked) state."""
+    import shutil as sh
+    from bigdata_hits_spark.streaming.jobs import dedup_events_stream
+
+    d2 = os.path.join(REPO_ROOT, ".tmp_stream_events_dup")
+    os.makedirs(d2, exist_ok=True)
+    sh.copy(f"{sf_dir}/events.parquet", os.path.join(d2, "part-0.parquet"))
+    sh.copy(f"{sf_dir}/events.parquet", os.path.join(d2, "part-1.parquet"))
+    try:
+        deduped = dedup_events_stream(read_events_stream(spark, d2))
+        run_to_memory(deduped.select("event_id"), "t_dedup", output_mode="append")
+        n = spark.sql("SELECT COUNT(DISTINCT event_id) AS n FROM t_dedup").first()["n"]
+        total = spark.sql("SELECT COUNT(*) AS n FROM t_dedup").first()["n"]
+        expected = load_table(spark, sf_dir, "events").count()
+        assert n == expected
+        assert total == expected  # re-deliveries dropped, not just distinct-counted
+    finally:
+        sh.rmtree(d2, ignore_errors=True)
+
+
 def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, events_dir):
     """applyInPandasWithState sessionizer over a finite stream reproduces
     the batch window-function sessionization exactly (update-mode sink:
