@@ -55,11 +55,14 @@ class Graph:
         return self._memo[key]
 
     def release(self) -> None:
-        """Unpersist any cached DataFrames this graph memoized."""
+        """Unpersist any cached DataFrames this graph memoized, including
+        those held by memoized subgraphs."""
         for value in self._memo.values():
-            for df in value if isinstance(value, tuple) else (value,):
-                if isinstance(df, DataFrame):
-                    df.unpersist()
+            for item in value if isinstance(value, tuple) else (value,):
+                if isinstance(item, DataFrame):
+                    item.unpersist()
+                elif isinstance(item, Graph):
+                    item.release()
         self._memo.clear()
 
     def topic_nodes(self, topic: str) -> DataFrame:
