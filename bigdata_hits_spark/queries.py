@@ -236,6 +236,64 @@ def q_sample_bernoulli(spark, sf_dir):
     return relops.bernoulli_sample(li.select("l_orderkey", "l_linenumber"), 0.1, seed=81)
 
 
+# --- beyond-reference relational completeness (the reference never uses
+# window functions, anti joins, or rollups — SURVEY §2.3 — but an engine
+# replacing it should) -------------------------------------------------
+
+
+@register(
+    "window_topn_per_group",
+    "SELECT l_suppkey, l_partkey, revenue, rn FROM ("
+    "SELECT l_suppkey, l_partkey, revenue, ROW_NUMBER() OVER ("
+    "PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS rn FROM ("
+    "SELECT l_suppkey, l_partkey, "
+    "ROUND(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue "
+    "FROM lineitem GROUP BY l_suppkey, l_partkey)) WHERE rn <= 3",
+)
+def q_window_topn(spark, sf_dir):
+    """Top-3 parts per supplier by revenue: grouped agg + ranked window —
+    the partition-local top-N shape that avoids any global sort."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    return rev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+@register(
+    "anti_join_idle_customers",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def q_anti_join(spark, sf_dir):
+    """Customers with no orders: left-anti join (no outer-join + null
+    filter detour)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "rollup_revenue",
+    "SELECT l_returnflag, l_linestatus, "
+    "ROUND(CAST(SUM(l_extendedprice) AS DOUBLE), 4) AS revenue, "
+    "COUNT(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+)
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP — one pass computes (flag,
+    status), (flag), and grand-total grains."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ranking algorithms (SURVEY §2.2) on the derived graphs
 # ---------------------------------------------------------------------------
