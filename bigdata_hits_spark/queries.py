@@ -294,6 +294,94 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "composite_order_revenue_topk",
+    "SELECT o.o_orderkey, c.c_name, "
+    "ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) AS revenue "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE o.o_orderstatus = 'O' "
+    "GROUP BY o.o_orderkey, c.c_name "
+    "ORDER BY revenue DESC, o.o_orderkey LIMIT 20",
+)
+def q_composite_order_revenue(spark, sf_dir):
+    """TPC-H Q3-shaped composite: 3-way join, filtered fact scan, grouped
+    revenue, global top-k.  Catalyst broadcast-joins the dimension sides
+    and pushes the status filter to the orders scan (asserted patterns in
+    tests/test_plans.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "c_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "composite_nation_volume",
+    "SELECT n.n_name, ROUND(CAST(SUM(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 4) "
+    "AS volume, COUNT(*) AS n_items "
+    "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+    "JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+    "JOIN lineitem l ON l.l_suppkey = s.s_suppkey "
+    "WHERE r.r_name = 'ASIA' GROUP BY n.n_name",
+)
+def q_composite_nation_volume(spark, sf_dir):
+    """TPC-H Q5-shaped composite: snowflake join chain region -> nation ->
+    supplier -> lineitem with a region filter that prunes before the fact
+    join."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(s, s["s_nationkey"] == n["n_nationkey"])
+        .join(li, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register("sketch_distinct_parts", None)  # HLL sketches differ per engine: rows-only
+def q_sketch_distinct_parts(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per order-status — the
+    sketch path for cardinalities too large to exact-count; accuracy
+    floor asserted against the exact count in tests/test_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+    )
+
+
+@register("sketch_price_quantiles", None)  # approximate: rows-only, tolerance in tests
+def q_sketch_price_quantiles(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna) of extended price — the
+    mergeable-quantile-sketch path for distribution stats over data too
+    big to sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10_000).alias("quantiles")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ranking algorithms (SURVEY §2.2) on the derived graphs
 # ---------------------------------------------------------------------------
