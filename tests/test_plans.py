@@ -48,6 +48,26 @@ def test_neighborhood_rewrite_avoids_nested_loop_join(spark, sf_dir_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_composite_topk_plan_shape(spark, sf_dir_oracle):
+    """The Q3-shaped composite must broadcast the dimension sides (no
+    sort-merge join at this dim/fact ratio), keep the status filter at
+    the orders scan, and run top-k as TakeOrderedAndProject (per-partition
+    heaps), not a global sort."""
+    from bigdata_hits_spark.queries import queries
+
+    df = queries()["composite_order_revenue_topk"](spark, sf_dir_oracle)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    formatted = _formatted(df)
+    pushed = [
+        line for line in formatted.splitlines()
+        if "PushedFilters" in line and "o_orderstatus" in line
+    ]
+    assert pushed
+
+
 def test_power_step_broadcasts_scores_not_edges(spark, sf_dir_oracle):
     from bigdata_hits_spark.operators.ranking import _hits_edges, _uniform_init, _step
     from bigdata_hits_spark.plans.iterate import materialize
