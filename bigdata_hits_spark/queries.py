@@ -357,6 +357,40 @@ def q_composite_nation_volume(spark, sf_dir):
     )
 
 
+@register(
+    "setop_union_distinct",
+    "SELECT n_nationkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region",
+)
+def q_setop_union(spark, sf_dir):
+    """UNION (distinct) of two key sets."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.select(F.col("n_nationkey").alias("k"))
+        .union(region.select(F.col("r_regionkey").alias("k")))
+        .distinct()
+    )
+
+
+@register(
+    "setop_intersect_except",
+    "SELECT 'both' AS which, k FROM "
+    "(SELECT l_suppkey AS k FROM lineitem INTERSECT SELECT s_suppkey AS k FROM supplier) "
+    "UNION ALL SELECT 'only_supplier', k FROM "
+    "(SELECT s_suppkey AS k FROM supplier EXCEPT SELECT l_suppkey AS k FROM lineitem)",
+)
+def q_setop_intersect_except(spark, sf_dir):
+    """INTERSECT + EXCEPT in one labeled result: suppliers appearing in
+    lineitem vs suppliers with no lineitems."""
+    li_keys = load_table(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+    s_keys = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
+    both = li_keys.intersect(s_keys).select(F.lit("both").alias("which"), "k")
+    only_s = s_keys.exceptAll(li_keys).distinct().select(
+        F.lit("only_supplier").alias("which"), "k"
+    )
+    return both.unionByName(only_s)
+
+
 @register("sketch_distinct_parts", None)  # HLL sketches differ per engine: rows-only
 def q_sketch_distinct_parts(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) per order-status — the
