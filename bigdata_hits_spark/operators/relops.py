@@ -120,7 +120,18 @@ def salted_join(
     skewed-fact × modest-dim joins when AQE's skew-join can't apply
     (e.g. the exchange feeds a non-join operator).  grouped aggregation
     does NOT need this: partial aggregation already collapses hot groups
-    map-side."""
+    map-side.
+
+    Only inner/left-flavored joins are supported: the right side is
+    replicated across every salt value, so a right/full outer join would
+    emit each unmatched right row ``salts`` times."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "leftsemi", "left_semi", "leftanti", "left_anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/leftsemi/leftanti joins only, got how={how!r}: "
+            "the replicated right side would duplicate unmatched right rows "
+            "under right/full outer semantics"
+        )
     salted_left = left.withColumn("__salt", (F.rand(seed=0) * salts).cast("int"))
     salt_values = F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("__salt")
     salted_right = right.select("*", salt_values)

@@ -10,6 +10,20 @@ from bigdata_hits_spark.queries import register
 from bigdata_hits_spark.sources.readers import load_table
 
 
+def _events_us(spark, sf_dir):
+    """Events table with ``ts_ns`` truncated to microsecond grain.
+
+    The DuckDB oracle reads the parquet timestamp as a microsecond
+    TIMESTAMP, so its ``epoch_ns(ts)`` is the us-truncated nanosecond
+    value; the Spark side keeps exact nanos.  Events within 1 us of an
+    hour bucket, session-gap, or as-of ordering boundary would make the
+    two engines disagree nondeterministically on regenerated data —
+    comparing at an explicit common grain removes that."""
+    return load_table(spark, sf_dir, "events").withColumn(
+        "ts_ns", F.expr("(ts_ns div 1000) * 1000")
+    )
+
+
 @register(
     "events_hourly_agg",
     f"SELECT epoch_ns(ts) // {EV.HOUR_NS} AS bucket_hour, event_type, "
@@ -17,7 +31,7 @@ from bigdata_hits_spark.sources.readers import load_table
     "FROM events GROUP BY 1, 2",
 )
 def q_events_hourly(spark, sf_dir):
-    return EV.hourly_event_counts(load_table(spark, sf_dir, "events"))
+    return EV.hourly_event_counts(_events_us(spark, sf_dir))
 
 
 @register(
@@ -34,7 +48,7 @@ def q_events_hourly(spark, sf_dir):
     "FROM s GROUP BY user_id, session_idx",
 )
 def q_events_sessionize(spark, sf_dir):
-    return EV.sessionize(load_table(spark, sf_dir, "events"))
+    return EV.sessionize(_events_us(spark, sf_dir))
 
 
 _ASOF_SQL = (
@@ -59,7 +73,7 @@ _ASOF_SQL = (
 def q_events_asof(spark, sf_dir):
     """Marketing-attribution shape: each click joined as-of to the user's
     latest prior-or-simultaneous purchase (operators/asof.py)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = _events_us(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_ns")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts_ns", "event_id", "value"

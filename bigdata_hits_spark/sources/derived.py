@@ -50,16 +50,32 @@ G_PS_TOPIC = "part"
 #: the reference's: many ranking jobs over one graph) re-derives the same
 #: graph per query; memoizing here lets Graph-level prepared state
 #: (partitioned edge relations, counts — graph.py) amortize across the
-#: whole session.  Keyed on the live session object, so a new session
-#: after stop() builds fresh graphs.
-_GRAPH_CACHE: dict[tuple[int, str, str], Graph] = {}
+#: whole session.  Keyed on the SparkContext applicationId — a stable,
+#: never-reused identifier (unlike ``id(spark)``, which CPython can reuse
+#: after GC and which would pin dead sessions' persisted frames forever).
+_GRAPH_CACHE: dict[tuple[str, str, str], Graph] = {}
 
 
 def _cached(spark: SparkSession, sf_dir: str, shape: str, build) -> Graph:
-    key = (id(spark), sf_dir, shape)
+    key = (spark.sparkContext.applicationId, sf_dir, shape)
     if key not in _GRAPH_CACHE:
+        # Entries from stopped applications can never be reused (appIds are
+        # unique per context); drop them so their Graph memos are released.
+        live = spark.sparkContext.applicationId
+        for stale in [k for k in _GRAPH_CACHE if k[0] != live]:
+            _GRAPH_CACHE.pop(stale)
         _GRAPH_CACHE[key] = build()
     return _GRAPH_CACHE[key]
+
+
+def clear_graph_cache() -> None:
+    """Release every cached graph's persisted state and empty the cache."""
+    for g in _GRAPH_CACHE.values():
+        try:
+            g.release()
+        except Exception:
+            pass
+    _GRAPH_CACHE.clear()
 
 
 def g_ps(spark: SparkSession, sf_dir: str) -> Graph:

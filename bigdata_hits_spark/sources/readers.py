@@ -145,7 +145,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = (
             df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+            # Integer division, NOT float: epoch-scale int64 nanos exceed a
+            # double's 53-bit mantissa, so (ts_ns / 1000).cast('long') is
+            # off by ±1 us for a sizable fraction of rows.
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
         )
     return df
 

@@ -38,8 +38,11 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
+    # Integer division, NOT float — same precision rationale as
+    # sources/readers.py load_table: float division of epoch-scale nanos
+    # loses ±1 us, which can flip events across window/watermark bounds.
     return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
 
 
