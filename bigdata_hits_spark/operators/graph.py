@@ -81,20 +81,36 @@ class Graph:
         )
 
 
-def topic_induced(graph: Graph, topic: str) -> Graph:
+def topic_induced(graph: Graph, topic: str, *, strict: bool = False) -> Graph:
     """Subgraph induced by topic-labeled nodes: keep edges whose *both*
     endpoints are topic nodes (intended semantics of
     ``topic_exclusive_hits.py`` per SURVEY §2.4(b)).
 
     Two equi-left-semi joins; the topic node set is usually far smaller
     than the edge set, so AQE will typically broadcast it.
+
+    ``strict=True`` reproduces the reference's *literal* single-join line
+    (``topic_exclusive_hits.py:49``: one semi-join on
+    ``(src == id) & (dst == id)``), which matches one node row against
+    BOTH endpoints and therefore keeps only self-loops on topic nodes.
+    The committed outputs show that is not what the job actually computed
+    (hub and auth key sets would coincide — SURVEY §2.4(b)), so strict
+    mode exists to make the documented divergence switchable, not as a
+    recommended path.
     """
     topic_ids = graph.topic_nodes(topic).select("id")
-    edges = (
-        graph.edges.alias("e")
-        .join(topic_ids.alias("ts"), F.col("e.src") == F.col("ts.id"), "leftsemi")
-        .join(topic_ids.alias("td"), F.col("e.dst") == F.col("td.id"), "leftsemi")
-    )
+    if strict:
+        edges = graph.edges.alias("e").join(
+            topic_ids.alias("t"),
+            (F.col("e.src") == F.col("t.id")) & (F.col("e.dst") == F.col("t.id")),
+            "leftsemi",
+        )
+    else:
+        edges = (
+            graph.edges.alias("e")
+            .join(topic_ids.alias("ts"), F.col("e.src") == F.col("ts.id"), "leftsemi")
+            .join(topic_ids.alias("td"), F.col("e.dst") == F.col("td.id"), "leftsemi")
+        )
     return replace(graph, nodes=graph.topic_nodes(topic), edges=edges)
 
 

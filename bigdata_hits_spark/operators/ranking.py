@@ -49,26 +49,50 @@ def _sorted(scores: DataFrame) -> DataFrame:
     return scores.orderBy(F.desc("score"), F.asc("id"))
 
 
-def _step(edges_prepared: DataFrame, scores: DataFrame) -> DataFrame:
+#: Node-vector size above which the power step stops broadcasting the
+#: score vector.  A score row is ~50 bytes (string id + double), so the
+#: default caps the broadcast at a few hundred MB — past that, shipping
+#: the vector to every executor each iteration is the scale cliff, and
+#: the shuffle-join step (score vector exchanged on the join key, edges
+#: never moved) is the right plan.
+SCORE_BROADCAST_MAX_NODES = 5_000_000
+
+
+def _step(edges_prepared: DataFrame, scores: DataFrame, mode: str = "broadcast") -> DataFrame:
     """One propagation: for each out-node, sum mult * score of the joined
-    endpoint.
+    endpoint.  ``edges_prepared`` has columns (key, out, mult).
 
-    ``edges_prepared`` has columns (key, out, mult) and is pre-hash-
-    partitioned on ``out`` (see :func:`_power_iterate`).  The score vector
-    (one row per node — orders of magnitude smaller than the edge set) is
-    broadcast explicitly: without the hint Catalyst sees the checkpointed
-    vector as stats-less and builds the hash relation from the EDGES,
-    re-broadcasting the whole edge set every iteration.  With it, the
-    join preserves the edges' ``out`` partitioning through the aliasing
-    projection, so the grouped sum needs no exchange — per-iteration data
-    movement is just the broadcast vector plus the one-row norm.
+    ``mode='broadcast'`` (node vectors that fit in broadcast range):
+    edges are pre-hash-partitioned on ``out`` and the score vector (one
+    row per node — orders of magnitude smaller than the edge set) is
+    broadcast explicitly.  Without the hint Catalyst sees the
+    checkpointed vector as stats-less and builds the hash relation from
+    the EDGES, re-broadcasting the whole edge set every iteration.  With
+    it, the join preserves the edges' ``out`` partitioning through the
+    aliasing projection, so the grouped sum needs no exchange —
+    per-iteration data movement is just the broadcast vector plus the
+    one-row norm.
 
-    For graphs whose node vector outgrows broadcast range (billions of
-    nodes), flip to a shuffle join: pre-partition edges on ``key`` instead
-    and let the per-iteration exchange move only the score vector."""
+    ``mode='shuffle'`` (billions of nodes — vector outgrows broadcast):
+    edges are pre-partitioned on ``key`` instead, so the equi-join
+    exchanges ONLY the score vector (vector-sized shuffle onto the edges'
+    existing partitioning; shuffle-hash hint keeps the big side unsorted),
+    and the grouped sum pays one edge-sized exchange on ``out`` — the
+    same per-iteration movement as the classic Pregel formulation, with
+    no broadcast of anything data-sized.
+    """
+    if mode == "broadcast":
+        joined = edges_prepared.join(
+            F.broadcast(scores), edges_prepared["key"] == scores["id"], "inner"
+        )
+    elif mode == "shuffle":
+        joined = edges_prepared.join(
+            scores.hint("shuffle_hash"), edges_prepared["key"] == scores["id"], "inner"
+        )
+    else:
+        raise ValueError(f"unknown score-join mode {mode!r}")
     return (
-        edges_prepared.join(F.broadcast(scores), edges_prepared["key"] == scores["id"], "inner")
-        .select(F.col("out").alias("id"), (F.col("mult") * F.col("score")).alias("contrib"))
+        joined.select(F.col("out").alias("id"), (F.col("mult") * F.col("score")).alias("contrib"))
         .groupBy("id")
         .agg(F.sum("contrib").alias("score"))
     )
@@ -85,6 +109,7 @@ def _make_damp(
     uniform_denom: float | None,
     indicator: DataFrame | None,
     topic_denom: float | None,
+    score_join: str = "broadcast",
 ) -> Callable[[DataFrame], DataFrame]:
     """Build the post-update damping transform.
 
@@ -102,11 +127,14 @@ def _make_damp(
         return lambda df: df.select("id", (F.lit(beta) * F.col("score") + add).alias("score"))
     if mode == "topic":
         add = F.lit((1.0 - beta) / topic_denom)
+        # The indicator is node-count-sized and persisted: broadcast it
+        # for the same reason as the score vector in _step — except in
+        # shuffle mode, where the node vector is by definition beyond
+        # broadcast range and the join must exchange instead.
+        ind = F.broadcast(indicator) if score_join == "broadcast" else indicator
 
         def damp(df: DataFrame) -> DataFrame:
-            # node-count-sized and persisted: broadcast, same rationale as
-            # the score vector in _step
-            joined = df.join(F.broadcast(indicator), "id", "inner")
+            joined = df.join(ind, "id", "inner")
             damped = F.when(
                 F.col("topic_specific") == 0, F.lit(beta) * F.col("score")
             ).otherwise(F.lit(beta) * F.col("score") + add)
@@ -123,6 +151,7 @@ def _power_iterate(
     k: int,
     damp: Callable[[DataFrame], DataFrame],
     norm: str,
+    mode: str = "broadcast",
 ) -> RankResult:
     """Shared loop: k iterations of (hub step, auth step, damp, normalize)
     with per-iteration lineage truncation.
@@ -146,32 +175,27 @@ def _power_iterate(
     """
     if k <= 0:
         return RankResult(hubs=_sorted(init), auths=_sorted(init))
-    # The loop's plans are fully hand-shaped (explicit broadcast of the
-    # score vector, edges pre-partitioned on the aggregation key), so
-    # AQE's per-stage re-planning buys nothing here and costs real wall
-    # clock on vector-sized shuffles; disable it for the duration of the
-    # materializing jobs.  Skew is a non-issue in this loop: the only
-    # shuffled data is node-keyed score vectors, one row per node.
-    spark = init.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # The loop runs under whatever session conf the caller has — in
+    # particular it does NOT toggle AQE off anymore.  The plans are
+    # hand-shaped (explicit broadcast / pre-partitioned edges), so AQE's
+    # re-planning neither helps nor hurts measurably (verified at sf0.1:
+    # warm k=8 runs are within noise either way), and mutating shared
+    # session conf would leak into concurrently submitted queries on a
+    # multi-threaded driver.
     norm_expr = (
         F.sqrt(F.sum(F.col("score") * F.col("score"))) if norm == "l2" else F.sum("score")
     ).alias("__norm")
-    try:
-        auths = init
-        hubs_raw = init
-        for _ in range(k):
-            hubs_raw = damp(_step(edges_hub, auths))
-            auths_raw = materialize(damp(_step(edges_auth, hubs_raw)))
-            # O(1) driver scalar over the fresh checkpoint (the reference
-            # collects the same scalar — base_hits.py:17); injecting it as
-            # a literal keeps the next iteration's plan free of the extra
-            # broadcast-exchange barrier an in-plan norm would add.
-            nrm = auths_raw.agg(norm_expr).first()[0]
-            auths = auths_raw.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+    auths = init
+    hubs_raw = init
+    for _ in range(k):
+        hubs_raw = damp(_step(edges_hub, auths, mode))
+        auths_raw = materialize(damp(_step(edges_auth, hubs_raw, mode)))
+        # O(1) driver scalar over the fresh checkpoint (the reference
+        # collects the same scalar — base_hits.py:17); injecting it as
+        # a literal keeps the next iteration's plan free of the extra
+        # broadcast-exchange barrier an in-plan norm would add.
+        nrm = auths_raw.agg(norm_expr).first()[0]
+        auths = auths_raw.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
     hubs = normalized(hubs_raw, norm)
     return RankResult(hubs=_sorted(hubs), auths=_sorted(auths))
 
@@ -182,23 +206,31 @@ def _power_iterate(
 _EDGES_PER_PARTITION = 50_000
 
 
-def _prepare(graph: Graph, eh: DataFrame, ea: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Hash-partition each step relation on its aggregation key and pin it:
-    paid once per (graph, family, weight), reused by every iteration of
-    every query on that graph.  Partition count scales with the edge count
-    (one memoized count job per graph) so small graphs don't schedule
-    hundreds of near-empty tasks per iteration and large ones still spread
-    across the cluster."""
+def _prepare(
+    graph: Graph, eh: DataFrame, ea: DataFrame, part_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Hash-partition each step relation on ``part_col`` and pin it: paid
+    once per (graph, family, weight, mode), reused by every iteration of
+    every query on that graph.  Broadcast mode partitions on the
+    aggregation key ``out`` (so the grouped sum after the broadcast join
+    needs no exchange); shuffle mode partitions on the join key ``key``
+    (so the join exchanges only the score vector).  Partition count
+    scales with the edge count (one memoized count job per graph) so
+    small graphs don't schedule hundreds of near-empty tasks per
+    iteration and large ones still spread across the cluster."""
     n_edges = graph.memo(("n_edges",), graph.edges.count)
     spark = graph.edges.sparkSession
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(1, min(cap, -(-n_edges // _EDGES_PER_PARTITION)))
-    return eh.repartition(parts, "out").persist(), ea.repartition(parts, "out").persist()
+    return (
+        eh.repartition(parts, part_col).persist(),
+        ea.repartition(parts, part_col).persist(),
+    )
 
 
-def _hits_edges(graph: Graph, weight: str | None) -> tuple[DataFrame, DataFrame]:
+def _hits_edges(graph: Graph, weight: str | None, mode: str) -> tuple[DataFrame, DataFrame]:
     """(hub-step, auth-step) edge relations for the HITS family, memoized
-    per graph.
+    per (graph, weight, mode).
 
     Hub step joins on dst and emits src; auth step joins on src and emits
     dst; mult is the edge weight (1.0 for unweighted —
@@ -209,12 +241,12 @@ def _hits_edges(graph: Graph, weight: str | None) -> tuple[DataFrame, DataFrame]
         mult: Column = F.col(weight).cast("double") if weight else F.lit(1.0)
         eh = edges.select(F.col("dst").alias("key"), F.col("src").alias("out"), mult.alias("mult"))
         ea = edges.select(F.col("src").alias("key"), F.col("dst").alias("out"), mult.alias("mult"))
-        return _prepare(graph, eh, ea)
+        return _prepare(graph, eh, ea, "out" if mode == "broadcast" else "key")
 
-    return graph.memo(("hits_edges", weight), build)
+    return graph.memo(("hits_edges", weight, mode), build)
 
 
-def _salsa_edges(graph: Graph) -> tuple[DataFrame, DataFrame]:
+def _salsa_edges(graph: Graph, mode: str = "broadcast") -> tuple[DataFrame, DataFrame]:
     """(hub-step, auth-step) edge relations for mutual-update SALSA,
     memoized per graph: contributions are divided by the joined endpoint's
     degree (``base_salsa_2.py:14-23,75-80``), i.e. mult = 1/in_deg(dst) on
@@ -242,9 +274,9 @@ def _salsa_edges(graph: Graph) -> tuple[DataFrame, DataFrame]:
                 (F.lit(1.0) / F.col("d.out_degree")).alias("mult"),
             )
         )
-        return _prepare(graph, eh, ea)
+        return _prepare(graph, eh, ea, "out" if mode == "broadcast" else "key")
 
-    return graph.memo(("salsa_edges",), build)
+    return graph.memo(("salsa_edges", mode), build)
 
 
 def _topic_state(graph: Graph, topic: str) -> tuple[DataFrame, float]:
@@ -258,6 +290,16 @@ def _topic_state(graph: Graph, topic: str) -> tuple[DataFrame, float]:
     return graph.memo(("topic_state", topic), build)
 
 
+def _resolve_score_join(score_join: str, n_nodes: int) -> str:
+    """'auto' -> broadcast while the node vector fits broadcast range,
+    shuffle beyond it (SCORE_BROADCAST_MAX_NODES)."""
+    if score_join == "auto":
+        return "broadcast" if n_nodes <= SCORE_BROADCAST_MAX_NODES else "shuffle"
+    if score_join in ("broadcast", "shuffle"):
+        return score_join
+    raise ValueError(f"score_join must be auto|broadcast|shuffle, got {score_join!r}")
+
+
 def hits(
     graph: Graph,
     k: int = 8,
@@ -266,6 +308,7 @@ def hits(
     teleport: str | None = None,
     beta: float = 0.8,
     topic: str | None = None,
+    score_join: str = "auto",
 ) -> RankResult:
     """HITS power iteration (Kleinberg), L2-normalized per iteration.
 
@@ -277,11 +320,16 @@ def hits(
     - ``teleport='uniform'``: s -> beta*s + (1-beta)/N after each sum.
     - ``teleport='topic'`` + ``topic=...``: teleport mass only into
       topic-labeled nodes, denominator N_topic.
+    - ``score_join``: 'auto' (default) broadcasts the score vector while
+      it fits broadcast range and switches to the shuffle-join step
+      beyond SCORE_BROADCAST_MAX_NODES; 'broadcast'/'shuffle' force a
+      mode (see :func:`_step`).
 
     Topic-exclusive / query-dependent variants compose via
     :func:`hits_topic_exclusive` / :func:`hits_query_dependent`.
     """
     n = graph.memo(("n_nodes",), graph.nodes.count)
+    mode = _resolve_score_join(score_join, n)
     indicator = None
     topic_denom = None
     if teleport == "topic":
@@ -289,9 +337,9 @@ def hits(
             raise ValueError("teleport='topic' requires topic=")
         indicator, n_topic = _topic_state(graph, topic)
         topic_denom = n_topic
-    damp = _make_damp(teleport, beta, float(n), indicator, topic_denom)
-    eh, ea = _hits_edges(graph, weight)
-    return _power_iterate(eh, ea, _uniform_init(graph.nodes, n), k, damp, "l2")
+    damp = _make_damp(teleport, beta, float(n), indicator, topic_denom, mode)
+    eh, ea = _hits_edges(graph, weight, mode)
+    return _power_iterate(eh, ea, _uniform_init(graph.nodes, n), k, damp, "l2", mode)
 
 
 def hits_topic_exclusive(graph: Graph, topic: str, k: int = 8, **kwargs) -> RankResult:
@@ -314,6 +362,7 @@ def salsa(
     teleport: str | None = None,
     beta: float = 0.8,
     topic: str | None = None,
+    score_join: str = "auto",
 ) -> RankResult:
     """Mutual-update SALSA, L1-normalized per iteration
     (``base_salsa_2.py``, ``random_teleport_salsa.py``,
@@ -325,6 +374,7 @@ def salsa(
     (uniform) / 2*N_topic (topic) per SURVEY §2.4(c).
     """
     n = graph.memo(("n_nodes",), graph.nodes.count)
+    mode = _resolve_score_join(score_join, n)
     indicator = None
     topic_denom = None
     if teleport == "topic":
@@ -340,9 +390,9 @@ def salsa(
         )
     else:
         init = _uniform_init(graph.nodes, n)
-    damp = _make_damp(teleport, beta, 2.0 * n, indicator, topic_denom)
-    eh, ea = _salsa_edges(graph)
-    return _power_iterate(eh, ea, init, k, damp, "l1")
+    damp = _make_damp(teleport, beta, 2.0 * n, indicator, topic_denom, mode)
+    eh, ea = _salsa_edges(graph, mode)
+    return _power_iterate(eh, ea, init, k, damp, "l1", mode)
 
 
 def salsa_simplified(graph: Graph, *, weight: str | None = None) -> RankResult:

@@ -40,7 +40,10 @@ def prepare_render_data(
 
 
 def draw(render_data: dict, name: str, out_dir: str = "./outputs") -> list[str]:
-    """Render the reference's three PNGs from :func:`prepare_render_data`.
+    """Render the reference's three PNGs from :func:`prepare_render_data`:
+    the sampled graph (``draw_graphs.py:23``), the top-50 hubs
+    (``draw_graphs.py:45``) and the top-50 authorities
+    (``draw_graphs.py:73``).
 
     Needs networkx + matplotlib; raises NotImplementedError with a clear
     message when they are absent (as in this container)."""
@@ -61,6 +64,15 @@ def draw(render_data: dict, name: str, out_dir: str = "./outputs") -> list[str]:
     g = nx.DiGraph()
     for row in render_data["edges_sample"].itertuples(index=False):
         g.add_edge(row.src, row.dst)
+    # Rendering 1/3: the sampled graph itself, uniform node size.
+    os.makedirs(out_dir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(12, 12))
+    nx.draw_networkx(g, ax=ax, node_size=50, with_labels=False)
+    path = os.path.join(out_dir, f"{name}_sampled_graph.png")
+    fig.savefig(path)
+    plt.close(fig)
+    paths.append(path)
+    # Renderings 2-3/3: top-50 hubs / authorities sized by score.
     for kind in ("top_hubs", "top_auths"):
         scores = dict(zip(render_data[kind]["id"], render_data[kind]["score"]))
         sub = g.subgraph([n for n in g if n in scores] or list(g.nodes)[:1])

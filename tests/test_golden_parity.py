@@ -1,0 +1,86 @@
+"""Golden-parity checks against the reference's own committed data/outputs.
+
+The reference's de-facto correctness record is its committed outputs
+(SURVEY §5).  The edges CSV is absent from the checkout
+(``/root/reference/.MISSING_LARGE_BLOBS``), so the iterative goldens are
+not re-derivable — but everything derivable from the nodes table alone is
+checked here end-to-end:
+
+- ``read_nodes_csv`` parses the real ``data/nodes_elab.csv`` (Neo4j
+  ``name:TYPE`` header convention) into the documented schema and row
+  count.
+- ``list_topics`` over that table reproduces the committed
+  ``outputs/node_topics.txt/part-00000`` (20 labels) exactly.
+- Attribute spot checks match the survey's recorded facts (first row,
+  label histogram, rho range — SURVEY §1.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bigdata_hits_spark.operators.graph import Graph
+from bigdata_hits_spark.operators.ranking import list_topics
+from bigdata_hits_spark.sources.readers import read_nodes_csv
+
+REF_NODES = "/root/reference/data/nodes_elab.csv"
+REF_TOPICS_GOLDEN = "/root/reference/outputs/node_topics.txt/part-00000"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(REF_NODES) and os.path.exists(REF_TOPICS_GOLDEN)),
+    reason="reference checkout not present",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_nodes(spark):
+    return read_nodes_csv(spark, REF_NODES).cache()
+
+
+def test_read_nodes_csv_schema_and_count(ref_nodes):
+    # Header `id:ID,names,size:int,labels:LABEL,rho:double` -> clean names
+    # and declared types (no inferSchema pass).
+    assert [(f.name, f.dataType.simpleString()) for f in ref_nodes.schema.fields] == [
+        ("id", "string"),
+        ("names", "string"),
+        ("size", "int"),
+        ("labels", "string"),
+        ("rho", "double"),
+    ]
+    # 23,264 lines including header (SURVEY §1.1).
+    assert ref_nodes.count() == 23_263
+
+
+def test_list_topics_matches_committed_golden(ref_nodes):
+    """list_topics on the real nodes table == the committed golden output
+    (the reference's ``outputs/node_topics.txt`` — one label per line,
+    RDD order arbitrary, so compared as sets)."""
+    with open(REF_TOPICS_GOLDEN) as f:
+        golden = {line.rstrip("\n") for line in f if line.strip()}
+    assert len(golden) == 20
+    g = Graph(nodes=ref_nodes, edges=ref_nodes.limit(0).selectExpr("id as src", "id as dst"))
+    ours = {r["label"] for r in list_topics(g).collect()}
+    assert ours == golden
+
+
+def test_node_attribute_spot_checks(ref_nodes):
+    """Recorded facts from SURVEY §1.1 hold on the parsed table."""
+    first = ref_nodes.limit(1).collect()[0]
+    assert first["id"] == "ATF6"
+    assert first["size"] == 1636
+    assert first["labels"] == "gene:protein"
+
+    from pyspark.sql import functions as F
+
+    hist = {
+        r["labels"]: r["n"]
+        for r in ref_nodes.groupBy("labels").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert hist["gene:protein"] == 10_379
+    assert hist["drug"] == 2_491
+    assert hist["disease"] == 2_392
+
+    lo, hi = ref_nodes.agg(F.min("rho"), F.max("rho")).collect()[0]
+    assert 0.09 <= lo <= 0.11 and 0.94 <= hi <= 0.96

@@ -73,7 +73,7 @@ def test_power_step_broadcasts_scores_not_edges(spark, sf_dir_oracle):
     from bigdata_hits_spark.plans.iterate import materialize
 
     g = derived.g_ps(spark, sf_dir_oracle)
-    eh, ea = _hits_edges(g, None)
+    eh, ea = _hits_edges(g, None, "broadcast")
     n = g.memo(("n_nodes",), g.nodes.count)
     scores = materialize(_uniform_init(g.nodes, n))
     plan = _plan(_step(eh, scores))
@@ -81,4 +81,22 @@ def test_power_step_broadcasts_scores_not_edges(spark, sf_dir_oracle):
     build_section = plan.split("BroadcastExchange")[1]
     assert "ExistingRDD" in build_section.split("BroadcastHashJoin")[0] or "ExistingRDD" in build_section
     # and the streamed side must come from the cached, pre-partitioned edges
+    assert "InMemoryTableScan" in plan
+
+
+def test_power_step_shuffle_mode_has_no_broadcast(spark, sf_dir_oracle):
+    """The big-vector mode's plan must not broadcast anything: the score
+    vector exchanges onto the edges' existing hash partitioning (shuffle
+    hash join), the edges themselves never move."""
+    from bigdata_hits_spark.operators.ranking import _hits_edges, _uniform_init, _step
+    from bigdata_hits_spark.plans.iterate import materialize
+
+    g = derived.g_ps(spark, sf_dir_oracle)
+    eh, ea = _hits_edges(g, None, "shuffle")
+    n = g.memo(("n_nodes",), g.nodes.count)
+    scores = materialize(_uniform_init(g.nodes, n))
+    plan = _plan(_step(eh, scores, "shuffle"))
+    assert "BroadcastExchange" not in plan and "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    # edges stream from cache; only the score vector exchanges pre-join
     assert "InMemoryTableScan" in plan

@@ -127,6 +127,29 @@ def test_topic_specific_hits_micrograph(spark, g):
     assert_close(scores_dict(res.auths), ea)
 
 
+def test_shuffle_score_join_matches_broadcast(spark, g):
+    """Both power-step modes compute identical scores (the shuffle mode is
+    the >SCORE_BROADCAST_MAX_NODES scale path; the micrograph exercises
+    its correctness)."""
+    for kwargs in ({}, {"teleport": "topic", "topic": "y", "beta": 0.8}):
+        b = hits(g, k=3, score_join="broadcast", **kwargs)
+        s = hits(g, k=3, score_join="shuffle", **kwargs)
+        assert_close(scores_dict(s.hubs), scores_dict(b.hubs))
+        assert_close(scores_dict(s.auths), scores_dict(b.auths))
+    b = salsa(g, k=3, score_join="broadcast")
+    s = salsa(g, k=3, score_join="shuffle")
+    assert_close(scores_dict(s.hubs), scores_dict(b.hubs))
+    assert_close(scores_dict(s.auths), scores_dict(b.auths))
+
+
+def test_power_iterate_leaves_session_conf_untouched(spark, g):
+    """The loop must not mutate shared session conf (a concurrent query
+    on the same session would otherwise run with AQE silently off)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    hits(g, k=2).auths.count()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_l2_norm_is_one_after_each_iteration(spark, g):
     for k in (1, 2, 3):
         res = hits(g, k=k)
@@ -144,6 +167,20 @@ def test_topic_exclusive_subgraph(spark, g):
     eh, ea = reference_hits_python(["c", "d"], [("c", "d", 1.0)], 2)
     assert_close(scores_dict(res.hubs), eh)
     assert_close(scores_dict(res.auths), ea)
+
+
+def test_topic_exclusive_strict_literal_mode(spark, g):
+    """strict=True reproduces the reference's literal single-join line
+    (``topic_exclusive_hits.py:49``): one node row must match BOTH
+    endpoints, so only self-loops on topic nodes survive (SURVEY
+    §2.4(b)); the default intended semantics keep any both-endpoint
+    edge."""
+    loop = spark.createDataFrame([("c", "c", 9.0)], ["src", "dst", "w"])
+    with_loop = Graph(nodes=g.nodes, edges=g.edges.union(loop))
+    strict = topic_induced(with_loop, "y", strict=True)
+    assert [(r["src"], r["dst"]) for r in strict.edges.collect()] == [("c", "c")]
+    intended = topic_induced(with_loop, "y")
+    assert {(r["src"], r["dst"]) for r in intended.edges.collect()} == {("c", "c"), ("c", "d")}
 
 
 def test_neighborhood_subgraph(spark, g):

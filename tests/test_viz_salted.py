@@ -45,3 +45,15 @@ def test_viz_prepare_and_gated_draw(spark):
     if not has_libs:
         with pytest.raises(NotImplementedError):
             viz.draw(data, "test")
+    else:
+        paths = viz.draw(data, "test", out_dir="outputs_test_viz")
+        # Full A14 parity: sampled graph + top hubs + top auths.
+        assert len(paths) == 3
+
+
+def test_salted_join_rejects_right_outer(spark):
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, "k", "k", how="right")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, "k", "k", how="full_outer")
