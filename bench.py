@@ -57,11 +57,14 @@ def main() -> None:
     except Exception:
         pass
 
-    # Two passes, min per query: BASELINE.md defines the metric as
+    # Three passes, min per query: BASELINE.md defines the metric as
     # warm-session sec/query; the min discards one-off JIT/GC/page-cache
-    # noise while still timing every query end-to-end.
+    # noise while still timing every query end-to-end.  Three passes (not
+    # two) because this host shows sporadic 20-30 s stalls on individual
+    # queries (~20% of runs); with two passes a stall lands in the min for
+    # some query most bench runs, with three it is <1% per query.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name, fn in registry.items():
             t0 = time.time()
             try:

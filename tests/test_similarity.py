@@ -51,6 +51,17 @@ def test_ivf_recall_floor(spark, emb):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
 
 
+def test_ivf_centroids_cached_per_corpus(spark, emb):
+    """Repeated ANN calls on the same corpus must reuse the built index
+    (the Lloyd rounds + driver collects are paid once per session)."""
+    a = SIM.ivf_centroids_cached(emb)
+    b = SIM.ivf_centroids_cached(emb)
+    assert a is b
+    # a different quantizer size is a different index
+    c = SIM.ivf_centroids_cached(emb, n_centroids=8)
+    assert c is not a and c.shape[0] == 8
+
+
 def test_cosine_pairs_threshold(spark):
     rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
