@@ -200,10 +200,15 @@ def _power_iterate(
     return RankResult(hubs=_sorted(hubs), auths=_sorted(auths))
 
 
-#: Edge rows per partition for the prepared step relations.  Sized so a
-#: partition of (key, out, mult) triples stays well under executor memory;
-#: the cap is the session's shuffle parallelism.
-_EDGES_PER_PARTITION = 50_000
+#: Edge rows per partition for the prepared step relations.  This only
+#: governs the small-to-mid regime: the cap is the session's shuffle
+#: parallelism, which binds long before partition sizing matters at
+#: cluster scale (1e12 edges / thousands of shuffle partitions).  Locally
+#: it tunes task granularity — 10k rows/partition keeps a 600k-edge graph
+#: at one task per core on local[32] (measured ~25% faster per iteration
+#: than 50k), while sf0.01-sized gate graphs still get single-digit task
+#: counts.
+_EDGES_PER_PARTITION = 10_000
 
 
 def _prepare(

@@ -65,6 +65,25 @@ def test_list_topics_matches_committed_golden(ref_nodes):
     assert ours == golden
 
 
+def test_cli_list_topics_reproduces_golden_file(spark, tmp_path, ref_nodes):
+    """End-to-end drop-in check: the CLI job the reference user would run
+    (``list_topics nodes_elab.csv``) writes a single text file whose label
+    set equals the committed ``outputs/node_topics.txt`` golden."""
+    import glob
+
+    from bigdata_hits_spark import cli
+
+    out = str(tmp_path / "out")
+    cli.main(["list_topics", REF_NODES, "--out", out])
+    parts = glob.glob(os.path.join(out, "node_topics.txt", "part-*"))
+    assert len(parts) == 1  # coalesce(1), like the reference's saveAsTextFile
+    with open(parts[0]) as f:
+        ours = {line.rstrip("\n") for line in f if line.strip()}
+    with open(REF_TOPICS_GOLDEN) as f:
+        golden = {line.rstrip("\n") for line in f if line.strip()}
+    assert ours == golden
+
+
 def test_node_attribute_spot_checks(ref_nodes):
     """Recorded facts from SURVEY §1.1 hold on the parsed table."""
     first = ref_nodes.limit(1).collect()[0]
