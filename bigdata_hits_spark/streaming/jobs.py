@@ -193,6 +193,21 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def enrich_events_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: attach a (small, slowly-changing)
+    dimension to a live event stream — the standard feature-attach shape
+    in a training-data pipeline (e.g. per-user aggregates, account tier,
+    embedding cluster id).
+
+    Stateless: a stream-static join keeps NO streaming state; the static
+    side is re-planned per micro-batch (so an updated dim parquet is
+    picked up on the next trigger) and broadcast explicitly — at 100 TB
+    of stream the dim is the small side by construction, and without the
+    hint a stats-less static frame can fall back to a per-batch shuffle.
+    Left join so dimension gaps don't drop events."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drain a finite stream into an in-memory table (availableNow) and
     block until done.  Returns the StreamingQuery (already terminated)."""

@@ -84,6 +84,51 @@ def test_power_step_broadcasts_scores_not_edges(spark, sf_dir_oracle):
     assert "InMemoryTableScan" in plan
 
 
+def test_sessionize_single_shuffle_on_user(spark, sf_dir_oracle):
+    """Gap sessionization must shuffle ONCE on user_id: lag, running sum,
+    and the final grouped agg all reuse the same hash partitioning."""
+    from bigdata_hits_spark.operators.events import sessionize
+
+    ev = load_table(spark, sf_dir_oracle, "events")
+    plan = _plan(sessionize(ev))
+    # exactly one exchange (hashpartitioning on user_id); a second exchange
+    # would mean the window partitioning isn't being reused by the agg
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, plan has {n_exchanges}:\n{plan}"
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1].splitlines()[0]
+
+
+def test_dedup_plans_have_no_cartesian_products(spark, sf_dir_oracle):
+    """Every fuzzy-dedup path must candidate-generate via equi-joins —
+    a CartesianProduct/BroadcastNestedLoopJoin anywhere means the
+    stop-shingle/banding guard failed and the plan is O(n^2) at scale."""
+    from bigdata_hits_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir_oracle, "documents")
+    for df in (
+        D.minhash_near_duplicates(docs),
+        D.simhash_near_duplicates(docs),
+        D.ngram_jaccard_pairs(docs),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_join_filter_pushed_to_orders_scan(spark, sf_dir_oracle):
+    """The de-vacuated anti-join must push the status filter into the
+    orders parquet scan, not filter post-join."""
+    from bigdata_hits_spark.queries import queries
+
+    df = queries()["anti_join_idle_customers"](spark, sf_dir_oracle)
+    formatted = _formatted(df)
+    pushed = [
+        line for line in formatted.splitlines()
+        if "PushedFilters" in line and "o_orderstatus" in line
+    ]
+    assert pushed
+
+
 def test_power_step_shuffle_mode_has_no_broadcast(spark, sf_dir_oracle):
     """The big-vector mode's plan must not broadcast anything: the score
     vector exchanges onto the edges' existing hash partitioning (shuffle

@@ -74,6 +74,33 @@ def test_stream_dedup_drops_redelivered_events(spark, sf_dir, events_dir):
         sh.rmtree(d2, ignore_errors=True)
 
 
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, events_dir):
+    """Stream-static left join (per-user purchase totals attached to the
+    event stream) matches the same join done in batch."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.streaming.jobs import enrich_events_stream
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    dim = (
+        ev_batch.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 6).alias("lifetime_value"))
+    )
+    batch = (
+        ev_batch.join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "lifetime_value")
+        .toPandas()
+    )
+    enriched = enrich_events_stream(read_events_stream(spark, events_dir), dim)
+    run_to_memory(enriched.select("event_id", "lifetime_value"), "t_enriched", "append")
+    streamed = spark.sql("SELECT * FROM t_enriched").toPandas()
+    a = batch.sort_values("event_id").reset_index(drop=True)
+    b = streamed.sort_values("event_id").reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, events_dir):
     """applyInPandasWithState sessionizer over a finite stream reproduces
     the batch window-function sessionization exactly (update-mode sink:
