@@ -1,0 +1,56 @@
+"""Bucketed-table helpers: shuffle-free co-located joins.
+
+At 100 TB the dominant cost of a repeated fact-fact equi-join (e.g.
+lineitem x orders on orderkey, or edge tables joined on node id every
+pipeline run) is re-shuffling both sides on every query.  Hive-style
+bucketing pays that shuffle ONCE at write time: both tables are written
+pre-hash-partitioned on the join key, so Catalyst plans subsequent joins
+with zero Exchange on either side (asserted in
+tests/test_plans.py::test_bucketed_join_has_no_exchange).
+
+The reference has no persistent-layout story at all (every job re-reads
+raw CSV — ``/root/reference/src/base_hits.py:36-37``); this module is the
+engine's answer for workloads that join the same big tables repeatedly.
+
+Bucket-count guidance: pick ``buckets`` so one bucket of the LARGER table
+is a few hundred MB (task-sized).  Both sides must use the same count for
+co-located planning; a mismatched pair degrades to a normal shuffle join
+rather than failing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and by default sorted) managed table.
+
+    Sorting within buckets improves parquet encoding and min-max row-group
+    pruning on the key.  (Spark 3+ no longer propagates bucket-file sort
+    order into plans by default, so the merge join still sorts task-locally
+    — the shuffle elimination, not sort elision, is the scale win.)
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    # Align write tasks to buckets: one file per bucket instead of one per
+    # (input partition x bucket) — avoids the small-files explosion at
+    # high write parallelism.
+    df = df.repartition(buckets, *cols)
+    writer = df.write.format("parquet").mode(mode).bucketBy(buckets, *cols)
+    if sort:
+        writer = writer.sortBy(*cols)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket spec intact (a plain
+    ``spark.read.parquet`` on the files would LOSE the bucketing metadata
+    and reintroduce the shuffle)."""
+    return spark.table(table)

@@ -68,6 +68,52 @@ def test_composite_topk_plan_shape(spark, sf_dir_oracle):
     assert pushed
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir_oracle):
+    """Two tables bucketed+sorted on the join key must join with ZERO
+    Exchange (the write-time shuffle is reused by every later join) —
+    the persistent-layout story for repeated fact-fact joins at scale.
+
+    Uses the session's default warehouse dir (repo-local
+    ``spark-warehouse/``, gitignored): warehouse.dir is a static conf
+    that cannot be repointed per-test."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    li = load_table(spark, sf_dir_oracle, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir_oracle, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "t_li_bucketed", "l_orderkey", buckets=8)
+    write_bucketed(orders, "t_ord_bucketed", "o_orderkey", buckets=8)
+    try:
+        a = read_bucketed(spark, "t_li_bucketed")
+        b = read_bucketed(spark, "t_ord_bucketed")
+        # hint("merge"): at sf0.01 the orders side is broadcast-sized, so
+        # Catalyst would pick BHJ and the bucket layout would never engage;
+        # at real scale SMJ is what it picks on its own.
+        joined = (
+            a.join(b.hint("merge"), a["l_orderkey"] == b["o_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still exchanges:\n{plan}"
+        assert "SortMergeJoin" in plan
+        # (A task-local Sort remains: Spark 3+ ignores bucket-file sort
+        # order by default — spark.sql.legacy.bucketedTableScan
+        # .outputOrdering.  The shuffle elimination is the scale win;
+        # the in-task sort is memory-local.)
+        # correctness spot check: same result as the unbucketed join
+        expected = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        assert joined.count() == expected.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
 def test_power_step_broadcasts_scores_not_edges(spark, sf_dir_oracle):
     from bigdata_hits_spark.operators.ranking import _hits_edges, _uniform_init, _step
     from bigdata_hits_spark.plans.iterate import materialize
