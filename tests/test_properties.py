@@ -69,6 +69,50 @@ def test_sessionize_matches_bruteforce(spark, raw):
     assert got == expect
 
 
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=10).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=docs_strategy)
+def test_minhash_pairs_sound_and_finds_identicals(spark, texts):
+    """LSH+verify is SOUND (every reported pair's jaccard is the true
+    jaccard and above threshold; recall is by design probabilistic) and
+    COMPLETE for identical shingle sets (equal signatures always share
+    every band)."""
+    from bigdata_hits_spark.operators.dedup import SHINGLE_K, minhash_near_duplicates
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in minhash_near_duplicates(df, threshold=0.5).collect()
+    }
+
+    def shingles(t):
+        w = t.split(" ")
+        return set(" ".join(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1))
+
+    truth = {}
+    for i, ti in rows:
+        for j, tj in rows:
+            if i < j:
+                si, sj = shingles(ti), shingles(tj)
+                if si | sj:
+                    truth[(i, j)] = len(si & sj) / len(si | sj)
+    for pair, jac in got.items():
+        assert pair in truth and truth[pair] >= 0.5
+        assert jac == pytest.approx(round(truth[pair], 7), abs=1e-7)
+    for pair, jac in truth.items():
+        if jac == 1.0:
+            assert pair in got, f"identical shingle sets {pair} missed"
+
+
 asof_strategy = st.tuples(
     st.lists(
         st.tuples(st.integers(1, 2), st.integers(0, 100)), min_size=1, max_size=15
