@@ -191,9 +191,11 @@ def _power_iterate(
         hubs_raw = damp(_step(edges_hub, auths, mode))
         auths_raw = materialize(damp(_step(edges_auth, hubs_raw, mode)))
         # O(1) driver scalar over the fresh checkpoint (the reference
-        # collects the same scalar — base_hits.py:17); injecting it as
-        # a literal keeps the next iteration's plan free of the extra
-        # broadcast-exchange barrier an in-plan norm would add.
+        # collects the same scalar — base_hits.py:17); injecting it as a
+        # literal keeps the next iteration's plan free of an extra
+        # broadcast barrier.  (Measured: an in-plan broadcast norm nests
+        # a BroadcastExchange inside the score-vector broadcast and runs
+        # SLOWER — two serialized broadcast barriers per iteration.)
         nrm = auths_raw.agg(norm_expr).first()[0]
         auths = auths_raw.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
     hubs = normalized(hubs_raw, norm)
