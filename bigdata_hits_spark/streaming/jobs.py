@@ -56,9 +56,10 @@ def hourly_event_counts_stream(events: DataFrame, watermark: str = "2 hours") ->
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
     )
     return windowed.select(
-        (F.unix_timestamp("window.start") * 1_000_000_000 / HOUR_NS)
-        .cast("long")
-        .alias("bucket_hour"),
+        # Integer div on epoch seconds (== ts_ns div HOUR_NS for whole-hour
+        # window starts) — Column `/` is double division, which silently
+        # loses integer precision past 2^53.
+        F.expr("unix_timestamp(window.start) div 3600").alias("bucket_hour"),
         "event_type",
         "n",
         "total_value",
