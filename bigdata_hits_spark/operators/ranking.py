@@ -39,10 +39,13 @@ from bigdata_hits_spark.plans.iterate import materialize, normalized
 class RankResult:
     """Hub and authority score vectors, each ``(id string, score double)``
     sorted score-descending (id-ascending tiebreak for determinism; the
-    reference leaves ties unordered)."""
+    reference leaves ties unordered).  ``iterations`` is the number of
+    power iterations actually executed (< k when ``tol`` stopped early;
+    None for the non-iterative simplified SALSA)."""
 
     hubs: DataFrame
     auths: DataFrame
+    iterations: int | None = None
 
 
 def _sorted(scores: DataFrame) -> DataFrame:
@@ -152,6 +155,7 @@ def _power_iterate(
     damp: Callable[[DataFrame], DataFrame],
     norm: str,
     mode: str = "broadcast",
+    tol: float | None = None,
 ) -> RankResult:
     """Shared loop: k iterations of (hub step, auth step, damp, normalize)
     with per-iteration lineage truncation.
@@ -174,7 +178,7 @@ def _power_iterate(
     constant so wall-clock scales linearly in k.
     """
     if k <= 0:
-        return RankResult(hubs=_sorted(init), auths=_sorted(init))
+        return RankResult(hubs=_sorted(init), auths=_sorted(init), iterations=0)
     # The loop runs under whatever session conf the caller has — in
     # particular it does NOT toggle AQE off anymore.  The plans are
     # hand-shaped (explicit broadcast / pre-partitioned edges), so AQE's
@@ -187,6 +191,8 @@ def _power_iterate(
     ).alias("__norm")
     auths = init
     hubs_raw = init
+    prev = None
+    done = 0
     for _ in range(k):
         hubs_raw = damp(_step(edges_hub, auths, mode))
         auths_raw = materialize(damp(_step(edges_auth, hubs_raw, mode)))
@@ -198,8 +204,24 @@ def _power_iterate(
         # SLOWER — two serialized broadcast barriers per iteration.)
         nrm = auths_raw.agg(norm_expr).first()[0]
         auths = auths_raw.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
+        done += 1
+        if tol is not None:
+            # Convergence check (beyond-reference; the reference is
+            # fixed-k): L-inf delta of successive normalized auth vectors.
+            # Both sides are slim projections over pinned checkpoints, so
+            # this is one extra vector-sized job per iteration — opt-in.
+            if prev is not None:
+                delta = (
+                    auths.alias("cur")
+                    .join(prev.alias("prv"), F.col("cur.id") == F.col("prv.id"), "inner")
+                    .agg(F.max(F.abs(F.col("cur.score") - F.col("prv.score"))))
+                    .first()[0]
+                )
+                if delta is not None and delta <= tol:
+                    break
+            prev = auths
     hubs = normalized(hubs_raw, norm)
-    return RankResult(hubs=_sorted(hubs), auths=_sorted(auths))
+    return RankResult(hubs=_sorted(hubs), auths=_sorted(auths), iterations=done)
 
 
 #: Edge rows per partition for the prepared step relations.  This only
@@ -316,6 +338,7 @@ def hits(
     beta: float = 0.8,
     topic: str | None = None,
     score_join: str = "auto",
+    tol: float | None = None,
 ) -> RankResult:
     """HITS power iteration (Kleinberg), L2-normalized per iteration.
 
@@ -331,6 +354,9 @@ def hits(
       it fits broadcast range and switches to the shuffle-join step
       beyond SCORE_BROADCAST_MAX_NODES; 'broadcast'/'shuffle' force a
       mode (see :func:`_step`).
+    - ``tol``: opt-in early stop once the L-inf delta of successive
+      normalized auth vectors falls to ``tol`` (k remains the hard cap).
+      The reference is fixed-k; default None preserves parity.
 
     Topic-exclusive / query-dependent variants compose via
     :func:`hits_topic_exclusive` / :func:`hits_query_dependent`.
@@ -346,7 +372,7 @@ def hits(
         topic_denom = n_topic
     damp = _make_damp(teleport, beta, float(n), indicator, topic_denom, mode)
     eh, ea = _hits_edges(graph, weight, mode)
-    return _power_iterate(eh, ea, _uniform_init(graph.nodes, n), k, damp, "l2", mode)
+    return _power_iterate(eh, ea, _uniform_init(graph.nodes, n), k, damp, "l2", mode, tol)
 
 
 def hits_topic_exclusive(graph: Graph, topic: str, k: int = 8, **kwargs) -> RankResult:
@@ -370,6 +396,7 @@ def salsa(
     beta: float = 0.8,
     topic: str | None = None,
     score_join: str = "auto",
+    tol: float | None = None,
 ) -> RankResult:
     """Mutual-update SALSA, L1-normalized per iteration
     (``base_salsa_2.py``, ``random_teleport_salsa.py``,
@@ -399,7 +426,7 @@ def salsa(
         init = _uniform_init(graph.nodes, n)
     damp = _make_damp(teleport, beta, 2.0 * n, indicator, topic_denom, mode)
     eh, ea = _salsa_edges(graph, mode)
-    return _power_iterate(eh, ea, init, k, damp, "l1", mode)
+    return _power_iterate(eh, ea, init, k, damp, "l1", mode, tol)
 
 
 def salsa_simplified(graph: Graph, *, weight: str | None = None) -> RankResult:

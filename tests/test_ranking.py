@@ -80,10 +80,10 @@ def reference_hits_python(nodes, edges, k, weight=None, beta=None, topic_ids=Non
     return hubs, auths
 
 
-def assert_close(actual, expected):
+def assert_close(actual, expected, tol=1e-12):
     assert set(actual) == set(expected)
     for k in expected:
-        assert actual[k] == pytest.approx(expected[k], abs=1e-12), k
+        assert actual[k] == pytest.approx(expected[k], abs=tol), k
 
 
 def test_base_hits_micrograph(spark, g):
@@ -140,6 +140,19 @@ def test_shuffle_score_join_matches_broadcast(spark, g):
     s = salsa(g, k=3, score_join="shuffle")
     assert_close(scores_dict(s.hubs), scores_dict(b.hubs))
     assert_close(scores_dict(s.auths), scores_dict(b.auths))
+
+
+def test_tol_early_stop_converges(spark, g):
+    """tol stops the loop once successive auth vectors agree to L-inf
+    tolerance; the result matches a long fixed-k run and reports the
+    actual iteration count."""
+    full = hits(g, k=40)
+    early = hits(g, k=40, tol=1e-12)
+    assert early.iterations is not None and early.iterations < 40
+    assert_close(scores_dict(early.auths), scores_dict(full.auths), tol=1e-9)
+    assert_close(scores_dict(early.hubs), scores_dict(full.hubs), tol=1e-9)
+    # parity default: no tol -> exactly k iterations, like the reference
+    assert full.iterations == 40
 
 
 def test_power_iterate_leaves_session_conf_untouched(spark, g):
