@@ -47,6 +47,23 @@ class Graph:
     label_col: str = "labels"
     _memo: dict[Any, Any] = field(default_factory=dict, init=False, repr=False, compare=False)
 
+    def __post_init__(self):
+        # Validate the column contract up front: a misnamed column should
+        # fail here with a clear message, not as an AnalysisException deep
+        # inside some operator's join.  ``edges=None`` is permitted for
+        # node-only jobs (list_topics).
+        if self.nodes is not None and "id" not in self.nodes.columns:
+            raise ValueError(
+                f"Graph.nodes needs an 'id' column, got {self.nodes.columns}"
+            )
+        if self.edges is not None:
+            missing = [c for c in ("src", "dst") if c not in self.edges.columns]
+            if missing:
+                raise ValueError(
+                    f"Graph.edges needs 'src' and 'dst' columns, missing {missing} "
+                    f"(got {self.edges.columns})"
+                )
+
     def memo(self, key: Any, build) -> Any:
         """Per-graph memoization of derived state (prepared edge
         relations, counts).  ``build`` runs at most once per key."""

@@ -261,6 +261,18 @@ def test_topic_specific_salsa_init(spark, g):
     assert_close(scores_dict(res.auths), {"c": 0.21 / 0.46, "d": 0.25 / 0.46})
 
 
+def test_graph_validates_column_contract(spark):
+    ok_nodes = spark.createDataFrame([("a", "x")], ["id", "labels"])
+    bad_nodes = spark.createDataFrame([("a",)], ["node"])
+    ok_edges = spark.createDataFrame([("a", "a", 1.0)], ["src", "dst", "w"])
+    bad_edges = spark.createDataFrame([("a", "a")], ["from", "to"])
+    with pytest.raises(ValueError, match="'id' column"):
+        Graph(nodes=bad_nodes, edges=ok_edges)
+    with pytest.raises(ValueError, match="'src' and 'dst'"):
+        Graph(nodes=ok_nodes, edges=bad_edges)
+    Graph(nodes=ok_nodes, edges=None)  # node-only jobs are legal
+
+
 def test_list_topics(spark, g):
     labels = {r["label"] for r in list_topics(g).collect()}
     assert labels == {"x", "y"}
