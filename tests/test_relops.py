@@ -50,6 +50,20 @@ def test_degrees_weighted(spark, edges):
     assert deg == {"a": 5.0, "b": 2.0, "c": 1.0}
 
 
+def test_bernoulli_sample_seeded_deterministic(spark):
+    """O19 — seeded sampling: same seed reproduces the identical row set
+    (rows-only in the driver gate since seeds aren't portable across
+    engines — this pins the within-engine contract), and the fraction is
+    approximately honored."""
+    df = spark.range(10_000)
+    a = {r["id"] for r in relops.bernoulli_sample(df, 0.1, seed=81).collect()}
+    b = {r["id"] for r in relops.bernoulli_sample(df, 0.1, seed=81).collect()}
+    c = {r["id"] for r in relops.bernoulli_sample(df, 0.1, seed=82).collect()}
+    assert a == b
+    assert a != c  # different seed, different draw
+    assert 700 <= len(a) <= 1300  # Bernoulli(0.1) over 10k rows
+
+
 def test_grand_norm_l2(spark):
     df = spark.createDataFrame([(3.0,), (4.0,)], ["x"])
     assert relops.grand_norm(df, "x", "l2").first()["norm"] == pytest.approx(5.0)
