@@ -1,0 +1,74 @@
+"""SQL entry surface: temp views over testdata + reference graph CSVs.
+
+Parity claims tested here:
+- spark.sql over registered views returns the same rows as the DataFrame
+  query it mirrors (one relational, one graph-shaped).
+- Views are logical, not materialized: filters/projections written in SQL
+  still reach the parquet scan (PushedFilters / ReadSchema in the plan).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark import sql as sqlmod
+from bigdata_hits_spark.sources.readers import load_table
+
+REF_NODES = "/root/reference/data/nodes_elab.csv"
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_dir):
+    return sqlmod.register_testdata_views(spark, sf_dir)
+
+
+def test_views_cover_all_tables(views):
+    assert set(views) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+
+
+def test_sql_matches_dataframe_join_agg(spark, sf_dir, views):
+    got = sqlmod.sql(
+        spark,
+        "SELECT n_name, COUNT(*) AS n_cust FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+    )
+    want = (
+        load_table(spark, sf_dir, "customer")
+        .join(load_table(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sql_events_view_exposes_normalized_schema(spark, views):
+    row = sqlmod.sql(
+        spark, "SELECT ts_ns, ts FROM events ORDER BY ts_ns LIMIT 1"
+    ).first()
+    # ts is the microsecond truncation of ts_ns (readers.py contract).
+    assert row.ts_ns // 1000 == int(row.ts.timestamp() * 1_000_000)
+
+
+def test_sql_pushdown_survives_view(spark, views):
+    plan = sqlmod.sql(
+        spark,
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+    # Column pruning: the scan reads only the two referenced columns.
+    assert "o_totalprice" not in plan
+
+
+@pytest.mark.skipif(not os.path.exists(REF_NODES), reason="reference checkout absent")
+def test_sql_over_reference_graph_csv(spark):
+    assert sqlmod.register_graph_views(spark, REF_NODES) == ("nodes",)
+    got = sqlmod.sql(
+        spark, "SELECT COUNT(DISTINCT labels) AS n_labels FROM nodes"
+    ).first()
+    # 20 distinct labels per the committed golden output
+    # (/root/reference/outputs/node_topics.txt/part-00000).
+    assert got.n_labels == 20
