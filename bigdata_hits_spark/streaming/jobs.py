@@ -209,6 +209,55 @@ def enrich_events_stream(events: DataFrame, dim: DataFrame, on: str = "user_id")
     return events.join(F.broadcast(dim), on, "left")
 
 
+def attribute_purchases_stream(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``horizon`` — the streaming twin of the
+    batch as-of/attribution shape (operators/asof.py), expressed as
+    Spark's watermarked stream-stream join.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance (``click_ts in [purchase_ts - horizon, purchase_ts]``), so
+    join state is BOUNDED: a buffered click is dropped once the purchase
+    watermark passes ``click_ts + horizon``.  Without the time bound (or
+    the watermarks) state grows without limit — the documented
+    requirement for production stream-stream joins.
+
+    Inner join: late clicks past the watermark simply miss attribution.
+    Output one row per (click, purchase) pair inside the horizon;
+    downstream consumers pick last-touch by max(click_ts) per purchase.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "purchase_value", "click_id", "click_ts")
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drain a finite stream into an in-memory table (availableNow) and
     block until done.  Returns the StreamingQuery (already terminated)."""

@@ -101,6 +101,42 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, events_dir):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_dir):
+    """Watermarked stream-stream join (purchases x prior clicks within 1h)
+    emits exactly the pairs the equivalent batch interval join produces."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.streaming.jobs import attribute_purchases_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    batch = (
+        purchases.join(
+            clicks,
+            (F.col("click_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        )
+        .select("purchase_id", "click_id")
+        .toPandas()
+    )
+    joined = attribute_purchases_stream(read_events_stream(spark, events_dir))
+    run_to_memory(joined.select("purchase_id", "click_id"), "t_attrib", "append")
+    streamed = spark.sql("SELECT * FROM t_attrib").toPandas()
+    key = ["purchase_id", "click_id"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = streamed.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, events_dir):
     """applyInPandasWithState sessionizer over a finite stream reproduces
     the batch window-function sessionization exactly (update-mode sink:
