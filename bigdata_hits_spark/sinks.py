@@ -32,6 +32,18 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange shape most text/LLM-corpus tools
+    consume (one object per line, splittable, partition-parallel)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar alternative to parquet for warehouses
+    standardized on the ORC stack; same predicate-pushdown/pruning story."""
+    df.write.mode(mode).orc(path)
+
+
 def scores_as_tuple_text(scores: DataFrame, id_col: str = "id", score_col: str = "score") -> DataFrame:
     """One-column DataFrame of ``('<id>', <score>)`` lines, the shape of the
     reference's committed golden outputs

@@ -110,6 +110,22 @@ def read_edges_csv(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """JSON-lines reader.  ``schema`` is REQUIRED (StructType or DDL
+    string): schema inference on JSON is a full extra pass over the data —
+    the same non-starter at 100 TB as the reference's CSV inferSchema
+    (module docstring), and silently type-unstable besides (a column of
+    ints with one float becomes double only if the sampled rows hit it)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — self-describing columnar format, no inference pass."""
+    return spark.read.orc(path)
+
+
 #: Driver testdata table names (TESTDATA.md).
 TESTDATA_TABLES = (
     "region",
