@@ -1,0 +1,66 @@
+"""Sampling operators beyond the reference's single Bernoulli sample.
+
+The reference samples only for plotting (``rdd.sample(False, 0.01, 81)``
+— ``/root/reference/src/base_hits.py:78-79``; relops.bernoulli_sample is
+the parity twin).  A training-data pipeline needs two more shapes:
+
+- **Stratified sampling** — per-class fractions (rebalance a skewed label
+  distribution before training).  Spark's ``sampleBy`` is a one-pass
+  filter on a per-row uniform draw: no shuffle, no collect, scale-free.
+- **Deterministic splits** — train/validation/test partitions that are a
+  pure function of a key column.  ``rand()``-based splits are NOT
+  reproducible at scale (task retries and partition reordering reseed
+  them); hashing the key is stable across runs, engines, cluster sizes,
+  and input order, and co-locates all copies of a key in one split
+  (no train/test leakage through duplicated rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Granularity of the hash-split buckets: fractions are rounded to 1/10000.
+_SPLIT_BUCKETS = 10_000
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 81
+) -> DataFrame:
+    """Per-stratum Bernoulli sample: keep ``fractions[v]`` of rows whose
+    ``strata_col`` equals ``v`` (strata absent from the dict are dropped,
+    matching ``DataFrame.sampleBy``)."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def hash_bucket(key_col: str, seed: int = 0, buckets: int = _SPLIT_BUCKETS):
+    """Uniform bucket in [0, buckets) as a pure function of the key value:
+    ``pmod(xxhash64(key, seed), buckets)``.  JVM-side, codegen-friendly,
+    no state."""
+    return F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))
+
+
+def deterministic_split(
+    df: DataFrame, key_col: str, weights: dict[str, float], seed: int = 0
+) -> DataFrame:
+    """Assign each row a split label (``train``/``test``/...) by hashing
+    ``key_col`` into cumulative weight ranges.  Same key -> same split,
+    always.  ``weights`` must sum to 1 (to 1/10000 granularity).
+
+    Returns the input plus a ``split`` column; filter on it to obtain the
+    parts.  Splits are disjoint and exhaustive by construction.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(key_col, seed)
+    expr = None
+    hi = 0
+    # Deterministic iteration: dict preserves insertion order (py3.7+).
+    for name, w in weights.items():
+        hi += round(w * _SPLIT_BUCKETS)
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # Rounding can leave the last range short of the final bucket; fold the
+    # remainder into the last split so the assignment is exhaustive.
+    last = list(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))

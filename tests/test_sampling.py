@@ -1,0 +1,61 @@
+"""Stratified sampling + deterministic hash splits."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators.sampling import deterministic_split, stratified_sample
+from bigdata_hits_spark.sources.readers import load_table
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    frac = {"F": 0.5, "O": 0.1}  # 'P' absent -> dropped
+    got = stratified_sample(orders, "o_orderstatus", frac, seed=7)
+    counts = {r["o_orderstatus"]: r["n"] for r in
+              got.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    base = {r["o_orderstatus"]: r["n"] for r in
+            orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"F", "O"}
+    for k in counts:
+        assert abs(counts[k] / base[k] - frac[k]) < 0.15
+    # Seeded: identical plan re-executed returns identical rows.
+    again = stratified_sample(orders, "o_orderstatus", frac, seed=7)
+    assert sorted(r["o_orderkey"] for r in got.select("o_orderkey").collect()) == \
+           sorted(r["o_orderkey"] for r in again.select("o_orderkey").collect())
+
+
+def test_deterministic_split_partitions_exhaustively(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    split = deterministic_split(cust, "c_custkey", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = cust.count()
+    assert sum(counts.values()) == n  # exhaustive, disjoint by construction
+    assert abs(counts["train"] / n - 0.8) < 0.1
+
+
+def test_deterministic_split_stable_under_reordering(spark, sf_dir):
+    """The split is a pure function of the key: shuffling/reordering the
+    input does not move any row across splits (rand()-based splits fail
+    this)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    w = {"train": 0.9, "test": 0.1}
+    a = {r["c_custkey"]: r["split"] for r in deterministic_split(cust, "c_custkey", w).collect()}
+    reordered = cust.repartition(13).sortWithinPartitions(F.desc("c_custkey"))
+    b = {r["c_custkey"]: r["split"] for r in
+         deterministic_split(reordered, "c_custkey", w).collect()}
+    assert a == b
+
+
+def test_deterministic_split_rejects_bad_weights(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    with pytest.raises(ValueError, match="sum to 1"):
+        deterministic_split(cust, "c_custkey", {"train": 0.5, "test": 0.2})
+
+
+def test_split_is_jvm_only(spark, sf_dir):
+    """No Python UDF in the split path — the expression stays codegen-able."""
+    cust = load_table(spark, sf_dir, "customer")
+    plan = deterministic_split(cust, "c_custkey", {"a": 0.5, "b": 0.5}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
