@@ -1,0 +1,97 @@
+"""Connected components over an undirected pair graph.
+
+The missing last step of near-duplicate REMOVAL: the dedup operators
+(operators/dedup.py) emit verified duplicate *pairs*; deciding which
+documents to drop needs the pairs grouped into clusters — i.e. connected
+components — with one survivor elected per cluster.  (Transitivity is
+real: A~B and B~C often without A~C at the threshold, so neither pair
+list nor groupBy can do this alone.)
+
+Algorithm: alternating min-label propagation to convergence.  Each round
+every node adopts the minimum label in its closed neighborhood; rounds
+are DataFrame join+groupBy (shuffle on node id), with localCheckpoint
+lineage truncation per round — the same loop discipline as the ranking
+core (plans/iterate.py).  Rounds needed ≈ graph diameter; dedup-cluster
+graphs (LSH buckets ∪ verified pairs) have tiny diameters, so 3-5 rounds
+close them.  The convergence check piggybacks a count on the round's
+materialization — one job per round, matching ranking.py's early-stop.
+
+At 1000-executor scale the per-round cost is one shuffle of (node,
+label) pairs — compact longs/strings, never document bodies.  For
+adversarial long-chain graphs (diameter ~n, not a dedup shape) the
+O(log n) large-star/small-star variant would be the upgrade path; the
+API (pairs in, labels out) would not change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bigdata_hits_spark.plans.iterate import materialize
+
+
+def connected_components(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``pairs``; ``component``
+    is the minimum node id in the cluster.  Raises if ``max_iter`` rounds
+    don't converge (diameter > max_iter — not a dedup-pair shape).
+    """
+    # Symmetrize once: (src, dst) in both directions. Self-pairs are
+    # harmless (min with itself) and dropped by distinct anyway.
+    fwd = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    rev = pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst"))
+    edges = materialize(fwd.unionByName(rev).distinct())
+
+    labels = materialize(
+        edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    )
+
+    for _ in range(max_iter):
+        # Min label over the closed neighborhood: neighbor labels flow
+        # across edges, then each node keeps min(own, incoming).
+        incoming = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(incoming, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))).alias(
+                    "component"
+                ),
+                (F.col("nbr_min") < F.col("component")).alias("changed"),
+            )
+        )
+        updated = materialize(updated)
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has a longer diameter than a dedup clustering "
+        "should — raise max_iter or switch to a star-contraction variant"
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """End-to-end near-dup removal: cluster the duplicate ``pairs``, keep
+    the minimum-id document of each cluster, and pass through every
+    document that appears in no pair.  Returns ``docs`` filtered to
+    survivors (left-anti join on the drop set — documents shuffle only by
+    id, bodies stay put)."""
+    comp = connected_components(pairs, id1, id2)
+    drops = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return docs.join(drops, id_col, "left_anti")

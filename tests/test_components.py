@@ -1,0 +1,71 @@
+"""Connected components + survivor election for near-dup removal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators.components import connected_components, dedup_survivors
+from bigdata_hits_spark.operators.dedup import minhash_near_duplicates
+from bigdata_hits_spark.sources.readers import load_table
+
+
+def _components_bruteforce(pairs: list[tuple]) -> dict:
+    """Driver-side union-find for the expected answer on small graphs."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_components_chain_and_islands(spark):
+    # Chain 1-2-3-4 (transitivity!), island pair (10, 11), self-pair (20, 20).
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)]
+    df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _components_bruteforce(pairs)
+    assert got[4] == 1  # min label crossed the whole chain
+
+
+def test_components_matches_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _components_bruteforce(pairs)
+
+
+def test_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id1 long, id2 long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
+def test_dedup_survivors_end_to_end(spark, sf_dir):
+    """documents -> MinHash pairs -> clusters -> survivors: exactly one
+    doc per cluster survives and untouched docs pass through."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    kept = dedup_survivors(docs, pairs)
+    comp = connected_components(pairs)
+    n_docs = docs.count()
+    n_members = comp.count()
+    n_clusters = comp.select("component").distinct().count()
+    assert pairs.count() > 0  # the synthetic corpus has near-dups
+    assert kept.count() == n_docs - (n_members - n_clusters)
+    # Survivors are cluster minima plus all unpaired docs.
+    minima = {r["component"] for r in comp.select("component").distinct().collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert minima <= kept_ids
+    members = {r["id"] for r in comp.collect()}
+    assert (members - minima).isdisjoint(kept_ids)
