@@ -1,0 +1,103 @@
+"""Composed corpus-cleaning pipeline — the operators wired end to end.
+
+Individually, quality scoring (functions/text.py), exact dedup, near-dup
+pair detection (operators/dedup.py), and cluster-based survivor election
+(operators/components.py) are each one stage of the standard
+training-corpus preparation recipe.  This module is the composition:
+
+    raw docs -> quality floor -> exact dedup -> near-dup removal
+             -> per-doc stats (tokens, language, fingerprint)
+
+Stage order is the cost order: the quality filter is a narrow map (no
+shuffle) and runs first so every later shuffle sees fewer rows; exact
+dedup is one hash-groupBy and removes the easy mass before the (more
+expensive) MinHash+LSH stage ever shingles a body.  All stages pass
+document bodies through narrowly — shuffles carry hashes, ids, and
+signatures only — so the composition inherits each stage's 100 TB story
+unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from bigdata_hits_spark.functions.text import (
+    bpe_tokens,
+    doc_fingerprint,
+    lang_scores,
+    predicted_lang,
+    quality_score,
+    tokens,
+)
+from bigdata_hits_spark.operators.components import dedup_survivors
+from bigdata_hits_spark.operators.dedup import exact_duplicates, minhash_near_duplicates
+
+
+@dataclass(frozen=True)
+class CleanStats:
+    """Row counts after each stage, for pipeline observability."""
+
+    n_raw: int
+    n_quality: int
+    n_exact: int
+    n_final: int
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.4,
+    near_dup_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, CleanStats]:
+    """Clean a document corpus; returns surviving docs with per-doc stat
+    columns (``quality``, ``n_tokens``, ``n_bpe_tokens``, ``lang_pred``,
+    ``fingerprint``) appended.
+
+    ``with_stats=True`` additionally returns per-stage row counts — each
+    count is an extra action, so it is opt-in (a production run wants the
+    one-pass plan, a calibration run wants the funnel).
+    """
+    text = F.col(text_col)
+
+    # 1. Quality floor — narrow, no shuffle, prunes before any join.
+    scored = docs.withColumn("quality", quality_score(text))
+    quality = scored.filter(F.col("quality") >= min_quality)
+
+    # 2. Exact dedup — keep each text's minimum-id row (one hash-groupBy;
+    #    join back by id so bodies don't ride the aggregate).
+    keep_exact = exact_duplicates(quality, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    exact = quality.join(keep_exact, id_col, "left_semi")
+
+    # 3. Near-dup removal — MinHash+LSH pairs, clustered, one survivor
+    #    per cluster (operators/components.py).
+    pairs = minhash_near_duplicates(exact, near_dup_threshold, id_col, text_col)
+    final = dedup_survivors(exact, pairs, id_col)
+
+    # 4. Per-doc stats for downstream budgeting/routing — all JVM Column
+    #    expressions, computed only for survivors.  ``lang_pred`` (not
+    #    ``lang``): the documents table carries a ground-truth ``lang``
+    #    column that must not be shadowed.
+    toks = tokens(text)
+    final = final.select(
+        "*",
+        F.size(toks).alias("n_tokens"),
+        F.size(bpe_tokens(text)).alias("n_bpe_tokens"),
+        predicted_lang(lang_scores(toks)).alias("lang_pred"),
+        doc_fingerprint(text).alias("fingerprint"),
+    )
+
+    if not with_stats:
+        return final
+    stats = CleanStats(
+        n_raw=docs.count(),
+        n_quality=quality.count(),
+        n_exact=exact.count(),
+        n_final=final.count(),
+    )
+    return final, stats
