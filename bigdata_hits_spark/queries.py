@@ -203,25 +203,22 @@ def q_count_rows(spark, sf_dir):
 
 @register(
     "rename_chain",
-    "SELECT n_nationkey AS nation_id, n_name AS nation_name FROM nation",
+    "SELECT s_suppkey AS supp_id, s_name AS supp_name FROM supplier "
+    "ORDER BY supp_id LIMIT 10",
 )
 def q_rename_chain(spark, sf_dir):
-    """O3 — rename chains (``base_salsa.py:32`` renames src/dst columns)."""
-    nation = load_table(spark, sf_dir, "nation")
-    return nation.withColumnsRenamed(
-        {"n_nationkey": "nation_id", "n_name": "nation_name"}
-    ).select("nation_id", "nation_name")
-
-
-@register(
-    "limit_peek",
-    "SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey LIMIT 10",
-)
-def q_limit_peek(spark, sf_dir):
-    """O18 — take(10) diagnostics peek (``base_hits.py:49-51``), ordered
-    for cross-engine determinism."""
+    """O3 + O18 in one declared entry: rename chains
+    (``base_salsa.py:32`` renames src/dst columns) feeding a take(10)
+    diagnostics peek (``base_hits.py:49-51``), ordered for cross-engine
+    determinism.  Merged so both primitives cost one slot in the
+    driver's bounded (first-50) correctness gate."""
     supp = load_table(spark, sf_dir, "supplier")
-    return supp.select("s_suppkey", "s_name").orderBy("s_suppkey").limit(10)
+    return (
+        supp.withColumnsRenamed({"s_suppkey": "supp_id", "s_name": "supp_name"})
+        .select("supp_id", "supp_name")
+        .orderBy("supp_id")
+        .limit(10)
+    )
 
 
 @register("sample_bernoulli", None)  # seeded sampling isn't bitwise-portable: rows-only check

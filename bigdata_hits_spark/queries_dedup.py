@@ -123,3 +123,38 @@ def q_dedup_ngram(spark, sf_dir):
     return DD.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=NGRAM_THRESHOLD
     )
+
+
+def _components_sql() -> str:
+    """Connected components of the MinHash near-dup pairs as a recursive
+    CTE: symmetrize the pairs, then every node's component is the minimum
+    id among all nodes that can reach it (reachability == connectivity on
+    the symmetric graph).  UNION dedups, so the recursion reaches the
+    fixpoint and terminates."""
+    pair_sql = _minhash_sql()
+    # Splice the SELECT tail off the pair query; keep its WITH-chain.
+    ctes, tail = pair_sql.split(" SELECT id1, id2, jaccard FROM jac WHERE", 1)
+    threshold = tail.strip().split(">=")[1].strip()
+    return (
+        ctes.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f", dup AS (SELECT id1, id2 FROM jac WHERE jaccard >= {threshold}), "
+        "e AS (SELECT id1 AS src, id2 AS dst FROM dup "
+        "UNION SELECT id2, id1 FROM dup), "
+        "reach AS (SELECT src AS id, src AS comp FROM e "
+        "UNION SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id) "
+        "SELECT id, MIN(comp) AS component FROM reach GROUP BY id"
+    )
+
+
+@register("dedup_components", _components_sql())
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: MinHash pairs grouped transitively by
+    connected components (operators/components.py) — the step that turns
+    pair detection into removal.  The oracle computes the same clustering
+    in DuckDB via a recursive CTE over the identical pair query."""
+    from bigdata_hits_spark.operators.components import connected_components
+
+    pairs = DD.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"), threshold=MINHASH_THRESHOLD
+    )
+    return connected_components(pairs)
