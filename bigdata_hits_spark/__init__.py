@@ -22,6 +22,10 @@ from bigdata_hits_spark.operators.ranking import (
     salsa_simplified,
     list_topics,
 )
+from bigdata_hits_spark.operators.components import connected_components, dedup_survivors
+from bigdata_hits_spark.operators.pipeline import clean_corpus
+from bigdata_hits_spark.operators.sampling import deterministic_split, stratified_sample
+from bigdata_hits_spark.sql import register_graph_views, register_testdata_views
 
 __all__ = [
     "get_spark",
@@ -33,6 +37,13 @@ __all__ = [
     "salsa",
     "salsa_simplified",
     "list_topics",
+    "connected_components",
+    "dedup_survivors",
+    "clean_corpus",
+    "deterministic_split",
+    "stratified_sample",
+    "register_graph_views",
+    "register_testdata_views",
 ]
 
 __version__ = "0.1.0"
