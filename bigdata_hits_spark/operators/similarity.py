@@ -148,6 +148,54 @@ def cosine_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def group_centroids(
+    vectors: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(group, centroid, n): per-group mean vector — cluster/topic
+    summarization, IVF seeding, per-source drift monitoring.
+
+    posexplode -> per-(group, dimension) avg -> re-assemble via
+    sort_array(collect_list(struct)): two key-only shuffles, no UDFs, and
+    the group count rides the same aggregates.  Dimension count is
+    per-row data, so no fixed-width schema is assumed."""
+    dims = (
+        vectors.select(F.col(group_col).alias("grp"), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("grp", "pos")
+        .agg(F.avg("x").alias("m"), F.count(F.lit(1)).alias("n_pos"))
+    )
+    return (
+        dims.groupBy("grp")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid"),
+            F.max("n_pos").alias("n"),
+        )
+        .withColumnsRenamed({"grp": group_col})
+    )
+
+
+def semantic_dedup(
+    docs: DataFrame,
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-based near-dup removal: cosine pairs over ``vectors``
+    (blocked-BLAS :func:`cosine_pairs`), clustered transitively, one
+    minimum-id survivor per cluster kept in ``docs``.  The embedding-space
+    twin of ``pipeline.clean_corpus``'s lexical MinHash stage — catches
+    paraphrases MinHash misses."""
+    from bigdata_hits_spark.operators.components import dedup_survivors
+
+    pairs = cosine_pairs(vectors, threshold, id_col=vec_id_col, vec_col=vec_col)
+    return dedup_survivors(docs, pairs, id_col=doc_id_col)
+
+
 def _hyperplane_matrix(planes: int, dim: int):
     """Deterministic ±1 hyperplane matrix (planes × dim): entry (j, i) is
     +1 when ``(i·(2654435761+j) + j·40503) mod 2 == 0``.  A fixed

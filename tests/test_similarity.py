@@ -67,3 +67,33 @@ def test_cosine_pairs_threshold(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     pairs = {(r["id1"], r["id2"]) for r in SIM.cosine_pairs(df, 0.9).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_group_centroids_exact_means(spark):
+    rows = [
+        ("a", [1.0, 2.0]), ("a", [3.0, 4.0]),
+        ("b", [10.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {r["label"]: (r["centroid"], r["n"]) for r in
+           SIM.group_centroids(df, "label").collect()}
+    assert got["a"] == ([2.0, 3.0], 2)
+    assert got["b"] == ([10.0, 0.0], 1)
+
+
+def test_group_centroids_no_python_udf(spark, emb):
+    plan = SIM.group_centroids(emb.withColumn("g", F.col("vec_id") % 4), "g") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_semantic_dedup_drops_paraphrase_clusters(spark):
+    docs = spark.createDataFrame(
+        [(1, "t1"), (2, "t2"), (3, "t3")], ["doc_id", "text"]
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    kept = {r["doc_id"] for r in SIM.semantic_dedup(docs, vecs, 0.9).collect()}
+    assert kept == {1, 3}  # 2 is near-identical to 1; min id survives
