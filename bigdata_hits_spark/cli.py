@@ -35,6 +35,13 @@ Differences from the reference, by design: output goes under ``--out DIR``
 column is the CLEAN name (``mrho``, not ``mrho:double`` —
 weighted_hits.py:26 selects by raw header); the master is not hard-coded
 (session.py).  Defaults match the reference: num_iter=8, beta=0.8.
+
+Beyond-reference pipeline jobs (no reference twin):
+
+- ``clean_corpus docs.parquet [min_quality] [near_dup_threshold]`` —
+  quality floor + exact/near dedup + stat columns, written as parquet.
+- ``split_corpus docs.parquet key_col [train=0.9,test=0.1]`` —
+  deterministic hash splits, written partitioned by split.
 """
 
 from __future__ import annotations
@@ -185,6 +192,43 @@ def main(argv: list[str] | None = None) -> None:
         labels: DataFrame = list_topics(g)
         labels.coalesce(1).write.mode("overwrite").text(
             os.path.join(out_dir, "node_topics.txt")
+        )
+    # --- beyond-reference pipeline jobs (no reference twin) ------------
+    elif job == "clean_corpus":
+        # clean_corpus <docs.parquet> [min_quality] [near_dup_threshold]
+        from bigdata_hits_spark.operators.pipeline import clean_corpus
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("clean_corpus needs a documents parquet path")
+        min_q = args.take(float, 0.4)
+        near_t = args.take(float, 0.5)
+        cleaned, stats = clean_corpus(
+            spark.read.parquet(docs_path), min_q, near_t, with_stats=True
+        )
+        cleaned.write.mode("overwrite").parquet(os.path.join(out_dir, "clean_corpus"))
+        print(
+            f"clean_corpus: raw={stats.n_raw} quality={stats.n_quality} "
+            f"exact={stats.n_exact} final={stats.n_final}"
+        )
+    elif job == "split_corpus":
+        # split_corpus <docs.parquet> <key_col> [name=frac,name=frac,...]
+        from bigdata_hits_spark.operators.sampling import deterministic_split
+
+        docs_path = args.take()
+        key_col = args.take()
+        if docs_path is None or key_col is None:
+            raise SystemExit("split_corpus needs a parquet path and a key column")
+        spec = args.take(str, "train=0.9,test=0.1")
+        weights = {
+            name: float(frac)
+            for name, frac in (part.split("=") for part in spec.split(","))
+        }
+        out = deterministic_split(spark.read.parquet(docs_path), key_col, weights)
+        # One directory per split: partition pruning makes reading a split
+        # free of the others.
+        out.write.mode("overwrite").partitionBy("split").parquet(
+            os.path.join(out_dir, "split_corpus")
         )
     else:
         raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")

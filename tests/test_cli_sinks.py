@@ -7,6 +7,7 @@ import math
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from bigdata_hits_spark import cli
 from bigdata_hits_spark.sinks import write_scores_text
@@ -75,6 +76,24 @@ def test_cli_list_topics(spark, csv_graph):
     (part,) = glob.glob(os.path.join(out, "node_topics.txt", "part-*"))
     labels = {line.strip() for line in open(part) if line.strip()}
     assert labels == {"drug", "gene:protein"}  # strict labels, not split
+
+
+def test_cli_clean_corpus_and_split(spark, tmp_path):
+    """Pipeline subcommands: clean a corpus to parquet, split it by key."""
+    src = str(tmp_path / "docs_src")
+    out = str(tmp_path / "out_pipeline")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+
+    cli.main(["clean_corpus", src, "--out", out])
+    cleaned = spark.read.parquet(os.path.join(out, "clean_corpus"))
+    assert 0 < cleaned.count() <= 500
+    assert "quality" in cleaned.columns and "n_tokens" in cleaned.columns
+
+    cli.main(["split_corpus", src, "doc_id", "train=0.8,test=0.2", "--out", out])
+    split = spark.read.parquet(os.path.join(out, "split_corpus"))
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "test"} and sum(counts.values()) == 500
 
 
 def test_write_scores_text_single_file_order(spark, tmp_path):
