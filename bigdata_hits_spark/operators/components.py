@@ -18,9 +18,11 @@ materialization — one job per round, matching ranking.py's early-stop.
 
 At 1000-executor scale the per-round cost is one shuffle of (node,
 label) pairs — compact longs/strings, never document bodies.  For
-adversarial long-chain graphs (diameter ~n, not a dedup shape) the
-O(log n) large-star/small-star variant would be the upgrade path; the
-API (pairs in, labels out) would not change.
+adversarial long-diameter graphs (chains, lattices — not a dedup shape)
+min-label needs ~diameter rounds; :func:`connected_components_star`
+is the O(log n)-round alternating large-star/small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond") with
+the same (pairs in, labels out) contract.
 """
 
 from __future__ import annotations
@@ -77,6 +79,97 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph has a longer diameter than a dedup clustering "
         "should — raise max_iter or switch to a star-contraction variant"
+    )
+
+
+def _neighborhood_mins(edges: DataFrame) -> DataFrame:
+    """(id, m): minimum over each node's closed neighborhood, from a
+    symmetric edge set."""
+    return (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nbr_min"))
+        .select("id", F.least(F.col("id"), F.col("nbr_min")).alias("m"))
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(id, component) by alternating large-star/small-star contraction —
+    O(log n) rounds regardless of diameter, vs ~diameter rounds for
+    :func:`connected_components`'s min-label propagation.
+
+    Per round, every node rewires its neighbors to the minimum of its
+    closed neighborhood: large-star moves strictly-larger neighbors,
+    small-star moves smaller-or-equal ones.  The edge set contracts
+    toward a star per component whose center is the component minimum; a
+    fixpoint means every node is directly attached to its root.
+    Convergence is detected by an (edge count, hash-sum) fingerprint —
+    two cheap aggregates, no edge-set diff join.
+    """
+    fwd = pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    rev = pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst"))
+    nodes = materialize(fwd.select(F.col("src").alias("id")).unionByName(
+        rev.select(F.col("src").alias("id"))
+    ).distinct())
+    edges = materialize(
+        fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionByName(
+            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).filter(F.col("src") != F.col("dst")).distinct()
+
+    def _fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # (ANSI mode raises ARITHMETIC_OVERFLOW).
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        # Large-star: strictly larger neighbors attach to the
+        # closed-neighborhood min.
+        mins = _neighborhood_mins(edges)
+        large = (
+            edges.join(mins, edges["src"] == mins["id"])
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        edges = materialize(_sym(large))
+        # Small-star: smaller-or-equal neighbors attach to the min of the
+        # smaller neighborhood (plus self).
+        oriented = edges.filter(F.col("dst") <= F.col("src"))
+        small_mins = _neighborhood_mins(oriented)
+        small = (
+            oriented.join(small_mins, oriented["src"] == small_mins["id"])
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(small_mins.select(F.col("id").alias("src"), F.col("m").alias("dst")))
+        )
+        edges = materialize(_sym(small))
+        new_fp = _fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_iter} rounds")
+
+    # Fixpoint edge set is a symmetrized star per component: each node's
+    # minimum neighbor is its root; roots (min themselves) map to self.
+    attach = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("component"))
+        .select("id", F.least(F.col("id"), F.col("component")).alias("component"))
+    )
+    return nodes.join(attach, "id", "left").select(
+        "id", F.coalesce(F.col("component"), F.col("id")).alias("component")
     )
 
 

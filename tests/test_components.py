@@ -3,7 +3,11 @@
 import pytest
 from pyspark.sql import functions as F
 
-from bigdata_hits_spark.operators.components import connected_components, dedup_survivors
+from bigdata_hits_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+    dedup_survivors,
+)
 from bigdata_hits_spark.operators.dedup import minhash_near_duplicates
 from bigdata_hits_spark.sources.readers import load_table
 
@@ -49,6 +53,28 @@ def test_components_nonconvergence_raises(spark):
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id1 long, id2 long")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=1)
+
+
+def test_star_matches_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(50), rng.randrange(50)) for _ in range(60)]
+    df = spark.createDataFrame(pairs, "id1 long, id2 long")
+    got = {r["id"]: r["component"] for r in connected_components_star(df).collect()}
+    assert got == _components_bruteforce(pairs)
+
+
+def test_star_converges_on_long_chain_where_label_propagation_cannot(spark):
+    """A 120-node path has diameter 119: min-label needs ~119 rounds
+    (raises at max_iter=15), star contraction closes it in O(log n)."""
+    chain = [(i, i + 1) for i in range(119)]
+    df = spark.createDataFrame(chain, "id1 long, id2 long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=15)
+    got = connected_components_star(df, max_iter=15).collect()
+    assert len(got) == 120
+    assert {r["component"] for r in got} == {0}
 
 
 def test_dedup_survivors_end_to_end(spark, sf_dir):
