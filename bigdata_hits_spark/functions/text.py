@@ -101,6 +101,43 @@ def fingerprint_terms(toks: Column) -> Column:
     return F.transform(toks, lambda t, i: token_hash(t) * (i + F.lit(1)).cast("long"))
 
 
+#: PII patterns restricted to the regex subset Java and RE2-family
+#: engines interpret identically (no lookarounds, no backreferences).
+#: Deliberately conservative — recall-oriented patterns for a redaction
+#: pass, not a compliance guarantee.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+#: Redaction replacement token per PII kind.
+PII_TOKENS = {kind: f"<{kind.upper()}>" for kind in PII_PATTERNS}
+
+#: Order matters: SSN before phone (an SSN is also phone-shaped), IPv4
+#: before phone for the same reason.
+PII_REDACT_ORDER = ["email", "ssn", "ipv4", "phone"]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM-side ``regexp_count``)."""
+    return {
+        kind: F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its ``<KIND>`` token, applying the
+    more-specific patterns first so an SSN/IP is not half-eaten by the
+    looser phone pattern."""
+    out = text
+    for kind in PII_REDACT_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], PII_TOKENS[kind])
+    return out
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: sum of position-weighted token
     hashes mod FINGERPRINT_MOD (a rolling-hash analogue that stays

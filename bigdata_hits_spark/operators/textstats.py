@@ -1,0 +1,145 @@
+"""Corpus-statistics operators beyond per-document column expressions:
+repetition signals and benchmark-contamination screening.
+
+Both are standard gates in large-scale training-data pipelines:
+
+- :func:`repetition_signals` computes the Gopher-style within-document
+  repetition fractions (most-frequent-token fraction, most-frequent-
+  bigram fraction) used to drop degenerate/boilerplate documents
+  (Rae et al. 2021, "Scaling Language Models", Table A1 repetition
+  filters).
+- :func:`ngram_overlap` screens a corpus against a benchmark/eval set
+  by exact n-gram collision — the decontamination check every LLM
+  training pipeline runs before training (GPT-3 appendix C style
+  13-gram overlap; n is a parameter).
+
+Scale notes (100 TB): both operators shuffle only compact derived keys
+(``(doc_id, token-or-ngram)``), never full documents.  The per-document
+aggregations are single hash-partial-agg shapes with map-side combine.
+``ngram_overlap`` broadcasts the benchmark n-gram set when it is small
+(the usual case — eval sets are MBs against a multi-TB corpus) and
+falls back to a shuffle join otherwise; candidate work is bounded by
+the posting-list sizes, not corpus².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bigdata_hits_spark.functions.text import tokens
+
+#: Default n for contamination screening.  13 is the GPT-3 convention;
+#: the synthetic corpus' ~50-token documents motivate a smaller default
+#: so tests exercise non-empty overlap.
+CONTAMINATION_N = 4
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", digits: int = 7
+) -> DataFrame:
+    """Per-document repetition fractions:
+
+    - ``top_token_frac``: occurrences of the most frequent token divided
+      by the token count.
+    - ``top_bigram_frac``: occurrences of the most frequent adjacent
+      bigram divided by the bigram count (0.0 for single-token docs).
+
+    Implementation: one ``posexplode``-free pass — tokens/bigrams are
+    built as array columns row-side (cheap, bounded by doc length),
+    exploded, and aggregated with two hash aggregations whose partial
+    (map-side) combine keeps the shuffle to distinct
+    ``(doc_id, term)`` keys.  No Python UDFs.
+    """
+    w = tokens(F.col(text_col))
+    base = docs.select(id_col, w.alias("w"))
+    uni = base.select(id_col, F.explode("w").alias("term"))
+    bi = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, greatest(size(w) - 1, 0)), "
+                "slice(w, 2, greatest(size(w) - 1, 0)), "
+                "(a, b) -> concat_ws(' ', a, b))"
+            )
+        ).alias("term"),
+    )
+
+    def top_frac(exploded: DataFrame, out: str) -> DataFrame:
+        per_term = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+        return per_term.groupBy(id_col).agg(
+            F.max("c").alias(f"{out}_max"), F.sum("c").alias(f"{out}_n")
+        )
+
+    u = top_frac(uni, "u")
+    b = top_frac(bi, "b")
+    return (
+        u.join(b, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.col("u_max") / F.col("u_n"), digits).alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("b_max") / F.col("b_n"), F.lit(0.0)), digits
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def _ngram_terms(text_col: str, n: int):
+    """Array of space-joined adjacent n-grams of the whitespace tokens.
+    Guarded so docs shorter than n yield an empty array (``sequence``
+    would otherwise count *down* and explode)."""
+    return F.when(
+        F.size(F.split(F.col(text_col), " ")) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = CONTAMINATION_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+    digits: int = 7,
+) -> DataFrame:
+    """Benchmark-contamination screen: for each corpus document, the
+    number and fraction of its distinct n-grams that also appear in the
+    benchmark set.  Emits only contaminated documents (``n_overlap >=
+    1``) — at corpus scale the clean majority would dominate the output
+    for no decision value.
+
+    Returns ``(id_col, n_overlap, n_ngrams, contaminated_frac)``.
+
+    ``benchmark`` rows need only ``text_col``.  With
+    ``broadcast_benchmark=True`` (default) the distinct benchmark n-gram
+    set is broadcast — correct whenever the eval set is MB-scale against
+    a TB-scale corpus; pass False to shuffle-join instead when the
+    benchmark itself is large.
+    """
+    corpus_ngrams = (
+        docs.select(id_col, F.explode(_ngram_terms(text_col, n)).alias("ng"))
+        .distinct()
+    )
+    bench_ngrams = (
+        benchmark.select(F.explode(_ngram_terms(text_col, n)).alias("ng")).distinct()
+    )
+    if broadcast_benchmark:
+        bench_ngrams = F.broadcast(bench_ngrams)
+    totals = corpus_ngrams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        corpus_ngrams.join(bench_ngrams, "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        "n_overlap",
+        "n_ngrams",
+        F.round(F.col("n_overlap") / F.col("n_ngrams"), digits).alias(
+            "contaminated_frac"
+        ),
+    )

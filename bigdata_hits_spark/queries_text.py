@@ -10,9 +10,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from bigdata_hits_spark.functions import text as TX
+from bigdata_hits_spark.operators import textstats
 from bigdata_hits_spark.oracles import duck_token_hash
 from bigdata_hits_spark.queries import register
 from bigdata_hits_spark.sources.readers import load_table
+
+#: Benchmark partition for the contamination screen: every 20th doc_id
+#: plays the held-out eval set, the rest are the training corpus.
+CONTAM_BENCH_MOD = 20
 
 
 def _sql_in(words: list[str]) -> str:
@@ -88,6 +93,54 @@ def q_text_lang_id(spark, sf_dir):
         TX.predicted_lang(scores).alias("pred_lang"),
         F.round(scores["en"], 7).alias("en_score"),
     )
+
+
+@register(
+    "text_repetition",
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "tok AS (SELECT doc_id, unnest(w) AS term FROM t), "
+    "uc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term), "
+    "u AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM uc GROUP BY doc_id), "
+    "bg AS (SELECT doc_id, w[i + 1] || ' ' || w[i + 2] AS term FROM "
+    "(SELECT doc_id, w, unnest(range(len(w) - 1)) AS i FROM t)), "
+    "bc AS (SELECT doc_id, term, COUNT(*) AS c FROM bg GROUP BY doc_id, term), "
+    "b AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM bc GROUP BY doc_id) "
+    "SELECT u.doc_id, ROUND(CAST(u.mx AS DOUBLE) / u.n, 7) AS top_token_frac, "
+    "ROUND(COALESCE(CAST(b.mx AS DOUBLE) / b.n, 0.0), 7) AS top_bigram_frac "
+    "FROM u LEFT JOIN b ON u.doc_id = b.doc_id",
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition gate (top-token / top-
+    bigram occurrence fractions) — operators/textstats.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.repetition_signals(docs)
+
+
+def _contamination_sql(n: int = textstats.CONTAMINATION_N) -> str:
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        f"g AS (SELECT doc_id, list_aggregate(w[i + 1:i + {n}], 'string_agg', ' ') AS ng "
+        f"FROM (SELECT doc_id, w, unnest(range(len(w) - {n - 1})) AS i FROM t)), "
+        f"bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0), "
+        f"corp AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % {CONTAM_BENCH_MOD} <> 0), "
+        "tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM corp GROUP BY doc_id), "
+        "hit AS (SELECT c.doc_id, COUNT(*) AS n_overlap FROM corp c "
+        "JOIN bench b ON c.ng = b.ng GROUP BY c.doc_id) "
+        "SELECT h.doc_id, h.n_overlap, t.n_ngrams, "
+        "ROUND(CAST(h.n_overlap AS DOUBLE) / t.n_ngrams, 7) AS contaminated_frac "
+        "FROM hit h JOIN tot t ON h.doc_id = t.doc_id"
+    )
+
+
+@register("contamination_ngrams", _contamination_sql())
+def q_contamination_ngrams(spark, sf_dir):
+    """Benchmark-decontamination screen: docs sharing a 4-gram with the
+    held-out benchmark partition (doc_id % 20 == 0 stands in for the
+    eval set) — operators/textstats.py ngram_overlap."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return textstats.ngram_overlap(corpus, bench)
 
 
 @register(

@@ -1,0 +1,97 @@
+"""Unit tests for repetition signals, contamination screening, and PII
+scan/redaction (operators/textstats.py, functions/text.py)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from bigdata_hits_spark.functions import text as TX
+from bigdata_hits_spark.operators import textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b a b a c"),  # 6 tokens: a×3; bigram "a b"×2 of 5
+            Row(doc_id=1, text="x x x x"),  # all same: token frac 1.0, bigram 1.0
+            Row(doc_id=2, text="solo"),  # single token: bigram frac 0.0
+            Row(doc_id=3, text="p q r s t u v w"),  # all distinct
+        ]
+    )
+
+
+def test_repetition_signals(docs):
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.repetition_signals(docs).collect()
+    }
+    assert rows[0]["top_token_frac"] == pytest.approx(3 / 6)
+    assert rows[0]["top_bigram_frac"] == pytest.approx(2 / 5)
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == 1.0
+    assert rows[2]["top_token_frac"] == 1.0
+    assert rows[2]["top_bigram_frac"] == 0.0  # no bigrams in a 1-token doc
+    assert rows[3]["top_token_frac"] == pytest.approx(1 / 8)
+    assert rows[3]["top_bigram_frac"] == pytest.approx(1 / 7)
+
+
+def test_ngram_overlap_counts(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely disjoint words here only"),
+            Row(doc_id=3, text="short"),  # shorter than n: zero n-grams, no row
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="quick brown fox jumps away now")]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.ngram_overlap(corpus, bench, n=4).collect()
+    }
+    # doc 1 shares exactly one 4-gram: "quick brown fox jumps"
+    assert out[1]["n_overlap"] == 1
+    assert out[1]["n_ngrams"] == 6
+    assert out[1]["contaminated_frac"] == pytest.approx(1 / 6)
+    # clean and too-short docs emit no rows
+    assert 2 not in out and 3 not in out
+
+
+def test_ngram_overlap_shuffle_mode_matches(spark):
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i} common run of tokens t{i}") for i in range(6)]
+    )
+    bench = spark.createDataFrame([Row(doc_id=99, text="common run of tokens")])
+    a = textstats.ngram_overlap(corpus, bench, n=4, broadcast_benchmark=True)
+    b = textstats.ngram_overlap(corpus, bench, n=4, broadcast_benchmark=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pii_counts_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                id=1,
+                text=(
+                    "mail bob.smith+x@example.co.uk call +1 (415) 555-0199 "
+                    "ssn 123-45-6789 host 10.0.0.255 done"
+                ),
+            ),
+            Row(id=2, text="no pii at all"),
+        ]
+    )
+    counts = df.select("id", *TX.pii_counts(F.col("text")).values()).collect()
+    by_id = {r["id"]: r for r in counts}
+    assert by_id[1]["n_email"] == 1
+    assert by_id[1]["n_ssn"] == 1
+    assert by_id[1]["n_ipv4"] == 1
+    assert by_id[1]["n_phone"] >= 1  # phone pattern also covers ssn/ip shapes
+    assert all(by_id[2][c] == 0 for c in ("n_email", "n_phone", "n_ssn", "n_ipv4"))
+
+    red = {r["id"]: r["red"] for r in df.select("id", TX.redact_pii(F.col("text")).alias("red")).collect()}
+    assert "<EMAIL>" in red[1] and "<SSN>" in red[1] and "<IPV4>" in red[1] and "<PHONE>" in red[1]
+    assert "example.co.uk" not in red[1]
+    assert "123-45-6789" not in red[1]
+    assert "10.0.0.255" not in red[1]
+    assert red[2] == "no pii at all"
