@@ -25,7 +25,7 @@ from bigdata_hits_spark.operators.ranking import (
 from bigdata_hits_spark.operators.components import connected_components, dedup_survivors
 from bigdata_hits_spark.operators.pipeline import clean_corpus
 from bigdata_hits_spark.operators.sampling import deterministic_split, stratified_sample
-from bigdata_hits_spark.operators.textstats import ngram_overlap, repetition_signals
+from bigdata_hits_spark.operators.textstats import ngram_overlap, repetition_signals, tfidf
 from bigdata_hits_spark.functions.text import pii_counts, redact_pii
 from bigdata_hits_spark.sql import register_graph_views, register_testdata_views
 
@@ -46,6 +46,7 @@ __all__ = [
     "stratified_sample",
     "ngram_overlap",
     "repetition_signals",
+    "tfidf",
     "pii_counts",
     "redact_pii",
     "register_graph_views",

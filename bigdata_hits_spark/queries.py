@@ -68,20 +68,22 @@ def q_scan_project(spark, sf_dir):
     return relops.project(li, "l_orderkey", "l_partkey", "l_extendedprice")
 
 
-@register("filter_eq", "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'")
-def q_filter_eq(spark, sf_dir):
-    orders = load_table(spark, sf_dir, "orders")
-    return relops.project(relops.filter_eq(orders, "o_orderstatus", "F"), "o_orderkey", "o_totalprice")
-
-
 @register(
-    "conditional_flag",
-    "SELECT p_partkey, CASE WHEN p_size > 25 THEN 1 ELSE 0 END AS big_flag FROM part",
+    "filter_conditional_flag",
+    "SELECT p_partkey, p_size, CASE WHEN p_size > 25 THEN 1 ELSE 0 END AS big_flag "
+    "FROM part WHERE p_brand = 'Brand#11'",
 )
-def q_conditional_flag(spark, sf_dir):
+def q_filter_conditional_flag(spark, sf_dir):
+    """O4 equality filter (``base_hits.py:33`` label filter shape) AND
+    O5 conditional 0/1 projection (``topic_specific_hits.py:41``
+    indicator column) in one declared entry — the filter feeds the
+    conditional projection, so one slot in the driver's bounded
+    (first-50) correctness gate exercises both primitives
+    (relops.filter_eq / relops.conditional_flag individually)."""
     part = load_table(spark, sf_dir, "part")
-    flagged = relops.conditional_flag(part, F.col("p_size") > 25, "big_flag")
-    return flagged.select("p_partkey", "big_flag")
+    filtered = relops.filter_eq(part, "p_brand", "Brand#11")
+    flagged = relops.conditional_flag(filtered, F.col("p_size") > 25, "big_flag")
+    return flagged.select("p_partkey", "p_size", "big_flag")
 
 
 @register(

@@ -116,6 +116,26 @@ def q_text_repetition(spark, sf_dir):
     return textstats.repetition_signals(docs)
 
 
+@register(
+    "text_tfidf",
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), "
+    "tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term), "
+    "dl AS (SELECT doc_id, SUM(c) AS n_tokens FROM tc GROUP BY doc_id), "
+    "dfc AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term), "
+    "nd AS (SELECT COUNT(*) AS n_docs FROM documents) "
+    "SELECT tc.doc_id, tc.term, "
+    "ROUND(tc.c / dl.n_tokens * LN(nd.n_docs / dfc.df), 7) AS tfidf "
+    "FROM tc JOIN dl ON tc.doc_id = dl.doc_id "
+    "JOIN dfc ON tc.term = dfc.term CROSS JOIN nd",
+)
+def q_text_tfidf(spark, sf_dir):
+    """Per-(doc, term) tf-idf — the reference's tf-idf edge-weight
+    story (its committed weighted_HITS_tfidf outputs) as a first-class
+    operator; operators/textstats.py tfidf."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.tfidf(docs)
+
+
 def _contamination_sql(n: int = textstats.CONTAMINATION_N) -> str:
     return (
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "

@@ -68,6 +68,51 @@ def test_ngram_overlap_shuffle_mode_matches(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_tfidf_values(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a"),  # a: tf 2/3, df 2; b: tf 1/3, df 1
+            Row(doc_id=2, text="a c"),
+        ]
+    )
+    out = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in textstats.tfidf(docs).collect()
+    }
+    assert out[(1, "a")] == pytest.approx(2 / 3 * math.log(2 / 2))  # idf 0
+    assert out[(1, "b")] == pytest.approx(1 / 3 * math.log(2 / 1), abs=1e-6)
+    assert out[(2, "c")] == pytest.approx(1 / 2 * math.log(2 / 1), abs=1e-6)
+
+
+def test_tfidf_as_hits_edge_weight(spark):
+    """The reference's weighted_HITS_tfidf shape: tf-idf scores joined
+    onto an edge list as the weight column hits() consumes."""
+    import bigdata_hits_spark as bhs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x y x"), Row(doc_id=2, text="y z")]
+    )
+    w = textstats.tfidf(docs)
+    edges = (
+        w.select(
+            F.concat(F.lit("D"), "doc_id").alias("src"),
+            F.concat(F.lit("T"), "term").alias("dst"),
+            F.col("tfidf").alias("weight"),
+        )
+        .filter(F.col("tfidf") > 0)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select("dst"))
+        .distinct()
+        .withColumn("labels", F.lit("n"))
+    )
+    res = bhs.hits(bhs.Graph(nodes=nodes, edges=edges), k=2, weight="weight")
+    assert res.hubs.count() > 0 and res.auths.count() > 0
+
+
 def test_pii_counts_and_redact(spark):
     df = spark.createDataFrame(
         [
