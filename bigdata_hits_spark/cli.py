@@ -42,6 +42,11 @@ Beyond-reference pipeline jobs (no reference twin):
   quality floor + exact/near dedup + stat columns, written as parquet.
 - ``split_corpus docs.parquet key_col [train=0.9,test=0.1]`` —
   deterministic hash splits, written partitioned by split.
+- ``tfidf docs.parquet [id_col] [text_col]`` — per-(doc, term) tf-idf
+  parquet (join onto an edge list for weighted_hits weights).
+- ``decontaminate docs.parquet benchmark.parquet [n] [max_frac]`` —
+  splits the corpus into decontaminated/ and contaminated/ by benchmark
+  n-gram overlap.
 """
 
 from __future__ import annotations
@@ -49,7 +54,7 @@ from __future__ import annotations
 import os
 import sys
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from bigdata_hits_spark.operators.graph import Graph, neighborhood, topic_induced
 from bigdata_hits_spark.operators.ranking import (
@@ -230,6 +235,38 @@ def main(argv: list[str] | None = None) -> None:
         out.write.mode("overwrite").partitionBy("split").parquet(
             os.path.join(out_dir, "split_corpus")
         )
+    elif job == "tfidf":
+        # tfidf <docs.parquet> [id_col] [text_col]
+        from bigdata_hits_spark.operators.textstats import tfidf
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("tfidf needs a documents parquet path")
+        id_col = args.take(str, "doc_id")
+        text_col = args.take(str, "text")
+        tfidf(spark.read.parquet(docs_path), id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "tfidf"))
+    elif job == "decontaminate":
+        # decontaminate <docs.parquet> <benchmark.parquet> [n] [max_frac]
+        # Writes docs whose benchmark n-gram overlap fraction is <= max_frac
+        # (clean set) plus a report of the flagged ones.
+        from bigdata_hits_spark.operators.textstats import CONTAMINATION_N, ngram_overlap
+
+        docs_path = args.take()
+        bench_path = args.take()
+        if docs_path is None or bench_path is None:
+            raise SystemExit("decontaminate needs docs and benchmark parquet paths")
+        n = args.take(int, CONTAMINATION_N)
+        max_frac = args.take(float, 0.0)
+        docs = spark.read.parquet(docs_path)
+        flagged = ngram_overlap(docs, spark.read.parquet(bench_path), n=n).filter(
+            F.col("contaminated_frac") > max_frac
+        )
+        clean = docs.join(flagged.select("doc_id"), "doc_id", "left_anti")
+        flagged.write.mode("overwrite").parquet(os.path.join(out_dir, "contaminated"))
+        clean.write.mode("overwrite").parquet(os.path.join(out_dir, "decontaminated"))
+        print(f"decontaminate: kept={clean.count()} flagged={flagged.count()}")
     else:
         raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")
 

@@ -96,6 +96,30 @@ def test_cli_clean_corpus_and_split(spark, tmp_path):
     assert set(counts) == {"train", "test"} and sum(counts.values()) == 500
 
 
+def test_cli_tfidf_and_decontaminate(spark, tmp_path):
+    """Curation subcommands: tf-idf weights to parquet; benchmark
+    decontamination split."""
+    src = str(tmp_path / "docs_src2")
+    bench = str(tmp_path / "bench_src")
+    out = str(tmp_path / "out_curation")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    docs.filter(F.col("doc_id") % 20 == 0).write.parquet(bench)
+
+    cli.main(["tfidf", src, "--out", out])
+    w = spark.read.parquet(os.path.join(out, "tfidf"))
+    assert w.columns == ["doc_id", "term", "tfidf"]
+    assert w.count() > 0
+
+    cli.main(["decontaminate", src, bench, "3", "0.5", "--out", out])
+    clean = spark.read.parquet(os.path.join(out, "decontaminated"))
+    flagged = spark.read.parquet(os.path.join(out, "contaminated"))
+    # benchmark docs overlap themselves 100%, so at least those are flagged
+    assert flagged.count() > 0
+    assert clean.count() + flagged.count() == 500
+    assert flagged.agg(F.min("contaminated_frac")).first()[0] > 0.5
+
+
 def test_write_scores_text_single_file_order(spark, tmp_path):
     df = spark.createDataFrame(
         [("x", 0.5), ("y", 0.3), ("z", 0.2)], "id string, score double"
