@@ -18,13 +18,18 @@ from bigdata_hits_spark.operators.graph import Graph, topic_induced, neighborhoo
 from bigdata_hits_spark.operators.ranking import (
     RankResult,
     hits,
+    pagerank,
     salsa,
     salsa_simplified,
     list_topics,
 )
 from bigdata_hits_spark.operators.components import connected_components, dedup_survivors
 from bigdata_hits_spark.operators.pipeline import clean_corpus
-from bigdata_hits_spark.operators.sampling import deterministic_split, stratified_sample
+from bigdata_hits_spark.operators.sampling import (
+    cap_per_group,
+    deterministic_split,
+    stratified_sample,
+)
 from bigdata_hits_spark.operators.textstats import ngram_overlap, repetition_signals, tfidf
 from bigdata_hits_spark.functions.text import pii_counts, redact_pii
 from bigdata_hits_spark.sql import register_graph_views, register_testdata_views
@@ -36,12 +41,14 @@ __all__ = [
     "neighborhood",
     "RankResult",
     "hits",
+    "pagerank",
     "salsa",
     "salsa_simplified",
     "list_topics",
     "connected_components",
     "dedup_survivors",
     "clean_corpus",
+    "cap_per_group",
     "deterministic_split",
     "stratified_sample",
     "ngram_overlap",

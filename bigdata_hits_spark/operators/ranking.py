@@ -235,9 +235,7 @@ def _power_iterate(
 _EDGES_PER_PARTITION = 10_000
 
 
-def _prepare(
-    graph: Graph, eh: DataFrame, ea: DataFrame, part_col: str
-) -> tuple[DataFrame, DataFrame]:
+def _prepare(graph: Graph, part_col: str, *rels: DataFrame) -> tuple[DataFrame, ...]:
     """Hash-partition each step relation on ``part_col`` and pin it: paid
     once per (graph, family, weight, mode), reused by every iteration of
     every query on that graph.  Broadcast mode partitions on the
@@ -251,10 +249,7 @@ def _prepare(
     spark = graph.edges.sparkSession
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(1, min(cap, -(-n_edges // _EDGES_PER_PARTITION)))
-    return (
-        eh.repartition(parts, part_col).persist(),
-        ea.repartition(parts, part_col).persist(),
-    )
+    return tuple(rel.repartition(parts, part_col).persist() for rel in rels)
 
 
 def _hits_edges(graph: Graph, weight: str | None, mode: str) -> tuple[DataFrame, DataFrame]:
@@ -270,7 +265,7 @@ def _hits_edges(graph: Graph, weight: str | None, mode: str) -> tuple[DataFrame,
         mult: Column = F.col(weight).cast("double") if weight else F.lit(1.0)
         eh = edges.select(F.col("dst").alias("key"), F.col("src").alias("out"), mult.alias("mult"))
         ea = edges.select(F.col("src").alias("key"), F.col("dst").alias("out"), mult.alias("mult"))
-        return _prepare(graph, eh, ea, "out" if mode == "broadcast" else "key")
+        return _prepare(graph, "out" if mode == "broadcast" else "key", eh, ea)
 
     return graph.memo(("hits_edges", weight, mode), build)
 
@@ -303,7 +298,7 @@ def _salsa_edges(graph: Graph, mode: str = "broadcast") -> tuple[DataFrame, Data
                 (F.lit(1.0) / F.col("d.out_degree")).alias("mult"),
             )
         )
-        return _prepare(graph, eh, ea, "out" if mode == "broadcast" else "key")
+        return _prepare(graph, "out" if mode == "broadcast" else "key", eh, ea)
 
     return graph.memo(("salsa_edges", mode), build)
 
@@ -427,6 +422,93 @@ def salsa(
     damp = _make_damp(teleport, beta, 2.0 * n, indicator, topic_denom, mode)
     eh, ea = _salsa_edges(graph, mode)
     return _power_iterate(eh, ea, init, k, damp, "l1", mode, tol)
+
+
+def pagerank(
+    graph: Graph,
+    k: int = 8,
+    *,
+    beta: float = 0.85,
+    weight: str | None = None,
+    score_join: str = "auto",
+    tol: float | None = None,
+) -> DataFrame:
+    """PageRank over the directed graph — beyond-reference (the
+    reference stops at HITS/SALSA), but the single-vector power
+    iteration drops straight out of the same prepared-edge machinery:
+
+    ``p <- beta * M^T p + (1 - beta) / N`` over EVERY node, with
+    ``M[dst, src] = w(src, dst) / out_w(src)`` (with ``weight``,
+    out-degree is the weighted sum).
+
+    Unlike the HITS/SALSA loops — whose inner-join node dropping is
+    reference parity (SURVEY §2.4(a)) — this op is beyond-reference, so
+    it keeps the *textbook* semantics: the teleport term reaches every
+    node via a left join of the pinned node list with the propagated
+    contributions (on a bipartite/DAG graph the dropped-node form
+    collapses to an empty vector in two iterations, which is useless).
+    Scores are L1-renormalized per iteration, absorbing the
+    dangling-node leak (sinks' outflow is not explicitly redistributed).
+
+    Returns ``(id, score)`` sorted score-descending.  Scale behavior
+    matches :func:`hits`: contributions (node-vector-sized) are
+    broadcast below SCORE_BROADCAST_MAX_NODES; beyond it the node list
+    is pre-partitioned on ``id`` — the same partitioning the grouped
+    propagation sum already produces — so the per-iteration movement is
+    the vector-only exchange, never the edges.
+    """
+    n = graph.memo(("n_nodes",), graph.nodes.count)
+    mode = _resolve_score_join(score_join, n)
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        edges = graph.edges
+        w: Column = F.col(weight).cast("double") if weight else F.lit(1.0)
+        out_w = edges.groupBy("src").agg(F.sum(w).alias("out_w"))
+        ea = (
+            edges.alias("e")
+            .join(out_w.alias("d"), F.col("e.src") == F.col("d.src"), "inner")
+            .select(
+                F.col("e.src").alias("key"),
+                F.col("e.dst").alias("out"),
+                (w / F.col("d.out_w")).alias("mult"),
+            )
+        )
+        (ea_prepared,) = _prepare(graph, "out" if mode == "broadcast" else "key", ea)
+        (ids_prepared,) = _prepare(graph, "id", graph.nodes.select("id"))
+        return ea_prepared, ids_prepared
+
+    ea, node_ids = graph.memo(("pagerank_edges", weight, mode), build)
+    teleport = F.lit((1.0 - beta) / float(n))
+    scores = graph.nodes.select("id", F.lit(1.0 / float(n)).alias("score"))
+    prev = None
+    done = 0
+    for _ in range(k):
+        contrib = _step(ea, scores, mode)
+        contrib = F.broadcast(contrib) if mode == "broadcast" else contrib.hint("shuffle_hash")
+        scores_raw = materialize(
+            node_ids.join(contrib, "id", "left").select(
+                "id",
+                (F.lit(beta) * F.coalesce(F.col("score"), F.lit(0.0)) + teleport).alias(
+                    "score"
+                ),
+            )
+        )
+        nrm = scores_raw.agg(F.sum("score").alias("__norm")).first()[0]
+        scores_new = scores_raw.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
+        done += 1
+        if tol is not None and prev is not None:
+            delta = (
+                scores_new.alias("cur")
+                .join(prev.alias("prv"), F.col("cur.id") == F.col("prv.id"), "inner")
+                .agg(F.max(F.abs(F.col("cur.score") - F.col("prv.score"))))
+                .first()[0]
+            )
+            if delta is not None and delta <= tol:
+                scores = scores_new
+                break
+        prev = scores_new
+        scores = scores_new
+    return _sorted(scores)
 
 
 def salsa_simplified(graph: Graph, *, weight: str | None = None) -> RankResult:

@@ -39,6 +39,39 @@ def hash_bucket(key_col: str, seed: int = 0, buckets: int = _SPLIT_BUCKETS):
     return F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))
 
 
+def cap_per_group(
+    df: DataFrame, group_col: str, cap: int, order_col: str | None = None, seed: int = 0
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group_col`` value — the domain-
+    balancing gate of corpus curation (no single source/domain dominates
+    the training mix).
+
+    With ``order_col``, the top-``cap`` rows by that column (descending —
+    e.g. keep the highest-quality docs per domain) survive; without it,
+    survivors are a deterministic pseudo-random choice (ordered by
+    ``xxhash64(all columns, seed)``), stable across runs, cluster sizes,
+    and input order — ``rand()`` would reseed per task attempt.
+
+    One window pass: a single shuffle on ``group_col``, no joins, no
+    collect.  Skew note: a pathologically hot group lands in one task;
+    for web-scale domain skew, pre-filter obviously-over-cap groups or
+    salt-and-recombine; the window itself is the standard
+    top-N-per-group plan.
+    """
+    from pyspark.sql import Window
+
+    if order_col is not None:
+        order = [F.desc(order_col), F.xxhash64(*df.columns, F.lit(seed)).asc()]
+    else:
+        order = [F.xxhash64(*df.columns, F.lit(seed)).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def deterministic_split(
     df: DataFrame, key_col: str, weights: dict[str, float], seed: int = 0
 ) -> DataFrame:

@@ -163,12 +163,20 @@ def ngram_overlap(
     a TB-scale corpus; pass False to shuffle-join instead when the
     benchmark itself is large.
     """
+    # Hash n-grams to int64 before anything shuffles: the distinct and the
+    # join then move 8-byte keys instead of ~n-word strings (a 3-5x shuffle
+    # width cut).  xxhash64 collisions (~2^-64 per pair) can in principle
+    # miscount by 1; that is noise against the screen's purpose.
+    ng_hash = F.xxhash64(F.col("ng"))
     corpus_ngrams = (
         docs.select(id_col, F.explode(_ngram_terms(text_col, n)).alias("ng"))
+        .select(id_col, ng_hash.alias("ng"))
         .distinct()
     )
     bench_ngrams = (
-        benchmark.select(F.explode(_ngram_terms(text_col, n)).alias("ng")).distinct()
+        benchmark.select(F.explode(_ngram_terms(text_col, n)).alias("ng"))
+        .select(ng_hash.alias("ng"))
+        .distinct()
     )
     if broadcast_benchmark:
         bench_ngrams = F.broadcast(bench_ngrams)

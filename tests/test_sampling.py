@@ -59,3 +59,33 @@ def test_split_is_jvm_only(spark, sf_dir):
     plan = deterministic_split(cust, "c_custkey", {"a": 0.5, "b": 0.5}) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cap_per_group_by_quality(spark, sf_dir):
+    """Domain balancing: at most N docs per source, best-quality first."""
+    from bigdata_hits_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "q", F.length("text").cast("double")
+    )
+    capped = cap_per_group(docs, "source", 10, order_col="q")
+    per_src = {r["source"]: r["n"] for r in
+               capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_src and all(n <= 10 for n in per_src.values())
+    # survivors are the top-quality docs of each source
+    src = next(iter(per_src))
+    kept_min = capped.filter(F.col("source") == src).agg(F.min("q")).first()[0]
+    dropped = docs.join(capped.select("doc_id"), "doc_id", "left_anti") \
+        .filter(F.col("source") == src)
+    if dropped.count() > 0:
+        assert dropped.agg(F.max("q")).first()[0] <= kept_min
+
+
+def test_cap_per_group_deterministic_without_order(spark, sf_dir):
+    from bigdata_hits_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in cap_per_group(docs, "source", 5).select("doc_id").collect()}
+    reordered = docs.repartition(13).sortWithinPartitions(F.desc("doc_id"))
+    b = {r["doc_id"] for r in cap_per_group(reordered, "source", 5).select("doc_id").collect()}
+    assert a == b and len(a) > 0
