@@ -141,31 +141,43 @@ TESTDATA_TABLES = (
 )
 
 
+#: Tz-independent epoch-microseconds of a TIMESTAMP_NTZ column: a naive
+#: wall-clock is treated as UTC epoch time, which is exactly how DuckDB's
+#: ``epoch_ns(ts)`` reads the same parquet value — so oracles agree.
+_NTZ_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata parquet table.
 
-    ``events.ts`` arrives as raw nanoseconds (see session.py nanosAsLong);
-    it is exposed both as ``ts_ns`` (long, lossless) and ``ts``
-    (microsecond timestamp_ntz) so event-time operators can use either.
+    The ``events`` table is normalized to the engine convention regardless
+    of how the driver encoded time on disk: ``ts_ns`` (long epoch
+    nanoseconds, lossless) plus ``ts`` (microsecond timestamp derived from
+    it).  Observed encodings across driver rounds: int64 nanoseconds
+    (round 1, needs nanosAsLong) and microsecond TIMESTAMP_NTZ (round 2).
     """
     if name == "events":
-        # The events parquet carries nanosecond timestamps, which Spark 4
-        # refuses unless this legacy conf is on.  The engine's own session
-        # factory sets it, but the driver harness hands queries a vanilla
-        # session — set it here so the contract is session-agnostic.
+        # int64-nanos parquet is refused by Spark 4 unless this legacy
+        # conf is on.  The engine's own session factory sets it, but the
+        # driver harness hands queries a vanilla session — set it here so
+        # the contract is session-agnostic.  Harmless for other encodings.
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            # Integer division, NOT float: epoch-scale int64 nanos exceed a
-            # double's 53-bit mantissa, so (ts_ns / 1000).cast('long') is
-            # off by ±1 us for a sizable fraction of rows.
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumnRenamed("ts", "ts_ns")
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts_ns", F.expr(_NTZ_EPOCH_US) * F.lit(1000))
+        elif ts_type == "timestamp":
+            df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+        # Integer division, NOT float: epoch-scale int64 nanos exceed a
+        # double's 53-bit mantissa, so (ts_ns / 1000).cast('long') is
+        # off by ±1 us for a sizable fraction of rows.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
     return df
 
 

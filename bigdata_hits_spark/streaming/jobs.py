@@ -18,11 +18,12 @@ from pyspark.sql import types as T
 
 from bigdata_hits_spark.operators.events import HOUR_NS
 
-#: On-disk schema of the events parquet under nanosAsLong (ts is int64 ns).
+#: On-disk schema of the driver's events parquet (round-2 encoding:
+#: microsecond TIMESTAMP_NTZ — see sources/readers.py load_table).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -33,17 +34,21 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over an events parquet directory, normalized to
-    the engine's (ts_ns, ts) convention."""
+    the engine's (ts_ns, ts) convention (same contract as
+    sources/readers.py load_table, so stream and batch twins agree)."""
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
-    # Integer division, NOT float — same precision rationale as
-    # sources/readers.py load_table: float division of epoch-scale nanos
-    # loses ±1 us, which can flip events across window/watermark bounds.
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    # Naive wall-clock treated as UTC epoch (tz-independent), then ts is
+    # re-derived with integer division — float division of epoch-scale
+    # nanos loses ±1 us, which can flip events across window/watermark
+    # bounds.
+    return raw.withColumn(
+        "ts_ns",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        * F.lit(1000),
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
 
 
 def hourly_event_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
