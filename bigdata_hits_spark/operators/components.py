@@ -37,10 +37,17 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 20,
+    escalate: bool = True,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``pairs``; ``component``
-    is the minimum node id in the cluster.  Raises if ``max_iter`` rounds
-    don't converge (diameter > max_iter — not a dedup-pair shape).
+    is the minimum node id in the cluster.
+
+    If ``max_iter`` rounds don't converge (diameter > max_iter — not a
+    dedup-pair shape), falls back to the O(log n)-round
+    :func:`connected_components_star` contraction, which handles exactly
+    that case — a slow-path success instead of a runtime error.  Pass
+    ``escalate=False`` to raise instead (e.g. to surface an unexpectedly
+    long-diameter pair graph in a pipeline that should never see one).
     """
     # Symmetrize once: (src, dst) in both directions. Self-pairs are
     # harmless (min with itself) and dropped by distinct anyway.
@@ -75,6 +82,8 @@ def connected_components(
         labels = updated.drop("changed")
         if n_changed == 0:
             return labels
+    if escalate:
+        return connected_components_star(pairs, id1, id2)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph has a longer diameter than a dedup clustering "
@@ -179,12 +188,25 @@ def dedup_survivors(
     id_col: str = "doc_id",
     id1: str = "id1",
     id2: str = "id2",
+    variant: str = "auto",
 ) -> DataFrame:
     """End-to-end near-dup removal: cluster the duplicate ``pairs``, keep
     the minimum-id document of each cluster, and pass through every
     document that appears in no pair.  Returns ``docs`` filtered to
     survivors (left-anti join on the drop set — documents shuffle only by
-    id, bodies stay put)."""
-    comp = connected_components(pairs, id1, id2)
+    id, bodies stay put).
+
+    ``variant`` picks the clustering: ``'auto'`` (min-label propagation,
+    escalating to star contraction on non-convergence), ``'minlabel'``
+    (min-label only; raises on long diameters), ``'star'`` (O(log n)
+    contraction directly — for graphs known to be long-diameter)."""
+    if variant == "auto":
+        comp = connected_components(pairs, id1, id2)
+    elif variant == "minlabel":
+        comp = connected_components(pairs, id1, id2, escalate=False)
+    elif variant == "star":
+        comp = connected_components_star(pairs, id1, id2)
+    else:
+        raise ValueError(f"unknown variant: {variant!r} (use 'auto', 'minlabel', or 'star')")
     drops = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     return docs.join(drops, id_col, "left_anti")

@@ -79,6 +79,12 @@ def grand_norm(df: DataFrame, col: str, how: str = "l2") -> DataFrame:
     return df.agg(agg.cast("double").alias("norm"))
 
 
+def count_rows(df: DataFrame, alias: str = "n") -> DataFrame:
+    """O20 — one-row count (``base_hits.py:44`` count action), kept as a
+    DataFrame so it composes (no driver collect)."""
+    return df.agg(F.count(F.lit(1)).alias(alias))
+
+
 def distinct_values(df: DataFrame, col: str, alias: str | None = None) -> DataFrame:
     """O15 — distinct values of one column (``list_topics.py:17``)."""
     return df.select(F.col(col).alias(alias or col)).distinct()

@@ -177,6 +177,87 @@ def group_centroids(
     )
 
 
+def lsh_candidate_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(id1, id2) with id1 < id2: pairs sharing at least one sign-LSH
+    band — the candidate stage of scale-safe near-dup detection.
+
+    One signature pass, one explode to ``bands`` rows/vector, one
+    self-equi-join on (band_id, band_sig): work is bounded by bucket
+    sizes (sum of squares per bucket), never |V|², and the join is a
+    plain shuffle equi-join — AQE/skew-split eligible, no cross join.
+    At high cosine thresholds (the dedup regime, >= ~0.9) near-identical
+    vectors agree on nearly every sign bit, so band recall is ~1; at low
+    thresholds this candidate generator under-recalls by design — use
+    :func:`cosine_pairs` there (exact baseline)."""
+    band_bits = planes // bands
+    sig_udf = lsh_signature_udf(planes)
+    sigs = vectors.select(F.col(id_col).alias("id"), sig_udf(F.col(vec_col)).alias("sig"))
+    bandarr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("sig"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .alias("band_sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(bandarr).alias("bb")).select(
+        "id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_sig").alias("band_sig")
+    )
+    a = banded.select(F.col("id").alias("id1"), "band_id", "band_sig")
+    b = banded.select(F.col("id").alias("id2"), "band_id", "band_sig")
+    return (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates()
+    )
+
+
+def verify_cosine_pairs(
+    vectors: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact-verify candidate (id1, id2) pairs: attach both vectors by
+    equi-join, compute the rounded cosine with the same round/threshold
+    discipline as :func:`cosine_pairs`, keep qualifying pairs.  Output
+    schema matches cosine_pairs: (id1, id2, cosine).
+
+    Work is O(|candidates|·d) — candidate-bounded, not all-pairs — and
+    both attach joins are id equi-joins (vectors shuffle at most twice,
+    never replicate num_blocks×)."""
+    v1 = vectors.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), l2_norm(F.col(vec_col)).alias("n1")
+    )
+    v2 = vectors.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), l2_norm(F.col(vec_col)).alias("n2")
+    )
+    scored = (
+        candidates.join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), round_digits).alias(
+                "cosine"
+            ),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def semantic_dedup(
     docs: DataFrame,
     vectors: DataFrame,
@@ -184,15 +265,38 @@ def semantic_dedup(
     doc_id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: str = "lsh",
+    planes: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """Embedding-based near-dup removal: cosine pairs over ``vectors``
-    (blocked-BLAS :func:`cosine_pairs`), clustered transitively, one
-    minimum-id survivor per cluster kept in ``docs``.  The embedding-space
-    twin of ``pipeline.clean_corpus``'s lexical MinHash stage — catches
-    paraphrases MinHash misses."""
+    """Embedding-based near-dup removal: near-duplicate pairs over
+    ``vectors``, clustered transitively, one minimum-id survivor per
+    cluster kept in ``docs``.  The embedding-space twin of
+    ``pipeline.clean_corpus``'s lexical MinHash stage — catches
+    paraphrases MinHash misses.
+
+    ``candidates`` picks the pair generator:
+
+    - ``'lsh'`` (default, the production path): sign-LSH banded
+      candidates (:func:`lsh_candidate_pairs`) exact-verified with the
+      cosine_pairs round/threshold discipline
+      (:func:`verify_cosine_pairs`).  Candidate-bounded work, equi-joins
+      only — survives 100 TB.  Appropriate at dedup-regime thresholds
+      (>= ~0.9) where band recall is ~1.
+    - ``'exact'``: blocked-BLAS all-pairs (:func:`cosine_pairs`) — the
+      exact baseline; O(n²/B) compute and ~num_blocks× replication, for
+      modest corpora or ground-truth runs only."""
     from bigdata_hits_spark.operators.components import dedup_survivors
 
-    pairs = cosine_pairs(vectors, threshold, id_col=vec_id_col, vec_col=vec_col)
+    if candidates == "exact":
+        pairs = cosine_pairs(vectors, threshold, id_col=vec_id_col, vec_col=vec_col)
+    elif candidates == "lsh":
+        cand = lsh_candidate_pairs(
+            vectors, id_col=vec_id_col, vec_col=vec_col, planes=planes, bands=bands
+        )
+        pairs = verify_cosine_pairs(vectors, cand, threshold, id_col=vec_id_col, vec_col=vec_col)
+    else:
+        raise ValueError(f"unknown candidates mode: {candidates!r} (use 'lsh' or 'exact')")
     return dedup_survivors(docs, pairs, id_col=doc_id_col)
 
 

@@ -204,6 +204,72 @@ def ranking_oracle(
     )
 
 
+def pagerank_oracle(
+    edges_sql: str,
+    nodes_sql: str,
+    *,
+    k: int,
+    beta: float = 0.85,
+    weighted: bool = False,
+    round_digits: int = ROUND_DIGITS,
+) -> str:
+    """Unrolled-CTE oracle for textbook PageRank (operators/ranking.py
+    pagerank): ``p <- beta * M^T p + (1-beta)/N`` over EVERY node (left
+    join pins the full node list so teleport reaches edge-less nodes),
+    then L1 renormalization per iteration absorbing the dangling leak.
+
+    Float parity mirrors the Spark side op-for-op: out-weights are
+    ``CAST(COUNT(*) AS DOUBLE)`` (== Spark's SUM of 1.0d), the column
+    multiplier is ``1.0 / ow`` (same IEEE division), beta constants are
+    Python-computed doubles embedded exactly, and the teleport term is
+    the same ``(1-beta)/N`` double division both engines perform on
+    exact operands.
+    """
+    b = _dbl(beta)
+    omb = _dbl(1.0 - beta)
+    ctes: list[tuple[str, str]] = [("edges0", edges_sql), ("nodes0", nodes_sql)]
+    ctes.append(("nc", "SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes0"))
+    if weighted:
+        ctes.append(
+            (
+                "outw",
+                "SELECT src, SUM(CAST(weight AS DOUBLE)) AS ow FROM edges0 GROUP BY src",
+            )
+        )
+        mult = "CAST(e.weight AS DOUBLE) / o.ow"
+    else:
+        ctes.append(
+            ("outw", "SELECT src, CAST(COUNT(*) AS DOUBLE) AS ow FROM edges0 GROUP BY src")
+        )
+        mult = "1.0 / o.ow"
+    ctes.append(
+        ("ea", f"SELECT e.src, e.dst, {mult} AS mult FROM edges0 e JOIN outw o ON e.src = o.src")
+    )
+    ctes.append(("p0", "SELECT id, 1.0 / (SELECT n FROM nc) AS score FROM nodes0"))
+    for i in range(1, k + 1):
+        ctes.append(
+            (
+                f"c{i}",
+                f"SELECT ea.dst AS id, SUM(ea.mult * p.score) AS c "
+                f"FROM ea JOIN p{i - 1} p ON ea.src = p.id GROUP BY ea.dst",
+            )
+        )
+        ctes.append(
+            (
+                f"r{i}",
+                f"SELECT n.id, {b} * COALESCE(c.c, CAST(0.0 AS DOUBLE)) "
+                f"+ {omb} / (SELECT n FROM nc) AS score "
+                f"FROM nodes0 n LEFT JOIN c{i} c ON n.id = c.id",
+            )
+        )
+        ctes.append((f"p{i}", f"SELECT id, score / SUM(score) OVER () AS score FROM r{i}"))
+    with_clause = ",\n".join(f"{name} AS ({sql})" for name, sql in ctes)
+    return (
+        f"WITH {with_clause}\n"
+        f"SELECT id, ROUND(CAST(score AS DOUBLE), {round_digits}) AS score FROM p{k}"
+    )
+
+
 def salsa_simplified_oracle(
     edges_sql: str,
     nodes_sql: str | None = None,

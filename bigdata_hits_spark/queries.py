@@ -21,11 +21,12 @@ from bigdata_hits_spark.operators.ranking import (
     RankResult,
     hits,
     list_topics,
+    pagerank,
     salsa,
     salsa_query_dependent,
     salsa_simplified,
 )
-from bigdata_hits_spark.oracles import ranking_oracle, salsa_simplified_oracle
+from bigdata_hits_spark.oracles import pagerank_oracle, ranking_oracle, salsa_simplified_oracle
 from bigdata_hits_spark.sources import derived
 from bigdata_hits_spark.sources.readers import load_table
 
@@ -157,12 +158,19 @@ def q_groupby_degrees(spark, sf_dir):
 
 @register(
     "grand_agg_l2",
-    "SELECT ROUND(CAST(SQRT(SUM(c_acctbal * c_acctbal)) AS DOUBLE), 4) AS norm FROM customer",
+    "SELECT ROUND(CAST(SQRT(SUM(c_acctbal * c_acctbal)) AS DOUBLE), 4) AS norm, "
+    "COUNT(*) AS n FROM customer",
 )
 def q_grand_agg_l2(spark, sf_dir):
+    """O12 grand aggregate (L2 norm — ``base_hits.py:57`` reduce) AND
+    O20 count (``base_hits.py:44`` count) in one declared entry — both
+    are grand aggregates over the same table, so one slot in the
+    driver's bounded first-50 gate exercises both primitives
+    (relops.grand_norm / relops.count_rows individually)."""
     customer = load_table(spark, sf_dir, "customer")
     norm = relops.grand_norm(customer, "c_acctbal", "l2")
-    return norm.select(F.round(F.col("norm"), 4).alias("norm"))
+    n = relops.count_rows(customer)
+    return norm.crossJoin(n).select(F.round(F.col("norm"), 4).alias("norm"), "n")
 
 
 @register(
@@ -204,12 +212,6 @@ def q_sort_and_topk(spark, sf_dir):
     return allrows.unionByName(top).orderBy(
         "which", F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-
-
-@register("count_rows", "SELECT COUNT(*) AS n FROM lineitem")
-def q_count_rows(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(F.count(F.lit(1)).alias("n"))
 
 
 @register(
@@ -553,6 +555,16 @@ def q_topic_specific_salsa(spark, sf_dir):
             topic=derived.G_PP_TOPIC,
         )
     )
+
+
+@register("pagerank_k3", pagerank_oracle(derived.G_PS_EDGES_SQL, derived.G_PS_NODES_SQL, k=K_ITER))
+def q_pagerank_k3(spark, sf_dir):
+    """Textbook PageRank on the part->supplier graph (beyond-reference;
+    semantics documented at operators/ranking.py pagerank): every node
+    — including edge-less ones — receives the teleport mass, scores L1-
+    renormalized per iteration."""
+    scores = pagerank(derived.g_ps(spark, sf_dir), k=K_ITER)
+    return scores.select("id", F.round(F.col("score"), ROUND).alias("score"))
 
 
 # ---------------------------------------------------------------------------

@@ -27,26 +27,24 @@ def _sql_in(words: list[str]) -> str:
 @register(
     "text_token_count",
     "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
-    "len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens FROM documents",
+    "len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens, "
+    f"len(regexp_extract_all(text, '{TX.BPE_SPLIT_PATTERN}')) AS n_bpe_tokens "
+    "FROM documents",
 )
 def q_text_token_count(spark, sf_dir):
+    """Whitespace token counts AND the BPE-ish regex token count in one
+    declared entry (merged to free a slot in the driver's bounded
+    first-50 gate): both are per-document token statistics over the same
+    scan, each backed by its own library function (TX.tokens /
+    TX.bpe_tokens)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(TX.bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
     )
-
-
-@register(
-    "text_bpe_token_count",
-    f"SELECT doc_id, len(regexp_extract_all(text, '{TX.BPE_SPLIT_PATTERN}')) AS n_bpe_tokens "
-    "FROM documents",
-)
-def q_text_bpe_token_count(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.size(TX.bpe_tokens(F.col("text"))).alias("n_bpe_tokens"))
 
 
 @register(
@@ -174,3 +172,22 @@ def q_contamination_ngrams(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "pii_screen",
+    "SELECT doc_id, "
+    + ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in TX.PII_PATTERNS.items()
+    )
+    + " FROM documents",
+)
+def q_pii_screen(spark, sf_dir):
+    """Per-document PII match counts (functions/text.py pii_counts) —
+    the screening half of the PII story under the oracle hash gate.
+    Redaction stays library-only: replacement semantics differ across
+    regex engines, counts do not (PII_PATTERNS is restricted to the
+    subset Java and RE2 interpret identically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *TX.pii_counts(F.col("text")).values())

@@ -97,3 +97,78 @@ def test_semantic_dedup_drops_paraphrase_clusters(spark):
     )
     kept = {r["doc_id"] for r in SIM.semantic_dedup(docs, vecs, 0.9).collect()}
     assert kept == {1, 3}  # 2 is near-identical to 1; min id survives
+
+
+@pytest.fixture(scope="module")
+def clustered_corpus(spark):
+    """Docs + embeddings with genuine >=0.95-cosine clusters: three tight
+    clusters (base vector + tiny per-member jitter on one coordinate) and
+    a handful of isolated vectors."""
+    import math
+
+    rows = []
+    bases = {
+        0: [1.0, 0.2, 0.1, 0.0],
+        10: [0.0, 1.0, -0.5, 0.3],
+        20: [-1.0, 0.4, 0.0, 2.0],
+    }
+    for start, base in bases.items():
+        for j in range(4):
+            v = list(base)
+            v[j % len(v)] += 0.002 * j
+            rows.append((start + j, v))
+    for i, k in enumerate(range(100, 105)):
+        v = [0.0, 0.0, 0.0, 0.0]
+        v[i % 4] = 1.0
+        v[(i + 1) % 4] = -1.0 if i % 2 else 0.5
+        rows.append((k, v))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    docs = vecs.select(F.col("vec_id").alias("doc_id"), F.lit("t").alias("text"))
+    return docs, vecs
+
+
+def test_semantic_dedup_lsh_matches_exact_on_clusters(spark, clustered_corpus):
+    """The production LSH-candidate path must keep exactly the same
+    survivors as the all-pairs baseline at the dedup threshold."""
+    docs, vecs = clustered_corpus
+    exact = {r["doc_id"] for r in
+             SIM.semantic_dedup(docs, vecs, 0.95, candidates="exact").collect()}
+    lsh = {r["doc_id"] for r in
+           SIM.semantic_dedup(docs, vecs, 0.95, candidates="lsh").collect()}
+    assert lsh == exact
+    # sanity: the clusters actually collapsed to their min-id member
+    assert {0, 10, 20}.issubset(exact) and not {1, 2, 3, 11, 21} & exact
+
+
+def test_semantic_dedup_lsh_matches_exact_on_testdata(spark, emb, sf_dir):
+    from bigdata_hits_spark.sources.readers import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    exact = {r["doc_id"] for r in
+             SIM.semantic_dedup(docs, emb, 0.95, candidates="exact").collect()}
+    lsh = {r["doc_id"] for r in
+           SIM.semantic_dedup(docs, emb, 0.95, candidates="lsh").collect()}
+    assert lsh == exact
+
+
+def test_lsh_verified_pairs_plan_has_no_cross_join(spark, emb):
+    """The scale path must be equi-joins end to end — no nested-loop /
+    cartesian block-pair join anywhere in the physical plan."""
+    cand = SIM.lsh_candidate_pairs(emb)
+    pairs = SIM.verify_cosine_pairs(emb, cand, 0.95)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_verify_cosine_pairs_matches_cosine_pairs_values(spark):
+    """On a corpus where candidates cover all true pairs, the verified
+    output must equal cosine_pairs row-for-row (same rounding, same
+    threshold semantics)."""
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0]), (4, [0.001, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["id1"], r["id2"], r["cosine"]) for r in SIM.cosine_pairs(df, 0.9).collect()}
+    cand = SIM.lsh_candidate_pairs(df)
+    got = {(r["id1"], r["id2"], r["cosine"])
+           for r in SIM.verify_cosine_pairs(df, cand, 0.9).collect()}
+    assert got == exact
