@@ -40,7 +40,12 @@ def hash_bucket(key_col: str, seed: int = 0, buckets: int = _SPLIT_BUCKETS):
 
 
 def cap_per_group(
-    df: DataFrame, group_col: str, cap: int, order_col: str | None = None, seed: int = 0
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_col: str | None = None,
+    seed: int = 0,
+    salts: int = 16,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per ``group_col`` value — the domain-
     balancing gate of corpus curation (no single source/domain dominates
@@ -52,11 +57,23 @@ def cap_per_group(
     ``xxhash64(all columns, seed)``), stable across runs, cluster sizes,
     and input order — ``rand()`` would reseed per task attempt.
 
-    One window pass: a single shuffle on ``group_col``, no joins, no
-    collect.  Skew note: a pathologically hot group lands in one task;
-    for web-scale domain skew, pre-filter obviously-over-cap groups or
-    salt-and-recombine; the window itself is the standard
-    top-N-per-group plan.
+    Skew-safe two-phase plan (default): phase 1 windows over
+    ``(group, salt)`` where the salt is a deterministic row hash into
+    ``salts`` buckets, so a pathologically hot domain's work spreads
+    across up to ``salts`` tasks and each (group, salt) cell keeps its
+    own top-``cap``; phase 2 re-windows the ≤ ``salts``·``cap``
+    survivors per group to the final top-``cap``.  The global top-``cap``
+    of a group is a subset of the union of its per-salt top-``cap``s, so
+    survivors are IDENTICAL to the single-window plan (the ordering is a
+    total order per group — hash tiebreak — and duplicate rows hash to
+    the same salt, keeping the multiset stable).  Phase 1 shuffles the
+    full data once (same volume as the single-window plan, finer keys);
+    phase 2 shuffles only the per-group survivor slices.  ``salts=1``
+    degenerates to the classic single-window top-N-per-group plan.
+
+    Limitation: rows that are bit-identical across EVERY column share a
+    salt (there is no deterministic row identity to split them on), so a
+    group consisting of one row repeated N times still lands in one task.
     """
     from pyspark.sql import Window
 
@@ -64,9 +81,24 @@ def cap_per_group(
         order = [F.desc(order_col), F.xxhash64(*df.columns, F.lit(seed)).asc()]
     else:
         order = [F.xxhash64(*df.columns, F.lit(seed)).asc()]
-    w = Window.partitionBy(group_col).orderBy(*order)
+    if salts <= 1:
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+    salt = F.pmod(F.xxhash64(*df.columns, F.lit(seed + 1)), F.lit(salts))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order)
+    partial = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        partial.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )

@@ -147,37 +147,64 @@ TESTDATA_TABLES = (
 _NTZ_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata parquet table.
+def set_events_compat_conf(spark: SparkSession) -> None:
+    """int64-nanos parquet is refused by Spark 4 unless this legacy conf
+    is on.  The engine's own session factory sets it, but the driver
+    harness hands queries a vanilla session — set it at the read site so
+    the contract is session-agnostic.  Harmless for other encodings."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
 
-    The ``events`` table is normalized to the engine convention regardless
-    of how the driver encoded time on disk: ``ts_ns`` (long epoch
-    nanoseconds, lossless) plus ``ts`` (microsecond timestamp derived from
-    it).  Observed encodings across driver rounds: int64 nanoseconds
-    (round 1, needs nanosAsLong) and microsecond TIMESTAMP_NTZ (round 2).
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events frame to the engine convention regardless of
+    how the driver encoded time on disk: ``ts_ns`` (long epoch
+    nanoseconds, lossless) plus ``ts`` (microsecond timestamp derived
+    from it).  Observed encodings across driver rounds: int64
+    nanoseconds (round 1, needs nanosAsLong), microsecond TIMESTAMP_NTZ
+    (round 2); plain TIMESTAMP handled for completeness.  Any OTHER
+    dtype raises with the real problem named (an unconditional
+    ``withColumn`` would surface as an opaque UNRESOLVED_COLUMN error on
+    ts_ns instead).
+
+    Shared by the batch reader (:func:`load_table`) and the streaming
+    reader (streaming/jobs.py read_events_stream) so the two can never
+    drift on the next encoding change.
+
+    ``ts`` carries EPOCH semantics (naive wall-clock read as UTC): all
+    engine bucketing happens on ``ts_ns`` or epoch-aligned ``window()``;
+    do not apply session-timezone wall-clock extractions (``hour()``,
+    ``date()``) to ``ts`` — in a non-UTC session they would disagree
+    with the DuckDB oracle's naive reading of the same parquet values.
     """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumnRenamed("ts", "ts_ns")
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts_ns", F.expr(_NTZ_EPOCH_US) * F.lit(1000))
+    elif ts_type == "timestamp":
+        df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+    else:
+        raise ValueError(
+            f"unsupported events.ts dtype: {ts_type!r} "
+            "(expected bigint epoch-nanos, timestamp_ntz, or timestamp)"
+        )
+    # Integer division, NOT float: epoch-scale int64 nanos exceed a
+    # double's 53-bit mantissa, so (ts_ns / 1000).cast('long') is
+    # off by ±1 us for a sizable fraction of rows.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata parquet table; ``events`` is normalized
+    via :func:`normalize_events_ts`."""
     if name == "events":
-        # int64-nanos parquet is refused by Spark 4 unless this legacy
-        # conf is on.  The engine's own session factory sets it, but the
-        # driver harness hands queries a vanilla session — set it here so
-        # the contract is session-agnostic.  Harmless for other encodings.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        set_events_compat_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumnRenamed("ts", "ts_ns")
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts_ns", F.expr(_NTZ_EPOCH_US) * F.lit(1000))
-        elif ts_type == "timestamp":
-            df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
-        # Integer division, NOT float: epoch-scale int64 nanos exceed a
-        # double's 53-bit mantissa, so (ts_ns / 1000).cast('long') is
-        # off by ±1 us for a sizable fraction of rows.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

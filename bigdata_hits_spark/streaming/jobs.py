@@ -17,38 +17,28 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from bigdata_hits_spark.operators.events import HOUR_NS
-
-#: On-disk schema of the driver's events parquet (round-2 encoding:
-#: microsecond TIMESTAMP_NTZ — see sources/readers.py load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from bigdata_hits_spark.sources.readers import normalize_events_ts, set_events_compat_conf
 
 
 def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over an events parquet directory, normalized to
-    the engine's (ts_ns, ts) convention (same contract as
-    sources/readers.py load_table, so stream and batch twins agree)."""
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    the engine's (ts_ns, ts) convention via the SAME helper the batch
+    reader uses (sources/readers.py normalize_events_ts), so stream and
+    batch twins agree and cannot drift on an encoding change.
+
+    A file-source stream requires a declared schema; rather than
+    hardcoding one encoding of ``ts`` (the driver has already flipped
+    encodings between rounds — int64 nanos, then microsecond
+    TIMESTAMP_NTZ), the directory's ACTUAL schema is sniffed with a
+    one-off batch metadata read (parquet footers only, no data scan) and
+    the matching normalization is selected by ``normalize_events_ts``'s
+    dtype dispatch."""
+    set_events_compat_conf(spark)
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(path)
-    # Naive wall-clock treated as UTC epoch (tz-independent), then ts is
-    # re-derived with integer division — float division of epoch-scale
-    # nanos loses ±1 us, which can flip events across window/watermark
-    # bounds.
-    return raw.withColumn(
-        "ts_ns",
-        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-        * F.lit(1000),
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    return normalize_events_ts(reader.parquet(path))
 
 
 def hourly_event_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -98,6 +88,8 @@ def sessionize_stream(
     events: DataFrame,
     gap_ns: int = 1_800_000_000_000,
     state_timeout_ms: int | None = None,
+    event_time_ttl_ns: int | None = None,
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
     (``applyInPandasWithState`` — the reference has nothing stateful; this
@@ -110,12 +102,24 @@ def sessionize_stream(
     (user_id, session_idx) is the session's current shape — update-sink
     semantics.
 
-    ``state_timeout_ms`` bounds state for CONTINUOUS deployments: idle
-    users' state drops after that much processing time (the watermark
-    analogue for this operator).  It is opt-in (default None -> NoTimeout)
-    because a processing-time timeout keeps an ``availableNow`` finite
-    backfill/test run spinning state-cleanup triggers instead of
-    terminating.
+    Two opt-in state bounds (mutually exclusive; default NoTimeout):
+
+    - ``state_timeout_ms`` — processing-time: idle users' state drops
+      after that much WALL-CLOCK time.  Unsuitable for ``availableNow``
+      finite backfills (keeps the run spinning state-cleanup triggers)
+      and for backfills generally (wall-clock has no relation to the
+      backfill's event-time progress).
+    - ``event_time_ttl_ns`` — event-time (the watermark analogue): a
+      ``watermark`` is declared on ``ts`` and each user's state expires
+      once the watermark passes ``last event + gap_ns + ttl``, so state
+      is bounded by EVENT-time progress — exactly what a skewed backfill
+      needs (a fast partition racing ahead in wall-clock cannot evict
+      users the slow partition will still extend).  Sessions stay
+      batch-equivalent for any user whose next event arrives within
+      gap + ttl of event time; a user silent longer than that restarts
+      session numbering at 0 (the documented trade for dropping state —
+      session CONTENTS are always final by then, only the index
+      continuity is lost).
 
     In-order delivery per user is assumed within and across batches
     (events later than an already-closed session extend the CURRENT
@@ -124,6 +128,9 @@ def sessionize_stream(
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if state_timeout_ms is not None and event_time_ttl_ns is not None:
+        raise ValueError("state_timeout_ms and event_time_ttl_ns are mutually exclusive")
 
     def fold(key, pdf_iter, state: GroupState):
         import numpy as np
@@ -163,6 +170,12 @@ def sessionize_stream(
         state.update((session_idx, n_events, start_ns, last_ns))
         if state_timeout_ms is not None:
             state.setTimeoutDuration(state_timeout_ms)
+        elif event_time_ttl_ns is not None and last_ns is not None:
+            # Expire once the watermark passes last + gap + ttl; a
+            # timestamp at or below the current watermark is rejected by
+            # the state store, so clamp just above it (fires next round).
+            candidate_ms = (last_ns + gap_ns + event_time_ttl_ns) // 1_000_000
+            state.setTimeoutTimestamp(max(candidate_ms, state.getCurrentWatermarkMs() + 1))
         if touched:
             yield pd.DataFrame(
                 {
@@ -174,20 +187,26 @@ def sessionize_stream(
                 }
             )
 
-    return (
-        events.select("user_id", "event_id", "ts_ns")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fold,
-            outputStructType=SESSION_SCHEMA,
-            stateStructType=_SESSION_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=(
-                GroupStateTimeout.ProcessingTimeTimeout
-                if state_timeout_ms is not None
-                else GroupStateTimeout.NoTimeout
-            ),
+    if event_time_ttl_ns is not None:
+        # EventTimeTimeout requires a declared watermark; the event-time
+        # column rides along so the operator can track it (the fold keys
+        # off ts_ns as before).
+        src = events.withWatermark("ts", watermark).select(
+            "user_id", "event_id", "ts_ns", "ts"
         )
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    elif state_timeout_ms is not None:
+        src = events.select("user_id", "event_id", "ts_ns")
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        src = events.select("user_id", "event_id", "ts_ns")
+        timeout_conf = GroupStateTimeout.NoTimeout
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout_conf,
     )
 
 

@@ -89,3 +89,36 @@ def test_cap_per_group_deterministic_without_order(spark, sf_dir):
     reordered = docs.repartition(13).sortWithinPartitions(F.desc("doc_id"))
     b = {r["doc_id"] for r in cap_per_group(reordered, "source", 5).select("doc_id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_cap_per_group_skewed_hot_group_spreads_and_matches_single_window(spark):
+    """One group holding 50% of all rows: the salted two-phase plan must
+    spread the hot group's phase-1 work over >1 salt bucket (i.e. >1
+    task after the (group, salt) shuffle) and keep EXACTLY the same
+    survivors as the single-window plan."""
+    from bigdata_hits_spark.operators.sampling import cap_per_group
+
+    n = 4000
+    rows = [(i, "hot" if i < n // 2 else f"g{i % 37}", float(i % 997)) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+
+    salted = cap_per_group(df, "source", 10, order_col="q", salts=8)
+    single = cap_per_group(df, "source", 10, order_col="q", salts=1)
+    assert {r["doc_id"] for r in salted.collect()} == {r["doc_id"] for r in single.collect()}
+
+    # deterministic choice (no order_col) agrees too
+    salted_d = cap_per_group(df, "source", 7, salts=8)
+    single_d = cap_per_group(df, "source", 7, salts=1)
+    assert {r["doc_id"] for r in salted_d.collect()} == {r["doc_id"] for r in single_d.collect()}
+
+    # the hot group's rows really occupy >1 salt bucket — the property
+    # that splits its window work across tasks
+    salt = F.pmod(F.xxhash64(*df.columns, F.lit(1)), F.lit(8))
+    n_salts = (
+        df.filter(F.col("source") == "hot").select(salt.alias("s")).distinct().count()
+    )
+    assert n_salts > 1
+
+    # plan shape: two Window nodes, the first partitioned by the salt too
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2

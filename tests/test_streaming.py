@@ -153,3 +153,74 @@ def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, events_dir):
     b = streamed.sort_values(key).reset_index(drop=True)[sorted(streamed.columns)]
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_sessionize_stream_event_time_ttl_backfill_equals_batch(spark, tmp_path):
+    """Event-time state TTL: a multi-batch backfill with beyond-gap late
+    events must still match batch sessionization exactly — users who
+    reactivate within gap+ttl (event time) keep their session numbering,
+    and users idle past the TTL have their state dropped by watermark
+    progress (the fired-timeout path) without affecting the output."""
+    import glob
+    import os
+    import shutil
+
+    from bigdata_hits_spark.operators.events import sessionize
+    from bigdata_hits_spark.streaming.jobs import run_to_memory  # noqa: F401  (already imported at module scope in some layouts)
+
+    S = 1_000_000_000  # 1 second in ns
+    B = 1_000_000  # base offset (s): epoch-0 event times sit exactly on the
+    # initial watermark and are discarded by the late-row filter
+    files = [
+        # (event_id, ts_ns, user_id)
+        [(1, (B + 0) * S, 1), (2, (B + 50) * S, 1), (3, (B + 60) * S, 2)],
+        # user1: 120s extends session 0 (gap 70 <= 100); 300s is beyond
+        # the gap -> session 1 (the late beyond-gap arrival)
+        [(4, (B + 120) * S, 1), (5, (B + 300) * S, 1), (6, (B + 310) * S, 2)],
+        # watermark pushers: fire users 1/2 timeouts (last+gap+ttl ~ B+600s)
+        [(7, (B + 2000) * S, 3)],
+        [(8, (B + 2100) * S, 3)],
+    ]
+    stream_dir = str(tmp_path / "events_stream")
+    os.makedirs(stream_dir)
+    for i, rows in enumerate(files):
+        staging = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(rows, "event_id long, ts long, user_id long") \
+            .coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        dst = os.path.join(stream_dir, f"f{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    from bigdata_hits_spark.streaming.jobs import read_events_stream, sessionize_stream
+
+    gap_ns = 100 * S
+    stream_df = sessionize_stream(
+        read_events_stream(spark, stream_dir, max_files_per_trigger=1),
+        gap_ns=gap_ns,
+        event_time_ttl_ns=200 * S,
+        watermark="10 seconds",
+    )
+    run_to_memory(stream_df, "t_sessions_ttl", output_mode="update")
+    # The memory sink does not guarantee cross-batch row order, so "last
+    # row wins" is not reconstructible from scan order; session updates
+    # are monotone (n_events/end_s only grow, start_s is fixed), so the
+    # latest state per (user, session) is the per-key max/min.
+    streamed = (
+        spark.sql("SELECT * FROM t_sessions_ttl").toPandas()
+        .groupby(["user_id", "session_idx"], as_index=False)
+        .agg(n_events=("n_events", "max"), start_s=("start_s", "min"), end_s=("end_s", "max"))
+    )
+
+    all_rows = [r for f in files for r in f]
+    batch_events = spark.createDataFrame(all_rows, "event_id long, ts_ns long, user_id long")
+    batch = sessionize(batch_events, gap_ns=gap_ns).toPandas()
+
+    key = ["user_id", "session_idx"]
+    a = batch.sort_values(key).reset_index(drop=True)[sorted(batch.columns)]
+    b = streamed.sort_values(key).reset_index(drop=True)[sorted(streamed.columns)]
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # the beyond-gap late arrival really opened a numbered second session
+    # (the batch operator's running-sum numbering starts at 1)
+    assert set(map(tuple, b[["user_id", "session_idx"]].values)) >= {(1, 1), (1, 2)}
