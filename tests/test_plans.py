@@ -191,3 +191,40 @@ def test_power_step_shuffle_mode_has_no_broadcast(spark, sf_dir_oracle):
     assert "ShuffledHashJoin" in plan
     # edges stream from cache; only the score vector exchanges pre-join
     assert "InMemoryTableScan" in plan
+
+
+def test_bucketed_ranking_edges_no_exchange(spark, sf_dir_oracle):
+    """Prepared HITS step relations persisted as bucketed tables must run
+    the power step with ZERO edge-sized shuffle on a cold session — the
+    bucketed scan satisfies the grouped sum's distribution, so the only
+    exchange left is the broadcast of the (node-sized) score vector."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.operators.ranking import (
+        _hits_edges,
+        _step,
+        attach_ranking_edges,
+        hits,
+        persist_ranking_edges,
+    )
+    from bigdata_hits_spark.sources.derived import _g_ps
+
+    g = _g_ps(spark, sf_dir_oracle)
+    g2 = _g_ps(spark, sf_dir_oracle)  # fresh graph: no in-session prepared state
+    try:
+        persist_ranking_edges(g, "t_rank_edges", buckets=8)
+        attach_ranking_edges(g2, "t_rank_edges")
+        eh, _ea = _hits_edges(g2, None, "broadcast")
+        scores = g2.nodes.select("id", F.lit(1.0).alias("score"))
+        plan = _step(eh, scores, "broadcast")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+
+        # end-to-end: the bucketed-edge loop computes the same ranking
+        a = {(r["id"], round(r["score"], 7)) for r in hits(g, k=3).auths.collect()}
+        b = {(r["id"], round(r["score"], 7)) for r in hits(g2, k=3).auths.collect()}
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_rank_edges_hub")
+        spark.sql("DROP TABLE IF EXISTS t_rank_edges_auth")
+        g.release()
+        g2.release()
