@@ -38,8 +38,13 @@ weighted_hits.py:26 selects by raw header); the master is not hard-coded
 
 Beyond-reference pipeline jobs (no reference twin):
 
-- ``clean_corpus docs.parquet [min_quality] [near_dup_threshold]`` —
-  quality floor + exact/near dedup + stat columns, written as parquet.
+- ``clean_corpus docs.parquet [min_quality] [near_dup_threshold]
+  [embeddings.parquet [semantic_threshold]]`` — quality floor +
+  exact/near dedup (+ optional embedding-space dedup) + stat columns,
+  written as parquet.
+- ``semantic_dedup docs.parquet embeddings.parquet [threshold]`` —
+  embedding near-dup removal alone (sign-LSH candidates + exact cosine
+  verify), survivors written as parquet.
 - ``split_corpus docs.parquet key_col [train=0.9,test=0.1]`` —
   deterministic hash splits, written partitioned by split.
 - ``tfidf docs.parquet [id_col] [text_col]`` — per-(doc, term) tf-idf
@@ -208,14 +213,37 @@ def main(argv: list[str] | None = None) -> None:
             raise SystemExit("clean_corpus needs a documents parquet path")
         min_q = args.take(float, 0.4)
         near_t = args.take(float, 0.5)
+        emb_path = args.take()
+        sem_t = args.take(float, 0.95)
+        vectors = spark.read.parquet(emb_path) if emb_path else None
         cleaned, stats = clean_corpus(
-            spark.read.parquet(docs_path), min_q, near_t, with_stats=True
+            spark.read.parquet(docs_path),
+            min_q,
+            near_t,
+            with_stats=True,
+            vectors=vectors,
+            semantic_threshold=sem_t,
         )
         cleaned.write.mode("overwrite").parquet(os.path.join(out_dir, "clean_corpus"))
+        lex = f" lexical={stats.n_lexical}" if stats.n_lexical is not None else ""
         print(
             f"clean_corpus: raw={stats.n_raw} quality={stats.n_quality} "
-            f"exact={stats.n_exact} final={stats.n_final}"
+            f"exact={stats.n_exact}{lex} final={stats.n_final}"
         )
+    elif job == "semantic_dedup":
+        # semantic_dedup <docs.parquet> <embeddings.parquet> [threshold]
+        from bigdata_hits_spark.operators.similarity import semantic_dedup
+
+        docs_path = args.take()
+        emb_path = args.take()
+        if docs_path is None or emb_path is None:
+            raise SystemExit("semantic_dedup needs docs and embeddings parquet paths")
+        threshold = args.take(float, 0.95)
+        survivors = semantic_dedup(
+            spark.read.parquet(docs_path), spark.read.parquet(emb_path), threshold
+        )
+        survivors.write.mode("overwrite").parquet(os.path.join(out_dir, "semantic_dedup"))
+        print(f"semantic_dedup: survivors={survivors.count()}")
     elif job == "split_corpus":
         # split_corpus <docs.parquet> <key_col> [name=frac,name=frac,...]
         from bigdata_hits_spark.operators.sampling import deterministic_split

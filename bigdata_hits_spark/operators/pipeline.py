@@ -37,12 +37,15 @@ from bigdata_hits_spark.operators.dedup import exact_duplicates, minhash_near_du
 
 @dataclass(frozen=True)
 class CleanStats:
-    """Row counts after each stage, for pipeline observability."""
+    """Row counts after each stage, for pipeline observability.
+    ``n_lexical`` is None when the optional semantic stage is off (then
+    ``n_final`` IS the post-lexical count)."""
 
     n_raw: int
     n_quality: int
     n_exact: int
     n_final: int
+    n_lexical: int | None = None
 
 
 def clean_corpus(
@@ -52,10 +55,21 @@ def clean_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     with_stats: bool = False,
+    vectors: DataFrame | None = None,
+    vec_id_col: str = "vec_id",
+    semantic_threshold: float = 0.95,
 ) -> DataFrame | tuple[DataFrame, CleanStats]:
     """Clean a document corpus; returns surviving docs with per-doc stat
     columns (``quality``, ``n_tokens``, ``n_bpe_tokens``, ``lang_pred``,
     ``fingerprint``) appended.
+
+    ``vectors`` (optional) enables the embedding-space stage: after
+    lexical near-dup removal, documents whose embeddings are
+    cosine-similar beyond ``semantic_threshold`` collapse to one survivor
+    (operators/similarity.py semantic_dedup, sign-LSH candidates + exact
+    verify) — catches paraphrases MinHash misses.  It runs LAST so the
+    (most expensive) vector stage only sees lexically-unique survivors,
+    and the vector table is semi-joined down to them first.
 
     ``with_stats=True`` additionally returns per-stage row counts — each
     count is an extra action, so it is opt-in (a production run wants the
@@ -78,6 +92,26 @@ def clean_corpus(
     #    per cluster (operators/components.py).
     pairs = minhash_near_duplicates(exact, near_dup_threshold, id_col, text_col)
     final = dedup_survivors(exact, pairs, id_col)
+    n_lexical = None
+
+    # 3b. Optional semantic (embedding) near-dup removal — vectors are
+    #     first narrowed to the lexical survivors so the LSH stage never
+    #     signatures a document already dropped upstream.
+    if vectors is not None:
+        from bigdata_hits_spark.operators.similarity import semantic_dedup
+
+        if with_stats:
+            n_lexical = final.count()
+        vec_alive = vectors.join(
+            final.select(F.col(id_col).alias(vec_id_col)), vec_id_col, "left_semi"
+        )
+        final = semantic_dedup(
+            final,
+            vec_alive,
+            semantic_threshold,
+            doc_id_col=id_col,
+            vec_id_col=vec_id_col,
+        )
 
     # 4. Per-doc stats for downstream budgeting/routing — all JVM Column
     #    expressions, computed only for survivors.  ``lang_pred`` (not
@@ -99,5 +133,6 @@ def clean_corpus(
         n_quality=quality.count(),
         n_exact=exact.count(),
         n_final=final.count(),
+        n_lexical=n_lexical,
     )
     return final, stats

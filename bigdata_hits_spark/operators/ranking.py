@@ -228,11 +228,14 @@ def _power_iterate(
 #: governs the small-to-mid regime: the cap is the session's shuffle
 #: parallelism, which binds long before partition sizing matters at
 #: cluster scale (1e12 edges / thousands of shuffle partitions).  Locally
-#: it tunes task granularity — 10k rows/partition keeps a 600k-edge graph
-#: at one task per core on local[32] (measured ~25% faster per iteration
-#: than 50k), while sf0.01-sized gate graphs still get single-digit task
-#: counts.
-_EDGES_PER_PARTITION = 10_000
+#: it tunes task granularity.  50k rows/partition (12 tasks for a
+#: 600k-edge graph) beats 10k (32 tasks) by 15-20% across the whole
+#: iterative family at sf0.1/local[32]: per-task work is milliseconds,
+#: so one-task-per-core scheduling overhead dominates any parallelism
+#: gain.  (A 10k setting shipped briefly on a mis-measured "25%
+#: faster" claim and was the round-2 k3 bench regression; interleaved
+#: A/B runs at 10k/25k/50k/100k show 50k-100k equal-best, 10k worst.)
+_EDGES_PER_PARTITION = 50_000
 
 
 def _prepare(graph: Graph, part_col: str, *rels: DataFrame) -> tuple[DataFrame, ...]:

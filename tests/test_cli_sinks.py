@@ -128,3 +128,18 @@ def test_write_scores_text_single_file_order(spark, tmp_path):
     write_scores_text(df, path)
     rows = _read_scores(path)
     assert rows == [("x", 0.5), ("y", 0.3), ("z", 0.2)]
+
+
+def test_cli_semantic_dedup(spark, tmp_path):
+    """semantic_dedup subcommand: survivors written as parquet, count
+    bounded by the input."""
+    src = str(tmp_path / "docs_sd")
+    emb = str(tmp_path / "emb_sd")
+    out = str(tmp_path / "out_sd")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(emb)
+
+    cli.main(["semantic_dedup", src, emb, "0.95", "--out", out])
+    survivors = spark.read.parquet(os.path.join(out, "semantic_dedup"))
+    assert 0 < survivors.count() <= 500
+    assert "doc_id" in survivors.columns and "text" in survivors.columns

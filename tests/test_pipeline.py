@@ -40,3 +40,39 @@ def test_clean_corpus_stays_jvm_side_after_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = clean_corpus(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDFs
+
+
+def test_clean_corpus_with_semantic_stage(spark, sf_dir):
+    """The optional embedding stage composes end to end: output is a
+    subset of the lexical-only survivors, stats carry the extra funnel
+    point, and near-identical-embedding pairs collapse."""
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    lexical_only = clean_corpus(docs)
+    final, stats = clean_corpus(docs, vectors=vecs, with_stats=True)
+    kept = {r["doc_id"] for r in final.select("doc_id").collect()}
+    lex = {r["doc_id"] for r in lexical_only.select("doc_id").collect()}
+    assert kept <= lex
+    assert stats.n_lexical == len(lex)
+    assert stats.n_final == len(kept)
+
+
+def test_clean_corpus_semantic_collapses_planted_cluster(spark):
+    """Two docs with different text but near-identical embeddings must
+    collapse in the semantic stage and survive it in the lexical-only
+    run."""
+    long_text = "the quick brown fox jumps over the lazy dog " * 20
+    other_text = "completely different words here about spark engines " * 20
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, other_text), (3, "short")], ["doc_id", "text"]
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0005, 0.0]), (3, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    lex = {r["doc_id"] for r in
+           clean_corpus(docs, min_quality=0.0).select("doc_id").collect()}
+    sem = {r["doc_id"] for r in
+           clean_corpus(docs, min_quality=0.0, vectors=vecs).select("doc_id").collect()}
+    assert {1, 2} <= lex
+    assert 2 not in sem and 1 in sem
