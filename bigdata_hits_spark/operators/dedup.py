@@ -287,3 +287,81 @@ def ngram_jaccard_pairs(
         .select("id1", "id2")
     )
     return _jaccard_verify(candidates, shingle_arrays(docs, id_col, text_col), threshold)
+
+
+def band_rows(signatures: DataFrame) -> DataFrame:
+    """Public banding: (id, band_id, sig) rows from a signature table —
+    the join key layout for both self- and cross-corpus candidate
+    generation."""
+    return _band_rows(signatures)
+
+
+def signature_jaccard_estimate(cand: DataFrame, s1: DataFrame, s2: DataFrame) -> DataFrame:
+    """(id1, id2, est_jaccard): MinHash estimate — the fraction of equal
+    signature components — for candidate pairs, attaching each side by an
+    id equi-join.  The standard store-only-signatures regime: bodies of
+    the historical corpus are NEVER read again, so the estimate (1/16
+    granularity at NUM_HASHES=16) replaces exact verification for
+    new-vs-old pairs."""
+    a = s1.select(F.col("id").alias("id1"), *[F.col(f"h{j}").alias(f"a{j}") for j in range(NUM_HASHES)])
+    b = s2.select(F.col("id").alias("id2"), *[F.col(f"h{j}").alias(f"b{j}") for j in range(NUM_HASHES)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(NUM_HASHES)
+    )
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .select("id1", "id2", (matches / F.lit(float(NUM_HASHES))).alias("est_jaccard"))
+    )
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    corpus_signatures: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW document batch against an existing corpus represented
+    ONLY by its MinHash signature table — the day-2 shape of a production
+    corpus: yesterday's 100 TB is never re-shingled, its state is 16
+    longs per document.
+
+    Three stages, all candidate-bounded:
+
+    1. new-vs-new: banded LSH self-join + EXACT Jaccard verify (bodies of
+       the new batch are at hand), minimum-id survivor per cluster.
+    2. new-vs-old: banded cross-join of the new batch's bands against the
+       corpus bands, MinHash-ESTIMATED Jaccard
+       (:func:`signature_jaccard_estimate`) >= ``threshold`` drops the
+       new doc (the historical copy always wins).
+    3. Returns ``(survivors, survivor_signatures)`` — the caller appends
+       the signature rows to the store, keeping the state invariant.
+
+    The estimate has 1/NUM_HASHES granularity, so stage 2's effective
+    threshold is the nearest achievable fraction; near-exact duplicates
+    (est = 1.0) are always caught.
+    """
+    new_sigs = minhash_signatures(new_docs, id_col, text_col)
+
+    # Stage 1: exact dedup within the new batch.
+    intra_pairs = minhash_near_duplicates(new_docs, threshold, id_col, text_col)
+    from bigdata_hits_spark.operators.components import dedup_survivors
+
+    intra = dedup_survivors(new_docs, intra_pairs, id_col)
+
+    # Stage 2: estimated dedup against the historical signatures.
+    nb = band_rows(new_sigs).select(F.col("id").alias("id1"), "band_id", "sig")
+    ob = band_rows(corpus_signatures).select(F.col("id").alias("id2"), "band_id", "sig")
+    cross_cand = nb.join(ob, ["band_id", "sig"]).select("id1", "id2").distinct()
+    est = signature_jaccard_estimate(cross_cand, new_sigs, corpus_signatures)
+    dup_of_old = (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id1").alias(id_col))
+        .distinct()
+    )
+    survivors = intra.join(dup_of_old, id_col, "left_anti")
+    survivor_sigs = new_sigs.join(
+        survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
+    )
+    return survivors, survivor_sigs

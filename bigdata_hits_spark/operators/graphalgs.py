@@ -1,0 +1,133 @@
+"""Graph analytics beyond the ranking family: triangle counting and
+label-propagation communities.
+
+Beyond-reference breadth (the reference stops at HITS/SALSA —
+``/root/reference/src``): these are the other two staples of large-scale
+graph analysis, built on the same (src, dst) edge contract as
+operators/graph.py and the same loop discipline as the ranking core.
+
+Scale notes:
+
+- Triangle counting uses the DEGREE-ORDERED orientation (Cohen's
+  MapReduce formulation / the standard Spark wedge-join shape): edges are
+  oriented from the lower-(degree, id) endpoint to the higher one, so
+  every wedge is enumerated at its LOWEST-degree vertex.  Work drops from
+  sum(deg²) — quadratic in the hottest hub's degree — to O(m^1.5)
+  regardless of skew, which is the difference between "dies on the first
+  celebrity node" and "runs" at web scale.  All joins are equi-joins on
+  node ids.
+- Label propagation is synchronous min-of-mode: per round every node
+  adopts the smallest among its neighbors' most frequent labels (the
+  min tiebreak makes the textbook-nondeterministic algorithm fully
+  deterministic and engine-portable).  Each round is two key-only
+  shuffles ((edge, label) attach + per-node mode), with localCheckpoint
+  lineage truncation per round exactly like ranking/components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from bigdata_hits_spark.plans.iterate import materialize
+
+
+def _symmetric_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct undirected edge set, both directions, self-loops dropped."""
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    return fwd.unionByName(rev).filter(F.col("a") != F.col("b")).distinct()
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, triangles): number of undirected triangles through each node
+    appearing in ``edges`` (direction and multiplicity ignored, self-loops
+    dropped — the standard social-graph clustering measure).
+
+    Degree-ordered plan: orient each undirected edge from its lower
+    (degree, id) endpoint to the higher, enumerate wedges by self-joining
+    the oriented list on the pivot, and close each wedge against the
+    oriented edge set.  Every triangle is found exactly once, and wedge
+    fan-out is bounded by the SMALLER endpoint's degree — hub skew never
+    amplifies.
+    """
+    sym = _symmetric_edges(edges, src, dst)
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+
+    # Orientation rank: (degree, id) — total order, so exactly one
+    # direction survives per undirected edge.
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    oriented = (
+        sym.join(da, "a")
+        .join(db, "b")
+        .filter(
+            (F.col("deg_a") < F.col("deg_b"))
+            | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+        )
+        .select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+    )
+
+    # Wedges pivoting at the low end: (u -> v), (u -> w) with v < w in
+    # orientation order is implied by joining two oriented copies and
+    # de-duplicating the unordered (v, w) pair with a < comparison on the
+    # oriented rank; since both v and w rank above u, comparing (deg, id)
+    # reduces to comparing the oriented edge targets directly.
+    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    # Close the wedge: the (v, w) edge is oriented either way; check both
+    # by normalizing to the unordered pair via a semi-join against the
+    # symmetric set restricted to one direction.
+    closing = sym.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    triangles = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
+
+    per_node = (
+        triangles.select(F.col("u").alias("id"))
+        .unionByName(triangles.select(F.col("v").alias("id")))
+        .unionByName(triangles.select(F.col("w").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    return nodes.join(per_node, "id", "left").select(
+        "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    k: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, community) after ``k`` synchronous label-propagation rounds
+    over the undirected graph; labels start as the node ids.
+
+    Deterministic variant: each round every node adopts the MINIMUM among
+    its neighbors' most-frequent labels (ties on frequency broken toward
+    the smaller label), so results are stable across runs, partitionings,
+    and engines — the textbook random tiebreak is useless for a gated
+    pipeline.  Covers every node incident to an edge (an edge-list input
+    carries no isolated nodes).  Per round: one (edge ⋈ label) shuffle +
+    one per-node mode aggregate; lineage truncated per round.
+    """
+    sym = materialize(_symmetric_edges(edges, src, dst))
+    labels = materialize(
+        sym.select(F.col("a").alias("id")).distinct().withColumn("community", F.col("id"))
+    )
+    for _ in range(k):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .select(F.col("a").alias("id"), "community")
+            .groupBy("id", "community")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("freq"), F.asc("community"))
+        labels = materialize(
+            nbr.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "community")
+        )
+    return labels

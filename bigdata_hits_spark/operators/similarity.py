@@ -546,3 +546,34 @@ def lsh_bucket_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = round(x_i / s)``
+    with ``s = max|x| / 127`` — an ``array<tinyint>`` plus one double
+    scale per row, 4-8x smaller than float32/64 arrays at rest AND in
+    every shuffle/broadcast that moves vectors.
+
+    Pure Column expressions (transform/array_max), no UDF.  Zero vectors
+    get scale 0 and quantize to zeros.  The quantization error per
+    coordinate is <= s/2, so dequantized cosine deviates by O(1/127) —
+    fine for ANN candidate generation; re-rank survivors against the
+    full-precision column when exactness matters."""
+    x = F.col(vec_col)
+    mx = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    s = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
+    q = F.when(
+        mx > 0,
+        F.transform(x, lambda v: F.round(v.cast("double") / (mx / F.lit(127.0))).cast("tinyint")),
+    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+    return vectors.withColumn(scale_col, s).withColumn(q_col, q)
+
+
+def dequantize_embedding(q: Column, scale: Column) -> Column:
+    """array<double> back from an int8-quantized vector."""
+    return F.transform(q, lambda v: v.cast("double") * scale)

@@ -55,3 +55,36 @@ def test_ngram_jaccard_pairs(spark, docs):
            DD.ngram_jaccard_pairs(docs, threshold=0.1, min_shared=1).collect()}
     assert res[(1, 2)] == 1.0
     assert (1, 4) not in res
+
+
+def test_minhash_dedup_incremental_against_signature_store(spark):
+    """New batch vs a signature-only historical corpus: exact dup of an
+    old doc is dropped, intra-batch near-dups collapse to min id, fresh
+    docs survive, and returned signatures cover exactly the survivors."""
+    from bigdata_hits_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today "
+    old_docs = spark.createDataFrame(
+        [(1, base * 5), (2, "an entirely different historical document " * 8)],
+        ["doc_id", "text"],
+    )
+    old_sigs = minhash_signatures(old_docs)
+
+    new_docs = spark.createDataFrame(
+        [
+            (10, base * 5),                                   # exact dup of old #1
+            (11, "fresh new content about spark engines " * 8),
+            (12, "fresh new content about spark engines " * 8),  # intra-batch dup of 11
+            (13, "totally unrelated brand new text " * 8),
+        ],
+        ["doc_id", "text"],
+    )
+    survivors, sigs = minhash_dedup_incremental(new_docs, old_sigs, threshold=0.5)
+    kept = {r["doc_id"] for r in survivors.collect()}
+    assert 10 not in kept          # dup of historical corpus
+    assert 11 in kept and 12 not in kept  # intra-batch pair -> min id survives
+    assert 13 in kept
+    assert {r["id"] for r in sigs.collect()} == kept

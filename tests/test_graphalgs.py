@@ -1,0 +1,78 @@
+"""Triangle counting and label propagation vs brute-force oracles."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators.graphalgs import label_propagation, triangle_counts
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {n: 0 for n in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] += 1
+    return counts
+
+
+def test_triangles_on_known_shapes(spark):
+    # K4 (every node in 3 triangles) plus a pendant node (0 triangles)
+    k4 = [(a, b) for a, b in itertools.combinations(["A", "B", "C", "D"], 2)]
+    edges = k4 + [("D", "E")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {"A": 3, "B": 3, "C": 3, "D": 3, "E": 0}
+
+
+def test_triangles_random_graph_matches_bruteforce(spark):
+    rng = random.Random(7)
+    pairs = list({(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(150)})
+    # direction/multiplicity noise: add some reversed duplicates
+    noisy = pairs + [(b, a) for a, b in pairs[::3]]
+    df = spark.createDataFrame(noisy, "src string, dst string")
+    got = {r["id"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == _brute_triangles(pairs)
+
+
+def test_triangles_skew_plan_has_no_cartesian(spark):
+    """A hot hub (star) must not blow up: star graphs have zero triangles
+    and the plan is equi-joins only."""
+    star = [("hub", f"s{i}") for i in range(200)]
+    df = spark.createDataFrame(star + [("s0", "s1")], "src string, dst string")
+    tri = triangle_counts(df)
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {r["id"]: r["triangles"] for r in tri.collect()}
+    assert got["hub"] == 1 and got["s0"] == 1 and got["s2"] == 0
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two tight cliques joined by one bridge edge settle into two
+    communities labeled by each clique's minimum id."""
+    c1 = [(a, b) for a, b in itertools.combinations(["a1", "a2", "a3", "a4"], 2)]
+    c2 = [(a, b) for a, b in itertools.combinations(["b1", "b2", "b3", "b4"], 2)]
+    df = spark.createDataFrame(c1 + c2 + [("a1", "b1")], "src string, dst string")
+    got = {r["id"]: r["community"] for r in label_propagation(df, k=5).collect()}
+    assert {got[n] for n in ("a1", "a2", "a3", "a4")} == {"a1"}
+    assert {got[n] for n in ("b1", "b2", "b3", "b4")} == {"a1", "b1"} or {
+        got[n] for n in ("b2", "b3", "b4")
+    } == {"b1"}
+
+
+def test_label_propagation_deterministic_across_repartition(spark):
+    rng = random.Random(11)
+    pairs = list({(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(120)})
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    a = {(r["id"], r["community"]) for r in label_propagation(df, k=4).collect()}
+    shuffled = df.repartition(17).sortWithinPartitions(F.desc("src"))
+    b = {(r["id"], r["community"]) for r in label_propagation(shuffled, k=4).collect()}
+    assert a == b and len(a) > 0

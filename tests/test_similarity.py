@@ -172,3 +172,48 @@ def test_verify_cosine_pairs_matches_cosine_pairs_values(spark):
     got = {(r["id1"], r["id2"], r["cosine"])
            for r in SIM.verify_cosine_pairs(df, cand, 0.9).collect()}
     assert got == exact
+
+
+def test_quantize_embeddings_roundtrip_and_cosine_error(spark, emb):
+    """int8 round trip: per-coordinate error bounded by scale/2, and
+    cosine over dequantized vectors within ~1% of exact."""
+    from bigdata_hits_spark.operators.similarity import (
+        dequantize_embedding,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(emb)
+    row = q.select(
+        "embedding",
+        "q_scale",
+        dequantize_embedding(F.col("q_embedding"), F.col("q_scale")).alias("deq"),
+    ).first()
+    for orig, back in zip(row["embedding"], row["deq"]):
+        assert abs(float(orig) - back) <= row["q_scale"] / 2 + 1e-12
+
+    deq = q.select(
+        F.col("vec_id"), dequantize_embedding(F.col("q_embedding"), F.col("q_scale")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["qid"], r["cid"]): r["cosine"] for r in SIM.cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r["qid"], r["cid"]): r["cosine"]
+              for r in SIM.cosine_topk(deq, queries.join(deq.select(F.col("vec_id")), "vec_id", "left_semi"), k=5).collect()}
+    shared = set(exact) & set(approx)
+    assert len(shared) >= 10  # top lists mostly agree
+    for key in shared:
+        assert abs(exact[key] - approx[key]) < 0.02
+
+
+def test_quantize_embeddings_no_python_udf(spark, emb):
+    from bigdata_hits_spark.operators.similarity import quantize_embeddings
+
+    plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_quantize_zero_vector(spark):
+    from bigdata_hits_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    row = quantize_embeddings(df).first()
+    assert row["q_scale"] == 0.0 and list(row["q_embedding"]) == [0, 0]
