@@ -31,15 +31,21 @@ from pyspark.sql import DataFrame, Window, functions as F
 from bigdata_hits_spark.plans.iterate import materialize
 
 
-def _symmetric_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Distinct undirected edge set, both directions, self-loops dropped."""
+def symmetric_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct undirected (a, b) edge set, both directions materialized,
+    self-loops dropped — the shared input shape of both operators below.
+    Callers running SEVERAL analytics over one graph should build this
+    once (e.g. ``graph.memo``), pin it, and pass it via ``sym=``."""
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     return fwd.unionByName(rev).filter(F.col("a") != F.col("b")).distinct()
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    sym: DataFrame | None = None,
 ) -> DataFrame:
     """(id, triangles): number of undirected triangles through each node
     appearing in ``edges`` (direction and multiplicity ignored, self-loops
@@ -52,7 +58,8 @@ def triangle_counts(
     fan-out is bounded by the SMALLER endpoint's degree — hub skew never
     amplifies.
     """
-    sym = _symmetric_edges(edges, src, dst)
+    if sym is None:
+        sym = symmetric_edges(edges, src, dst)
     deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
 
     # Orientation rank: (degree, id) — total order, so exactly one
@@ -101,6 +108,7 @@ def label_propagation(
     k: int = 5,
     src: str = "src",
     dst: str = "dst",
+    sym: DataFrame | None = None,
 ) -> DataFrame:
     """(id, community) after ``k`` synchronous label-propagation rounds
     over the undirected graph; labels start as the node ids.
@@ -113,7 +121,12 @@ def label_propagation(
     carries no isolated nodes).  Per round: one (edge ⋈ label) shuffle +
     one per-node mode aggregate; lineage truncated per round.
     """
-    sym = materialize(_symmetric_edges(edges, src, dst))
+    # Pre-partition the (large) symmetric edge set on the join key ONCE;
+    # localCheckpoint pins the partitioning, so each round's equi-join
+    # exchanges only the (node-sized) label vector — the same
+    # edges-never-move discipline as the ranking loop.
+    if sym is None:
+        sym = materialize(symmetric_edges(edges, src, dst).repartition("b"))
     labels = materialize(
         sym.select(F.col("a").alias("id")).distinct().withColumn("community", F.col("id"))
     )
@@ -124,10 +137,19 @@ def label_propagation(
             .groupBy("id", "community")
             .agg(F.count(F.lit(1)).alias("freq"))
         )
-        w = Window.partitionBy("id").orderBy(F.desc("freq"), F.asc("community"))
+        # min-of-mode as a struct-min aggregate (struct ordering: highest
+        # freq via negation, then smallest label) — partial-aggregatable,
+        # unlike a sort-based row_number window.
         labels = materialize(
-            nbr.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("id", "community")
+            nbr.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.lit(0) - F.col("freq")).alias("neg_freq"),
+                        F.col("community").alias("community"),
+                    )
+                ).alias("best")
+            )
+            .select("id", F.col("best.community").alias("community"))
         )
     return labels
