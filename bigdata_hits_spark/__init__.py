@@ -24,6 +24,16 @@ from bigdata_hits_spark.operators.ranking import (
     list_topics,
 )
 from bigdata_hits_spark.operators.components import connected_components, dedup_survivors
+from bigdata_hits_spark.operators.graphalgs import (
+    label_propagation,
+    symmetric_edges,
+    triangle_counts,
+)
+from bigdata_hits_spark.operators.dedup import minhash_dedup_incremental
+from bigdata_hits_spark.operators.similarity import (
+    quantize_embeddings,
+    semantic_dedup,
+)
 from bigdata_hits_spark.operators.pipeline import clean_corpus
 from bigdata_hits_spark.operators.sampling import (
     cap_per_group,
@@ -47,6 +57,12 @@ __all__ = [
     "list_topics",
     "connected_components",
     "dedup_survivors",
+    "label_propagation",
+    "symmetric_edges",
+    "triangle_counts",
+    "minhash_dedup_incremental",
+    "quantize_embeddings",
+    "semantic_dedup",
     "clean_corpus",
     "cap_per_group",
     "deterministic_split",
