@@ -38,6 +38,11 @@ weighted_hits.py:26 selects by raw header); the master is not hard-coded
 
 Beyond-reference pipeline jobs (no reference twin):
 
+- ``pagerank [num_iter [beta [nodes edges]]]`` — textbook PageRank
+  scores as ``pagerank_scores.txt``.
+- ``triangles nodes edges`` / ``label_propagation [k [nodes edges]]`` —
+  graph analytics written as parquet.
+
 - ``clean_corpus docs.parquet [min_quality] [near_dup_threshold]
   [embeddings.parquet [semantic_threshold]]`` — quality floor +
   exact/near dedup (+ optional embedding-space dedup) + stat columns,
@@ -204,6 +209,35 @@ def main(argv: list[str] | None = None) -> None:
             os.path.join(out_dir, "node_topics.txt")
         )
     # --- beyond-reference pipeline jobs (no reference twin) ------------
+    elif job == "pagerank":
+        # pagerank [num_iter [beta [nodes edges]]] — textbook semantics
+        # (full node set, L1 renormalized), scores written like the
+        # ranking jobs but as a single vector.
+        from bigdata_hits_spark.operators.ranking import pagerank
+
+        k = args.take(int, DEFAULT_ITER)
+        beta = args.take(float, 0.85)
+        g = _load_graph(spark, *args.take_paths())
+        write_scores_text(
+            pagerank(g, k=k, beta=beta), os.path.join(out_dir, "pagerank_scores.txt")
+        )
+    elif job == "triangles":
+        # triangles <nodes> <edges> — per-node undirected triangle counts
+        from bigdata_hits_spark.operators.graphalgs import triangle_counts
+
+        g = _load_graph(spark, *args.take_paths())
+        triangle_counts(g.edges).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "triangles")
+        )
+    elif job == "label_propagation":
+        # label_propagation [k [nodes edges]] — deterministic communities
+        from bigdata_hits_spark.operators.graphalgs import label_propagation
+
+        k = args.take(int, 5)
+        g = _load_graph(spark, *args.take_paths())
+        label_propagation(g.edges, k=k).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "label_propagation")
+        )
     elif job == "clean_corpus":
         # clean_corpus <docs.parquet> [min_quality] [near_dup_threshold]
         from bigdata_hits_spark.operators.pipeline import clean_corpus

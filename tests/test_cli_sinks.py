@@ -143,3 +143,23 @@ def test_cli_semantic_dedup(spark, tmp_path):
     survivors = spark.read.parquet(os.path.join(out, "semantic_dedup"))
     assert 0 < survivors.count() <= 500
     assert "doc_id" in survivors.columns and "text" in survivors.columns
+
+
+def test_cli_pagerank_and_graph_analytics(spark, csv_graph, tmp_path):
+    """pagerank/triangles/label_propagation subcommands run end to end on
+    the CSV graph and write their outputs."""
+    nodes, edges, _ = csv_graph
+    out = str(tmp_path / "out_graphalgs")
+
+    cli.main(["pagerank", "3", "0.85", nodes, edges, "--out", out])
+    scores = _read_scores(os.path.join(out, "pagerank_scores.txt"))
+    assert len(scores) > 0
+    assert abs(sum(s for _, s in scores) - 1.0) < 1e-6  # L1-normalized
+
+    cli.main(["triangles", nodes, edges, "--out", out])
+    tri = spark.read.parquet(os.path.join(out, "triangles"))
+    assert tri.count() > 0 and set(tri.columns) == {"id", "triangles"}
+
+    cli.main(["label_propagation", "3", nodes, edges, "--out", out])
+    lp = spark.read.parquet(os.path.join(out, "label_propagation"))
+    assert lp.count() > 0 and set(lp.columns) == {"id", "community"}
