@@ -73,21 +73,25 @@ def triangle_counts(
             (F.col("deg_a") < F.col("deg_b"))
             | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
         )
-        .select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+        .select(F.col("a").alias("lo"), F.col("b").alias("hi"), F.col("deg_b").alias("deg_hi"))
     )
 
-    # Wedges pivoting at the low end: (u -> v), (u -> w) with v < w in
-    # orientation order is implied by joining two oriented copies and
-    # de-duplicating the unordered (v, w) pair with a < comparison on the
-    # oriented rank; since both v and w rank above u, comparing (deg, id)
-    # reduces to comparing the oriented edge targets directly.
-    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
-    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
-    # Close the wedge: the (v, w) edge is oriented either way; check both
-    # by normalizing to the unordered pair via a semi-join against the
-    # symmetric set restricted to one direction.
-    closing = sym.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    # Wedges pivoting at the low end, ordered by ORIENTATION rank
+    # ((deg, id) of the two high endpoints): with v strictly below w in
+    # that order, a closing edge between them is oriented v -> w by
+    # construction, so the close is a semi-join against the ORIENTED set
+    # (half the symmetric set) with no direction ambiguity.
+    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("deg_hi").alias("dv"))
+    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("deg_hi").alias("dw"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+        .select("u", "v", "w")
+    )
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
     triangles = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
 
     per_node = (
