@@ -38,6 +38,8 @@ from bigdata_hits_spark.operators.pipeline import clean_corpus
 from bigdata_hits_spark.operators.sampling import (
     cap_per_group,
     deterministic_split,
+    pack_documents,
+    sample_to_token_budget,
     stratified_sample,
 )
 from bigdata_hits_spark.operators.textstats import ngram_overlap, repetition_signals, tfidf
@@ -66,6 +68,8 @@ __all__ = [
     "clean_corpus",
     "cap_per_group",
     "deterministic_split",
+    "pack_documents",
+    "sample_to_token_budget",
     "stratified_sample",
     "ngram_overlap",
     "repetition_signals",

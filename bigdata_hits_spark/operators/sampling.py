@@ -17,7 +17,7 @@ the parity twin).  A training-data pipeline needs two more shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 #: Granularity of the hash-split buckets: fractions are rounded to 1/10000.
 _SPLIT_BUCKETS = 10_000
@@ -75,8 +75,6 @@ def cap_per_group(
     salt (there is no deterministic row identity to split them on), so a
     group consisting of one row repeated N times still lands in one task.
     """
-    from pyspark.sql import Window
-
     if order_col is not None:
         order = [F.desc(order_col), F.xxhash64(*df.columns, F.lit(seed)).asc()]
     else:
@@ -129,3 +127,103 @@ def deterministic_split(
     # remainder into the last split so the assignment is exhaustive.
     last = list(weights)[-1]
     return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    group_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep a deterministic pseudo-random subset whose ``token_col`` sum
+    stays within ``budget`` (per ``group_col`` value when given, else
+    globally) — the "give me ~N tokens of this source" gate of training-
+    mix construction, where capping ROWS (cap_per_group) is the wrong
+    unit because document lengths vary by orders of magnitude.
+
+    Rows are ordered by ``xxhash64(all columns, seed)`` (stable across
+    runs, partitionings, and input order) and kept while the running
+    token total up to and INCLUDING the row is <= budget: the kept set is
+    a prefix of a fixed permutation, so shrinking the budget yields a
+    subset of a larger budget's sample (nested samples — useful for
+    scaling-law sweeps).  One window pass per group; combine with
+    :func:`cap_per_group`-style salting upstream if a single group's rows
+    exceed one task's comfort.
+    """
+    order = F.xxhash64(*df.columns, F.lit(seed)).asc()
+    keys = [group_col] if group_col else []
+    w = (
+        Window.partitionBy(*keys).orderBy(order)
+        if keys
+        else Window.partitionBy().orderBy(order)
+    )
+    running = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", running)
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(pack_id, doc_ids, n_docs, total_tokens): greedy sequence packing —
+    group documents into bins of at most ``max_tokens`` combined tokens,
+    the standard preprocessing step that turns a ragged corpus into
+    dense fixed-budget training sequences.
+
+    Deterministic and shuffle-light: rows are hash-partitioned by id,
+    then packed per partition in (token desc, id) order with a greedy
+    running-total cut (a document longer than ``max_tokens`` gets a pack
+    of its own).  Packing never crosses partitions, so there is no global
+    coordination — at 100 TB each task packs its own slice and pack ids
+    are globally unique by (partition, local index).  The greedy
+    first-fit-decreasing order wastes at most ~the largest document per
+    bin boundary versus optimal.
+    """
+    import pandas as pd
+
+    src = df.select(F.col(id_col).alias("id"), F.col(token_col).cast("long").alias("n"))
+    parted = src.repartition(F.col("id"))
+
+    def pack(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["n", "id"], ascending=[False, True])
+            part_key = str(pdf["id"].iloc[0])
+            packs: list[tuple[list, int]] = []
+            for doc_id, n in zip(pdf["id"], pdf["n"]):
+                placed = False
+                for p in packs:
+                    if p[1] + n <= max_tokens:
+                        p[0].append(doc_id)
+                        p[1] += n
+                        placed = True
+                        break
+                if not placed:
+                    packs.append([[doc_id], n])
+            yield pd.DataFrame(
+                {
+                    "pack_key": [f"{part_key}_{i}" for i in range(len(packs))],
+                    "doc_ids": [sorted(p[0]) for p in packs],
+                    "n_docs": [len(p[0]) for p in packs],
+                    "total_tokens": [p[1] for p in packs],
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return parted.mapInPandas(
+        pack,
+        schema=(
+            f"pack_key string, doc_ids array<{id_type}>, "
+            "n_docs long, total_tokens long"
+        ),
+    )

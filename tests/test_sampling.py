@@ -122,3 +122,49 @@ def test_cap_per_group_skewed_hot_group_spreads_and_matches_single_window(spark)
     # plan shape: two Window nodes, the first partitioned by the salt too
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") >= 2
+
+
+def test_sample_to_token_budget_per_group_and_nesting(spark, sf_dir):
+    from bigdata_hits_spark.operators.sampling import sample_to_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " "))
+    )
+    small = sample_to_token_budget(docs, 300, "n_tok", group_col="source")
+    big = sample_to_token_budget(docs, 1_500, "n_tok", group_col="source")
+    sums = {r["source"]: r["s"] for r in
+            small.groupBy("source").agg(F.sum("n_tok").alias("s")).collect()}
+    assert sums and all(s <= 300 for s in sums.values())
+    # nested-sample property: the small budget's rows are a subset of the
+    # big budget's rows (same fixed permutation, shorter prefix)
+    small_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    big_ids = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert small_ids <= big_ids and len(small_ids) < len(big_ids)
+    # determinism under reordering
+    reordered = docs.repartition(13).sortWithinPartitions(F.desc("doc_id"))
+    again = {r["doc_id"] for r in
+             sample_to_token_budget(reordered, 300, "n_tok", group_col="source")
+             .select("doc_id").collect()}
+    assert again == small_ids
+
+
+def test_pack_documents_budget_and_coverage(spark, sf_dir):
+    from bigdata_hits_spark.operators.sampling import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " "))
+    )
+    packs = pack_documents(docs, 500, "n_tok").collect()
+    assert len(packs) > 0
+    # every pack within budget unless it is a single oversized doc
+    for p in packs:
+        assert p["total_tokens"] <= 500 or p["n_docs"] == 1
+    # exact partition of the corpus: every doc in exactly one pack
+    all_ids = [d for p in packs for d in p["doc_ids"]]
+    assert len(all_ids) == len(set(all_ids)) == docs.count()
+    # token totals agree with the source
+    total = docs.agg(F.sum("n_tok")).first()[0]
+    assert sum(p["total_tokens"] for p in packs) == total
+    # packing is dense: average fill of multi-doc packs is reasonable
+    multi = [p for p in packs if p["total_tokens"] <= 500]
+    assert sum(p["total_tokens"] for p in multi) / (500 * len(multi)) > 0.5
