@@ -158,3 +158,56 @@ def test_asof_matches_pandas_merge_asof(spark, data):
         int(r.lid): (None if pd.isna(r.rid) else int(r.rid)) for r in merged.itertuples()
     }
     assert got == expect
+
+
+cap_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400),          # doc_id-ish
+        st.sampled_from(["hot", "g1", "g2", "g3"]),       # skewed groups
+        st.integers(min_value=0, max_value=50),           # order/quality
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=cap_rows_strategy, cap=st.integers(min_value=1, max_value=5))
+def test_cap_per_group_salted_equals_single_window(spark, rows, cap):
+    from bigdata_hits_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, q long")
+    salted = {r["doc_id"] for r in cap_per_group(df, "source", cap, order_col="q", salts=4).collect()}
+    single = {r["doc_id"] for r in cap_per_group(df, "source", cap, order_col="q", salts=1).collect()}
+    assert salted == single
+    salted_r = {r["doc_id"] for r in cap_per_group(df, "source", cap, salts=4).collect()}
+    single_r = {r["doc_id"] for r in cap_per_group(df, "source", cap, salts=1).collect()}
+    assert salted_r == single_r
+
+
+pack_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),     # doc_id
+        st.integers(min_value=1, max_value=300),     # n_tok (some > budget)
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=pack_rows_strategy)
+def test_pack_documents_is_exact_partition_within_budget(spark, rows):
+    from bigdata_hits_spark.operators.sampling import pack_documents
+
+    budget = 200
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    packs = pack_documents(df, budget, "n_tok").collect()
+    ids = [d for p in packs for d in p["doc_ids"]]
+    assert sorted(ids) == sorted(r[0] for r in rows)
+    sizes = dict(rows)
+    for p in packs:
+        assert p["total_tokens"] == sum(sizes[d] for d in p["doc_ids"])
+        assert p["total_tokens"] <= budget or p["n_docs"] == 1
