@@ -50,6 +50,8 @@ Beyond-reference pipeline jobs (no reference twin):
 - ``semantic_dedup docs.parquet embeddings.parquet [threshold]`` —
   embedding near-dup removal alone (sign-LSH candidates + exact cosine
   verify), survivors written as parquet.
+- ``pack_corpus docs.parquet max_tokens [token_col]`` — greedy sequence
+  packing into token-budgeted bins, written as parquet.
 - ``split_corpus docs.parquet key_col [train=0.9,test=0.1]`` —
   deterministic hash splits, written partitioned by split.
 - ``tfidf docs.parquet [id_col] [text_col]`` — per-(doc, term) tf-idf
@@ -264,6 +266,23 @@ def main(argv: list[str] | None = None) -> None:
             f"clean_corpus: raw={stats.n_raw} quality={stats.n_quality} "
             f"exact={stats.n_exact}{lex} final={stats.n_final}"
         )
+    elif job == "pack_corpus":
+        # pack_corpus <docs.parquet> <max_tokens> [token_col]
+        # token_col defaults to a whitespace token count computed on the fly.
+        from bigdata_hits_spark.operators.sampling import pack_documents
+
+        docs_path = args.take()
+        max_tokens = args.take(int)
+        if docs_path is None or max_tokens is None:
+            raise SystemExit("pack_corpus needs a docs parquet path and max_tokens")
+        token_col = args.take()
+        docs = spark.read.parquet(docs_path)
+        if token_col is None:
+            token_col = "__n_tok"
+            docs = docs.withColumn(token_col, F.size(F.split(F.col("text"), " ")))
+        packs = pack_documents(docs, max_tokens, token_col)
+        packs.write.mode("overwrite").parquet(os.path.join(out_dir, "pack_corpus"))
+        print(f"pack_corpus: packs={packs.count()}")
     elif job == "semantic_dedup":
         # semantic_dedup <docs.parquet> <embeddings.parquet> [threshold]
         from bigdata_hits_spark.operators.similarity import semantic_dedup

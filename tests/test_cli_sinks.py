@@ -163,3 +163,13 @@ def test_cli_pagerank_and_graph_analytics(spark, csv_graph, tmp_path):
     cli.main(["label_propagation", "3", nodes, edges, "--out", out])
     lp = spark.read.parquet(os.path.join(out, "label_propagation"))
     assert lp.count() > 0 and set(lp.columns) == {"id", "community"}
+
+
+def test_cli_pack_corpus(spark, tmp_path):
+    src = str(tmp_path / "docs_pack")
+    out = str(tmp_path / "out_pack")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    cli.main(["pack_corpus", src, "500", "--out", out])
+    packs = spark.read.parquet(os.path.join(out, "pack_corpus"))
+    assert packs.count() > 0
+    assert packs.filter((F.col("total_tokens") > 500) & (F.col("n_docs") > 1)).count() == 0
