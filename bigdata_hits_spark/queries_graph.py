@@ -21,6 +21,7 @@ from bigdata_hits_spark.operators.graphalgs import (
     symmetric_edges,
     triangle_counts,
 )
+from bigdata_hits_spark.oracles import pagerank_oracle
 from bigdata_hits_spark.plans.iterate import materialize
 from bigdata_hits_spark.queries import register
 from bigdata_hits_spark.sources import derived
@@ -92,3 +93,71 @@ def q_graph_label_propagation(spark, sf_dir):
     the same rounds as window-ranked mode CTEs."""
     g = derived.g_pp(spark, sf_dir)
     return label_propagation(g.edges, k=LP_ROUNDS, sym=_sym(g))
+
+
+# ---------------------------------------------------------------------------
+# Additional post-gate declared queries (this module loads last, so these
+# append after the 50-slot gate prefix regardless of theme).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pagerank_weighted_k3",
+    pagerank_oracle(derived.G_PS_EDGES_SQL, derived.G_PS_NODES_SQL, k=3, weighted=True),
+)
+def q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank (edge weight = lineitem quantity): out-weights
+    are weighted sums, contributions scale by w/out_w — the weighted twin
+    of the gate's pagerank_k3."""
+    from bigdata_hits_spark.operators.ranking import pagerank
+
+    scores = pagerank(derived.g_ps(spark, sf_dir), k=3, weight="weight")
+    return scores.select("id", F.round(F.col("score"), 7).alias("score"))
+
+
+SEMANTIC_T = 0.5
+
+_EMB_NORMS_CTE = (
+    "norms AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm "
+    "FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id)"
+)
+
+
+def _dedup_semantic_sql() -> str:
+    """Survivors of exact embedding dedup: cosine pairs at SEMANTIC_T,
+    clustered by a recursive reachability CTE, minimum-id survivor kept,
+    untouched docs passed through."""
+    return (
+        "WITH RECURSIVE pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, "
+        "a.embedding AS v1, b.embedding AS v2 "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id), "
+        "el AS (SELECT id1, id2, v1, v2, unnest(range(len(v1))) AS i FROM pairs), "
+        "dots AS (SELECT id1, id2, SUM(CAST(v1[i + 1] AS DOUBLE) * CAST(v2[i + 1] AS DOUBLE)) AS dot "
+        "FROM el GROUP BY id1, id2), "
+        f"{_EMB_NORMS_CTE}, "
+        "cos AS (SELECT id1, id2, ROUND(dot / (n1.nrm * n2.nrm), 6) AS cosine FROM dots "
+        "JOIN norms n1 ON n1.vec_id = id1 JOIN norms n2 ON n2.vec_id = id2), "
+        f"dup AS (SELECT id1, id2 FROM cos WHERE cosine >= {SEMANTIC_T}), "
+        "e AS (SELECT id1 AS src, id2 AS dst FROM dup UNION SELECT id2, id1 FROM dup), "
+        "reach AS (SELECT src AS id, src AS comp FROM e "
+        "UNION SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id), "
+        "drops AS (SELECT id FROM (SELECT id, MIN(comp) AS component FROM reach GROUP BY id) "
+        "WHERE id <> component) "
+        "SELECT d.doc_id, d.source FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id = d.doc_id)"
+    )
+
+
+@register("dedup_semantic", _dedup_semantic_sql())
+def q_dedup_semantic(spark, sf_dir):
+    """Embedding-space dedup survivors via the EXACT pair path (the
+    oracle-checkable baseline of operators/similarity.py semantic_dedup;
+    the production default is the LSH candidate path, equivalence-tested
+    in tests/test_similarity.py)."""
+    from bigdata_hits_spark.operators.similarity import semantic_dedup
+    from bigdata_hits_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    survivors = semantic_dedup(docs, emb, SEMANTIC_T, candidates="exact")
+    return survivors.select("doc_id", "source")
