@@ -78,14 +78,25 @@ def main() -> None:
             timings[name] = elapsed if prev is None or prev < 0 else (
                 min(prev, elapsed) if elapsed >= 0 else prev
             )
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Headline = the flagship + the driver's 50-slot gate prefix — a
+    # structural definition that stays comparable round over round as the
+    # declared surface grows.  Post-gate declared queries (extra
+    # oracle-backed entries registered after the prefix) and rows-only
+    # approximate paths are timed identically but reported separately.
+    headline_names = {"base_hits_k8", *list(q.queries())[:50]}
+    headline = {n: t for n, t in timings.items() if n in headline_names}
+    extra = {n: t for n, t in timings.items() if n not in headline_names}
+    total = round(sum(t for t in headline.values() if t >= 0), 3)
+    extra_sec = round(sum(t for t in extra.values() if t >= 0), 3)
     print(
         json.dumps(
             {
                 "metric": "total_headline_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
+                "extra_queries": extra,
+                "extra_sec": extra_sec,
                 "sf": sf,
             }
         )
