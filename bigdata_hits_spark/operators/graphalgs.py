@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from bigdata_hits_spark.plans.iterate import materialize
 
+#: Label-propagation rounds between lineage truncations (see loop note).
+_LP_CHECKPOINT_EVERY = 4
+
 
 def symmetric_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Distinct undirected (a, b) edge set, both directions materialized,
@@ -123,7 +126,10 @@ def label_propagation(
     and engines — the textbook random tiebreak is useless for a gated
     pipeline.  Covers every node incident to an edge (an edge-list input
     carries no isolated nodes).  Per round: one (edge ⋈ label) shuffle +
-    one per-node mode aggregate; lineage truncated per round.
+    one per-node mode aggregate; rounds compose into one lazy plan (no
+    per-round driver scalar exists to force an action), with lineage
+    truncated every ``_LP_CHECKPOINT_EVERY`` rounds to bound plan depth
+    for large ``k``.
     """
     # Pre-partition the (large) symmetric edge set on the join key ONCE;
     # localCheckpoint pins the partitioning, so each round's equi-join
@@ -131,10 +137,10 @@ def label_propagation(
     # edges-never-move discipline as the ranking loop.
     if sym is None:
         sym = materialize(symmetric_edges(edges, src, dst).repartition("b"))
-    labels = materialize(
-        sym.select(F.col("a").alias("id")).distinct().withColumn("community", F.col("id"))
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "community", F.col("id")
     )
-    for _ in range(k):
+    for i in range(k):
         nbr = (
             sym.join(labels, sym["b"] == labels["id"])
             .select(F.col("a").alias("id"), "community")
@@ -144,7 +150,7 @@ def label_propagation(
         # min-of-mode as a struct-min aggregate (struct ordering: highest
         # freq via negation, then smallest label) — partial-aggregatable,
         # unlike a sort-based row_number window.
-        labels = materialize(
+        labels = (
             nbr.groupBy("id")
             .agg(
                 F.min(
@@ -156,4 +162,10 @@ def label_propagation(
             )
             .select("id", F.col("best.community").alias("community"))
         )
+        # Unlike the ranking loop there is NO per-round driver scalar, so
+        # rounds compose into one lazy plan and the whole propagation runs
+        # as a single job; checkpoint on a cadence only to bound plan
+        # depth for large k.
+        if (i + 1) % _LP_CHECKPOINT_EVERY == 0 and (i + 1) < k:
+            labels = materialize(labels)
     return labels
