@@ -48,13 +48,17 @@ def get_spark(app_name: str = "bigdata-hits-spark", master: str | None = None) -
             master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
-        if master.startswith("local"):
-            # In local mode driver == executor == one JVM, and Spark's 1g
-            # default heap GC-thrashes 32 concurrent task threads.  Only
-            # meaningful before JVM launch; ignored on getOrCreate reuse.
-            builder = builder.config(
-                "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-            )
+    # In local mode driver == executor == one JVM, and Spark's 1g default
+    # heap GC-thrashes (or OOMs) 32 concurrent task threads.  Applied
+    # unconditionally: the conf only takes effect when THIS builder
+    # launches the JVM — under spark-submit / an already-running session
+    # (cluster deploys) it is ignored, so it cannot misconfigure those.
+    # Previously this was gated on an explicit local master, which left a
+    # bare ``get_spark()`` (no env) on the implicit local[*] default with
+    # a 1 GiB heap.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+    )
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
     for key, value in _ENGINE_CONFS.items():
