@@ -25,6 +25,7 @@ from bigdata_hits_spark.operators.ranking import (
 )
 from bigdata_hits_spark.operators.components import connected_components, dedup_survivors
 from bigdata_hits_spark.operators.graphalgs import (
+    k_core,
     label_propagation,
     symmetric_edges,
     triangle_counts,
@@ -59,6 +60,7 @@ __all__ = [
     "list_topics",
     "connected_components",
     "dedup_survivors",
+    "k_core",
     "label_propagation",
     "symmetric_edges",
     "triangle_counts",

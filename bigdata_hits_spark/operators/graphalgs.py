@@ -1,5 +1,5 @@
-"""Graph analytics beyond the ranking family: triangle counting and
-label-propagation communities.
+"""Graph analytics beyond the ranking family: triangle counting,
+label-propagation communities, and k-core decomposition.
 
 Beyond-reference breadth (the reference stops at HITS/SALSA —
 ``/root/reference/src``): these are the other two staples of large-scale
@@ -169,3 +169,49 @@ def label_propagation(
         if (i + 1) % _LP_CHECKPOINT_EVERY == 0 and (i + 1) < k:
             labels = materialize(labels)
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    sym: DataFrame | None = None,
+) -> DataFrame:
+    """(id,) nodes of the ``k``-core: the maximal subgraph where every
+    node keeps degree >= k after iteratively peeling lower-degree nodes —
+    the standard densification/cleaning step before community or ranking
+    analysis (peripheral tendrils drop out, the cohesive core remains).
+
+    Peeling loop with the engine's usual discipline: per round, compute
+    degrees on the surviving symmetric edge set (one key-only shuffle),
+    drop under-degree nodes (semi-join), truncate lineage, stop when a
+    round removes nothing.  Rounds needed = peeling depth, typically
+    small; each round's cost shrinks with the surviving edge set.
+    Deterministic: peeling is simultaneous (all under-k nodes drop each
+    round), which yields the same fixpoint as sequential peeling.
+    """
+    if sym is None:
+        sym = materialize(symmetric_edges(edges, src, dst))
+    n_prev = None
+    for _ in range(max_iter):
+        deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("id")
+        sym_next = (
+            sym.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        sym_next = materialize(sym_next)
+        n = sym_next.count()
+        if n_prev is not None and n == n_prev:
+            sym = sym_next
+            break
+        n_prev = n
+        sym = sym_next
+        if n == 0:
+            break
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    return sym.select(F.col("a").alias("id")).distinct()

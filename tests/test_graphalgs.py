@@ -76,3 +76,45 @@ def test_label_propagation_deterministic_across_repartition(spark):
     shuffled = df.repartition(17).sortWithinPartitions(F.desc("src"))
     b = {(r["id"], r["community"]) for r in label_propagation(shuffled, k=4).collect()}
     assert a == b and len(a) > 0
+
+
+def _brute_k_core(pairs, k):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(alive):
+            if len(adj[n] & alive) < k:
+                alive.discard(n)
+                changed = True
+    return alive
+
+
+def test_k_core_known_shape(spark):
+    """K4 plus a pendant chain: the 3-core is exactly the K4."""
+    k4 = [(a, b) for a, b in itertools.combinations(["A", "B", "C", "D"], 2)]
+    edges = k4 + [("D", "E"), ("E", "F")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    from bigdata_hits_spark.operators.graphalgs import k_core
+
+    got = {r["id"] for r in k_core(df, 3).collect()}
+    assert got == {"A", "B", "C", "D"}
+    assert {r["id"] for r in k_core(df, 1).collect()} == {"A", "B", "C", "D", "E", "F"}
+    assert {r["id"] for r in k_core(df, 4).collect()} == set()
+
+
+def test_k_core_random_matches_bruteforce(spark):
+    from bigdata_hits_spark.operators.graphalgs import k_core
+
+    rng = random.Random(23)
+    pairs = list({(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}") for _ in range(80)})
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    for k in (2, 3, 4):
+        got = {r["id"] for r in k_core(df, k).collect()}
+        assert got == _brute_k_core(pairs, k), k
