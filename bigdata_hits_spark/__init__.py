@@ -32,6 +32,7 @@ from bigdata_hits_spark.operators.graphalgs import (
 )
 from bigdata_hits_spark.operators.dedup import minhash_dedup_incremental
 from bigdata_hits_spark.operators.similarity import (
+    near_duplicate_pairs,
     quantize_embeddings,
     semantic_dedup,
 )
@@ -66,6 +67,7 @@ __all__ = [
     "triangle_counts",
     "minhash_dedup_incremental",
     "quantize_embeddings",
+    "near_duplicate_pairs",
     "semantic_dedup",
     "clean_corpus",
     "cap_per_group",

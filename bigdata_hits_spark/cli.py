@@ -40,8 +40,8 @@ Beyond-reference pipeline jobs (no reference twin):
 
 - ``pagerank [num_iter [beta [nodes edges]]]`` — textbook PageRank
   scores as ``pagerank_scores.txt``.
-- ``triangles nodes edges`` / ``label_propagation [k [nodes edges]]`` —
-  graph analytics written as parquet.
+- ``triangles nodes edges`` / ``label_propagation [k [nodes edges]]`` /
+  ``kcore [k [nodes edges]]`` — graph analytics written as parquet.
 
 - ``clean_corpus docs.parquet [min_quality] [near_dup_threshold]
   [embeddings.parquet [semantic_threshold]]`` — quality floor +
@@ -239,6 +239,16 @@ def main(argv: list[str] | None = None) -> None:
         g = _load_graph(spark, *args.take_paths())
         label_propagation(g.edges, k=k).write.mode("overwrite").parquet(
             os.path.join(out_dir, "label_propagation")
+        )
+    elif job == "kcore":
+        # kcore [k [nodes edges]] — node ids of the k-core (iterative
+        # peeling with the escalating-batch fixpoint loop)
+        from bigdata_hits_spark.operators.graphalgs import k_core
+
+        k = args.take(int, 2)
+        g = _load_graph(spark, *args.take_paths())
+        k_core(g.edges, k).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "kcore")
         )
     elif job == "clean_corpus":
         # clean_corpus <docs.parquet> [min_quality] [near_dup_threshold]

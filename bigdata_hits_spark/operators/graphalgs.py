@@ -188,30 +188,53 @@ def k_core(
     degrees on the surviving symmetric edge set (one key-only shuffle),
     drop under-degree nodes (semi-join), truncate lineage, stop when a
     round removes nothing.  Rounds needed = peeling depth, typically
-    small; each round's cost shrinks with the surviving edge set.
-    Deterministic: peeling is simultaneous (all under-k nodes drop each
-    round), which yields the same fixpoint as sequential peeling.
+    small on real web/dedup graphs; each round's cost shrinks with the
+    surviving edge set.  Deterministic: peeling is simultaneous (all
+    under-k nodes drop each round), which yields the same fixpoint as
+    sequential peeling.
+
+    Escalation (same pattern as components.py's star-contraction
+    switch): a pathological graph — a long chain of just-under-k
+    degrees — peels one layer per round, so past ``max_iter``
+    materialized rounds the loop DOUBLES the number of lazy peels folded
+    into each materialization.  Progress per action then grows
+    geometrically and any peeling depth D completes in
+    O(max_iter + log D) actions instead of raising.
     """
     if sym is None:
         sym = materialize(symmetric_edges(edges, src, dst))
-    n_prev = None
-    for _ in range(max_iter):
-        deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+
+    def peel_once(s: DataFrame) -> DataFrame:
+        deg = s.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("id")
-        sym_next = (
-            sym.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+        return (
+            s.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
             .select("a", "b")
         )
-        sym_next = materialize(sym_next)
-        n = sym_next.count()
-        if n_prev is not None and n == n_prev:
-            sym = sym_next
+
+    n_prev = None
+    peels_per_round = 1
+    rounds = 0
+    while True:
+        rounds += 1
+        nxt = sym
+        for i in range(peels_per_round):
+            nxt = peel_once(nxt)
+            # Lazy lineage cut between folded peels: each peel's plan
+            # stays 2-joins-1-agg deep no matter how many are batched
+            # (a 32-peel lazy chain would otherwise hand Catalyst a
+            # ~100-join plan and planning time, not execution, explodes).
+            # eager=False: still ONE action per materialized round.
+            if i + 1 < peels_per_round:
+                nxt = nxt.localCheckpoint(eager=False)
+        sym = materialize(nxt)
+        n = sym.count()
+        # Counts are monotonically non-increasing, so an unchanged count
+        # across >= 1 peel means every inner peel was a no-op: fixpoint.
+        if n == 0 or (n_prev is not None and n == n_prev):
             break
         n_prev = n
-        sym = sym_next
-        if n == 0:
-            break
-    else:
-        raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+        if rounds >= max_iter:
+            peels_per_round *= 2
     return sym.select(F.col("a").alias("id")).distinct()

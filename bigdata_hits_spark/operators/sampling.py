@@ -147,24 +147,46 @@ def sample_to_token_budget(
     token total up to and INCLUDING the row is <= budget: the kept set is
     a prefix of a fixed permutation, so shrinking the budget yields a
     subset of a larger budget's sample (nested samples — useful for
-    scaling-law sweeps).  One window pass per group; combine with
-    :func:`cap_per_group`-style salting upstream if a single group's rows
-    exceed one task's comfort.
+    scaling-law sweeps).
+
+    With ``group_col`` the running sum is one window pass per group.
+    WITHOUT it, a naive global window would funnel the whole dataset
+    through ONE task; instead the global form runs the classic
+    distributed prefix-sum: rows bucket by the hash's high byte (buckets
+    are hash-order-preserving, so bucket-major + in-bucket hash order ==
+    global hash order), per-bucket token totals roll into exclusive
+    prefix offsets (a 256-row window — trivially single-task), and each
+    bucket's running sum adds its offset.  Survivors are IDENTICAL to
+    the single-window form; the per-task load is ~1/256 of the data.
     """
-    order = F.xxhash64(*df.columns, F.lit(seed)).asc()
-    keys = [group_col] if group_col else []
-    w = (
-        Window.partitionBy(*keys).orderBy(order)
-        if keys
-        else Window.partitionBy().orderBy(order)
-    )
-    running = F.sum(F.col(token_col)).over(
+    order_hash = F.xxhash64(*df.columns, F.lit(seed))
+    running_in = lambda w: F.sum(F.col(token_col)).over(  # noqa: E731
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(order_hash.asc())
+        return (
+            df.withColumn("__cum", running_in(w))
+            .filter(F.col("__cum") <= budget)
+            .drop("__cum")
+        )
+    # Global budget: two-phase bucketed prefix sum.  Arithmetic shiftright
+    # keeps the sign bit, so bucket order (-128..127) matches signed
+    # 64-bit hash order and equal hashes share a bucket.
+    dfh = df.withColumn("__h", order_hash).withColumn(
+        "__b", F.shiftright(F.col("__h"), 56).cast("int")
+    )
+    totals = dfh.groupBy("__b").agg(F.sum(F.col(token_col)).alias("__t"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_run = Window.partitionBy("__b").orderBy(F.col("__h").asc())
     return (
-        df.withColumn("__cum", running)
+        dfh.join(F.broadcast(offsets), "__b")
+        .withColumn("__cum", F.col("__off") + running_in(w_run))
         .filter(F.col("__cum") <= budget)
-        .drop("__cum")
+        .drop("__h", "__b", "__off", "__cum")
     )
 
 
@@ -180,11 +202,16 @@ def pack_documents(
     dense fixed-budget training sequences.
 
     Deterministic and shuffle-light: rows are hash-partitioned by id,
-    then packed per partition in (token desc, id) order with a greedy
+    then packed per PARTITION in (token desc, id) order with a greedy
     running-total cut (a document longer than ``max_tokens`` gets a pack
-    of its own).  Packing never crosses partitions, so there is no global
-    coordination — at 100 TB each task packs its own slice and pack ids
-    are globally unique by (partition, local index).  The greedy
+    of its own).  The whole partition is concatenated before packing —
+    Arrow hands ``mapInPandas`` the partition as MULTIPLE record batches
+    (maxRecordsPerBatch, default 10k rows), and packing each batch
+    independently would fragment bins at every batch boundary.  Packing
+    never crosses partitions, so there is no global coordination — at
+    100 TB each task packs its own slice, and pack ids are globally
+    unique by construction: ``pack_key = f"{partitionId}_{local index}"``
+    from TaskContext, not from any data value.  The greedy
     first-fit-decreasing order wastes at most ~the largest document per
     bin boundary versus optimal.
     """
@@ -194,30 +221,34 @@ def pack_documents(
     parted = src.repartition(F.col("id"))
 
     def pack(pdf_iter):
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["n", "id"], ascending=[False, True])
-            part_key = str(pdf["id"].iloc[0])
-            packs: list[tuple[list, int]] = []
-            for doc_id, n in zip(pdf["id"], pdf["n"]):
-                placed = False
-                for p in packs:
-                    if p[1] + n <= max_tokens:
-                        p[0].append(doc_id)
-                        p[1] += n
-                        placed = True
-                        break
-                if not placed:
-                    packs.append([[doc_id], n])
-            yield pd.DataFrame(
-                {
-                    "pack_key": [f"{part_key}_{i}" for i in range(len(packs))],
-                    "doc_ids": [sorted(p[0]) for p in packs],
-                    "n_docs": [len(p[0]) for p in packs],
-                    "total_tokens": [p[1] for p in packs],
-                }
-            )
+        from pyspark import TaskContext
+
+        pdfs = [pdf for pdf in pdf_iter if len(pdf)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf = pdf.sort_values(["n", "id"], ascending=[False, True])
+        tc = TaskContext.get()
+        part_key = str(tc.partitionId()) if tc is not None else "0"
+        packs: list[tuple[list, int]] = []
+        for doc_id, n in zip(pdf["id"], pdf["n"]):
+            placed = False
+            for p in packs:
+                if p[1] + n <= max_tokens:
+                    p[0].append(doc_id)
+                    p[1] += n
+                    placed = True
+                    break
+            if not placed:
+                packs.append([[doc_id], n])
+        yield pd.DataFrame(
+            {
+                "pack_key": [f"{part_key}_{i}" for i in range(len(packs))],
+                "doc_ids": [sorted(p[0]) for p in packs],
+                "n_docs": [len(p[0]) for p in packs],
+                "total_tokens": [p[1] for p in packs],
+            }
+        )
 
     id_type = df.schema[id_col].dataType.simpleString()
     return parted.mapInPandas(

@@ -25,6 +25,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 LSH_PLANES = 16
 LSH_BANDS = 4  # 4-bit sub-signatures for candidate banding
 
+#: Cosine threshold above which sign-LSH banded candidates recall ~all
+#: true pairs (near-identical vectors agree on nearly every sign bit).
+#: Below it the LSH generator under-recalls and the exact all-pairs plan
+#: is the only correct one — but that plan is O(n²/B) compute with
+#: ~num_blocks× replication, so it is gated behind an explicit opt-in.
+LSH_SAFE_THRESHOLD = 0.9
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product with double accumulation."""
@@ -75,9 +82,17 @@ def cosine_pairs(
     vec_col: str = "embedding",
     round_digits: int = 6,
     num_blocks: int = 8,
+    exact: bool = False,
 ) -> DataFrame:
     """(id1, id2, cosine): all pairs id1 < id2 with rounded cosine >=
     threshold — embedding-based near-duplicate detection.
+
+    THIS IS THE ALL-PAIRS PLAN — the exact baseline, not the production
+    path.  Below :data:`LSH_SAFE_THRESHOLD` (where LSH under-recalls and
+    exact is the only correct answer) it refuses to run without
+    ``exact=True``, so a low-τ request cannot silently launch an O(n²)
+    job; at dedup-regime thresholds use :func:`near_duplicate_pairs`,
+    which routes to LSH candidates + exact verify automatically.
 
     Blocked matrix-product plan: vectors hash into ``num_blocks`` blocks,
     blocks pair up (upper triangle incl. diagonal), and each block pair is
@@ -89,6 +104,13 @@ def cosine_pairs(
     raise ``num_blocks`` so a block pair (~2·(n/B)·d doubles) fits in one
     task's memory.
     """
+    if threshold < LSH_SAFE_THRESHOLD and not exact:
+        raise ValueError(
+            f"cosine_pairs at threshold={threshold} (< LSH_SAFE_THRESHOLD="
+            f"{LSH_SAFE_THRESHOLD}) is an all-pairs O(n²) plan; pass "
+            "exact=True to opt in, or raise the threshold into the dedup "
+            "regime and use near_duplicate_pairs (LSH candidates + verify)"
+        )
     blocks = (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .groupBy(F.pmod(F.hash(F.col("id")), F.lit(num_blocks)).alias("blk"))
@@ -258,6 +280,41 @@ def verify_cosine_pairs(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def near_duplicate_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    planes: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """(id1, id2, cosine): embedding near-dup pairs with the threshold-
+    regime split ENFORCED — the front door for pair detection.
+
+    - ``threshold >= LSH_SAFE_THRESHOLD`` (the dedup regime): sign-LSH
+      banded candidates + exact cosine verify.  Candidate-bounded work,
+      equi-joins only — the plan that survives 100 TB.
+    - below it: LSH under-recalls, so the only correct plan is all-pairs
+      — which requires the explicit ``exact=True`` opt-in (refused
+      otherwise, so a similarity-regime τ cannot accidentally launch an
+      O(n²) job).
+    - ``exact=True`` at any τ: the blocked-BLAS all-pairs baseline.
+    """
+    if exact:
+        return cosine_pairs(vectors, threshold, id_col=id_col, vec_col=vec_col, exact=True)
+    if threshold >= LSH_SAFE_THRESHOLD:
+        cand = lsh_candidate_pairs(
+            vectors, id_col=id_col, vec_col=vec_col, planes=planes, bands=bands
+        )
+        return verify_cosine_pairs(vectors, cand, threshold, id_col=id_col, vec_col=vec_col)
+    raise ValueError(
+        f"near_duplicate_pairs at threshold={threshold} is below the LSH-safe "
+        f"regime ({LSH_SAFE_THRESHOLD}): banded candidates under-recall, and "
+        "the exact plan is O(n²) — pass exact=True to opt in deliberately"
+    )
+
+
 def semantic_dedup(
     docs: DataFrame,
     vectors: DataFrame,
@@ -265,7 +322,7 @@ def semantic_dedup(
     doc_id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
-    candidates: str = "lsh",
+    candidates: str = "auto",
     planes: int = LSH_PLANES,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
@@ -277,26 +334,36 @@ def semantic_dedup(
 
     ``candidates`` picks the pair generator:
 
-    - ``'lsh'`` (default, the production path): sign-LSH banded
-      candidates (:func:`lsh_candidate_pairs`) exact-verified with the
-      cosine_pairs round/threshold discipline
+    - ``'auto'`` (default): the enforced regime split of
+      :func:`near_duplicate_pairs` — LSH + verify in the dedup regime
+      (threshold >= :data:`LSH_SAFE_THRESHOLD`), and a ValueError below
+      it unless the caller explicitly chooses ``'exact'`` (so a low-τ
+      request can never silently run the O(n²) plan).
+    - ``'lsh'``: sign-LSH banded candidates (:func:`lsh_candidate_pairs`)
+      exact-verified with the cosine_pairs round/threshold discipline
       (:func:`verify_cosine_pairs`).  Candidate-bounded work, equi-joins
-      only — survives 100 TB.  Appropriate at dedup-regime thresholds
-      (>= ~0.9) where band recall is ~1.
+      only — survives 100 TB.  Below the safe threshold this explicit
+      choice is honored but under-recalls by design.
     - ``'exact'``: blocked-BLAS all-pairs (:func:`cosine_pairs`) — the
       exact baseline; O(n²/B) compute and ~num_blocks× replication, for
       modest corpora or ground-truth runs only."""
     from bigdata_hits_spark.operators.components import dedup_survivors
 
-    if candidates == "exact":
-        pairs = cosine_pairs(vectors, threshold, id_col=vec_id_col, vec_col=vec_col)
+    if candidates == "auto":
+        pairs = near_duplicate_pairs(
+            vectors, threshold, id_col=vec_id_col, vec_col=vec_col, planes=planes, bands=bands
+        )
+    elif candidates == "exact":
+        pairs = cosine_pairs(vectors, threshold, id_col=vec_id_col, vec_col=vec_col, exact=True)
     elif candidates == "lsh":
         cand = lsh_candidate_pairs(
             vectors, id_col=vec_id_col, vec_col=vec_col, planes=planes, bands=bands
         )
         pairs = verify_cosine_pairs(vectors, cand, threshold, id_col=vec_id_col, vec_col=vec_col)
     else:
-        raise ValueError(f"unknown candidates mode: {candidates!r} (use 'lsh' or 'exact')")
+        raise ValueError(
+            f"unknown candidates mode: {candidates!r} (use 'auto', 'lsh' or 'exact')"
+        )
     return dedup_survivors(docs, pairs, id_col=doc_id_col)
 
 
@@ -357,6 +424,33 @@ def _assign_udf(centroids):
     return assign
 
 
+IVF_SEED_FRACTION = 0.1
+IVF_SEED = 17
+
+
+def ivf_seed_candidates(
+    corpus: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fraction: float = IVF_SEED_FRACTION,
+    seed: int = IVF_SEED,
+) -> DataFrame:
+    """Lazy seed-candidate plan: a seeded Bernoulli sample limited to
+    ``n_centroids`` rows — NO global sort.  The previous
+    ``orderBy(id).limit(n)`` seeding ranked the ENTIRE corpus
+    (per-partition top-n heaps + driver merge) to pick 16 rows; a sample
+    is a narrow scan that the limit short-circuits after the first few
+    partitions.  Deterministic for a fixed corpus layout and seed (the
+    sampler is seeded per partition), which is the reproducibility that
+    matters for a stored corpus."""
+    return (
+        corpus.select(id_col, vec_col)
+        .sample(fraction=fraction, seed=seed)
+        .limit(n_centroids)
+    )
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = IVF_CENTROIDS,
@@ -364,16 +458,18 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
-    """Deterministic coarse quantizer: seed with the ``n_centroids``
-    lowest-id vectors, then ``iters`` distributed Lloyd rounds (assign via
-    a broadcast numpy matmul; re-center via posexplode + per-dimension
-    mean — the centroid matrix itself is tiny and lives on the driver).
+    """Deterministic coarse quantizer: seed from a seeded sample
+    (:func:`ivf_seed_candidates` — no global sort), then ``iters``
+    distributed Lloyd rounds (assign via a broadcast numpy matmul;
+    re-center via posexplode + per-dimension mean — the centroid matrix
+    itself is tiny and lives on the driver).
 
-    Returns the (n_centroids, d) numpy array.  At 100 TB you'd seed from
-    a seeded sample instead of min-ids; everything else is unchanged."""
-    seed_rows = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
-    )
+    Returns the (n_centroids, d) numpy array.  A corpus too small for the
+    sample to fill ``n_centroids`` rows falls back to ``limit(n)`` (still
+    sort-free)."""
+    seed_rows = ivf_seed_candidates(corpus, n_centroids, id_col, vec_col).collect()
+    if len(seed_rows) < n_centroids:
+        seed_rows = corpus.select(id_col, vec_col).limit(n_centroids).collect()
     centroids = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in seed_rows])
     for _ in range(iters):
         assigned = corpus.select(

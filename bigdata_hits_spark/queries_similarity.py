@@ -65,8 +65,12 @@ def _neardup_sql() -> str:
 
 @register("embedding_neardup_pairs", _neardup_sql())
 def q_embedding_neardup(spark, sf_dir):
+    """Similarity-regime pairs (τ=0.4, below LSH_SAFE_THRESHOLD): the
+    exact all-pairs baseline is the only correct plan there, so this
+    declared query makes the DELIBERATE ``exact=True`` opt-in that
+    operators/similarity.py enforces."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_pairs(emb, NEARDUP_T)
+    return SIM.near_duplicate_pairs(emb, NEARDUP_T, exact=True)
 
 
 @register("ann_lsh_topk", None)  # approximate: recall floor asserted in tests, rows-only here

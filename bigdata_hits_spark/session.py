@@ -49,16 +49,18 @@ def get_spark(app_name: str = "bigdata-hits-spark", master: str | None = None) -
     if master:
         builder = builder.master(master)
     # In local mode driver == executor == one JVM, and Spark's 1g default
-    # heap GC-thrashes (or OOMs) 32 concurrent task threads.  Applied
-    # unconditionally: the conf only takes effect when THIS builder
-    # launches the JVM — under spark-submit / an already-running session
-    # (cluster deploys) it is ignored, so it cannot misconfigure those.
-    # Previously this was gated on an explicit local master, which left a
-    # bare ``get_spark()`` (no env) on the implicit local[*] default with
-    # a 1 GiB heap.
-    builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
-    )
+    # heap GC-thrashes (or OOMs) 32 concurrent task threads.  The big
+    # default applies when the resolved master is local* OR unresolved
+    # (a bare ``get_spark()`` lands on Spark's implicit local[*]); an
+    # EXPLICIT cluster master (spark://, yarn, k8s) skips it — a bare
+    # Python client launching the driver JVM through this builder would
+    # otherwise demand a 24g heap on a possibly small driver host.
+    # SPARK_GRAFT_DRIVER_MEM overrides unconditionally (explicit choice).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem is None and (master is None or master.startswith("local")):
+        driver_mem = "24g"
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
     for key, value in _ENGINE_CONFS.items():

@@ -20,7 +20,28 @@ from bigdata_hits_spark.operators.events import HOUR_NS
 from bigdata_hits_spark.sources.readers import normalize_events_ts, set_events_compat_conf
 
 
-def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+#: Declared fallback schema for an events stream whose directory is still
+#: empty at stream-definition time (no parquet footer to sniff): the
+#: engine's canonical int64-epoch-nanos encoding, which
+#: ``normalize_events_ts`` dispatches on like any sniffed schema.
+DEFAULT_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # epoch nanoseconds
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
     """File-source stream over an events parquet directory, normalized to
     the engine's (ts_ns, ts) convention via the SAME helper the batch
     reader uses (sources/readers.py normalize_events_ts), so stream and
@@ -32,9 +53,18 @@ def read_events_stream(spark: SparkSession, path: str, max_files_per_trigger: in
     TIMESTAMP_NTZ), the directory's ACTUAL schema is sniffed with a
     one-off batch metadata read (parquet footers only, no data scan) and
     the matching normalization is selected by ``normalize_events_ts``'s
-    dtype dispatch."""
+    dtype dispatch.  A stream may legitimately be defined BEFORE any data
+    arrives (an empty or not-yet-created directory has nothing to sniff);
+    then the caller-supplied ``schema`` — or, failing that,
+    :data:`DEFAULT_EVENTS_SCHEMA` — keeps the definition working, and the
+    dtype dispatch normalizes whichever encoding was declared."""
     set_events_compat_conf(spark)
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = schema
+    if raw_schema is None:
+        try:
+            raw_schema = spark.read.parquet(path).schema
+        except Exception:
+            raw_schema = DEFAULT_EVENTS_SCHEMA
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

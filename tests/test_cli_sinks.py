@@ -173,3 +173,22 @@ def test_cli_pack_corpus(spark, tmp_path):
     packs = spark.read.parquet(os.path.join(out, "pack_corpus"))
     assert packs.count() > 0
     assert packs.filter((F.col("total_tokens") > 500) & (F.col("n_docs") > 1)).count() == 0
+
+
+def test_cli_kcore(spark, csv_graph, tmp_path):
+    nodes, edges, _ = csv_graph
+    out = str(tmp_path / "out_kcore")
+    cli.main(["kcore", "2", nodes, edges, "--out", out])
+    core = spark.read.parquet(os.path.join(out, "kcore"))
+    assert set(core.columns) == {"id"}
+    # every surviving node keeps degree >= 2 inside the core (definition)
+    from bigdata_hits_spark.operators.graphalgs import symmetric_edges
+
+    g = cli.read_edges_csv(spark, edges)
+    sym = symmetric_edges(g)
+    ids = {r["id"] for r in core.collect()}
+    kept = sym.filter(F.col("a").isin(ids) & F.col("b").isin(ids))
+    degs = {r["a"]: r["n"] for r in
+            kept.groupBy("a").agg(F.count("*").alias("n")).collect()}
+    assert all(n >= 2 for n in degs.values())
+    assert set(degs) == ids or not ids

@@ -118,3 +118,21 @@ def test_k_core_random_matches_bruteforce(spark):
     for k in (2, 3, 4):
         got = {r["id"] for r in k_core(df, k).collect()}
         assert got == _brute_k_core(pairs, k), k
+
+
+def test_k_core_deep_peel_escalates_instead_of_raising(spark):
+    """A long chain peels one layer per round (depth ~n/2 at k=2) — far
+    past max_iter.  The escalating-batch loop must still reach the
+    fixpoint: the chain dissolves, the attached cycle survives."""
+    from bigdata_hits_spark.operators.graphalgs import k_core
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(120)]  # peel depth ~60
+    cycle = [(f"r{i}", f"r{(i+1) % 8}") for i in range(8)]
+    bridge = [("r0", "c0")]
+    df = spark.createDataFrame(chain + cycle + bridge, "src string, dst string")
+    got = {r["id"] for r in k_core(df, 2, max_iter=4).collect()}
+    assert got == {f"r{i}" for i in range(8)}
+
+    # pure chain: the 2-core is empty, again past the action budget
+    chain_only = spark.createDataFrame(chain, "src string, dst string")
+    assert k_core(chain_only, 2, max_iter=4).count() == 0

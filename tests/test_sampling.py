@@ -168,3 +168,65 @@ def test_pack_documents_budget_and_coverage(spark, sf_dir):
     # packing is dense: average fill of multi-doc packs is reasonable
     multi = [p for p in packs if p["total_tokens"] <= 500]
     assert sum(p["total_tokens"] for p in multi) / (500 * len(multi)) > 0.5
+
+
+def test_sample_to_token_budget_global_bucketed_matches_single_window(spark, sf_dir):
+    """The global (group_col=None) form must produce EXACTLY the
+    single-global-window survivors while spreading the running sum over
+    hash buckets (no whole-dataset single-task window)."""
+    from pyspark.sql import Window
+
+    from bigdata_hits_spark.operators.sampling import sample_to_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " "))
+    )
+    got = sample_to_token_budget(docs, 2_000, "n_tok")
+    # reference: the naive single-partition global window
+    w = Window.partitionBy().orderBy(F.xxhash64(*docs.columns, F.lit(0)).asc())
+    expected = (
+        docs.withColumn(
+            "__cum",
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .filter(F.col("__cum") <= 2_000)
+        .drop("__cum")
+    )
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    exp_ids = {r["doc_id"] for r in expected.select("doc_id").collect()}
+    assert got_ids == exp_ids and len(got_ids) > 0
+    assert got.agg(F.sum("n_tok")).first()[0] <= 2_000
+    # nesting survives the bucketed plan
+    big_ids = {r["doc_id"] for r in
+               sample_to_token_budget(docs, 6_000, "n_tok").select("doc_id").collect()}
+    assert got_ids <= big_ids
+    # plan shape: the data-sized window is partitioned (by the hash
+    # bucket), not a global Window over a SinglePartition exchange of
+    # the full input.  The only SinglePartition window is the 256-row
+    # offsets frame.
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "__b" in plan
+
+
+def test_pack_documents_insensitive_to_arrow_batch_size(spark, sf_dir):
+    """Packing is per PARTITION, not per Arrow record batch: shrinking
+    maxRecordsPerBatch must not fragment bins or change pack count."""
+    from bigdata_hits_spark.operators.sampling import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " "))
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    baseline = pack_documents(docs, 500, "n_tok").collect()
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")  # force many tiny batches per partition
+        tiny = pack_documents(docs, 500, "n_tok").collect()
+    finally:
+        spark.conf.set(key, old)
+    assert len(tiny) == len(baseline)
+    assert sorted(p["pack_key"] for p in tiny) == sorted(p["pack_key"] for p in baseline)
+    assert len({p["pack_key"] for p in tiny}) == len(tiny)  # globally unique keys
+    # same bins regardless of batching
+    assert sorted(tuple(p["doc_ids"]) for p in tiny) == \
+           sorted(tuple(p["doc_ids"]) for p in baseline)

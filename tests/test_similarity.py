@@ -217,3 +217,49 @@ def test_quantize_zero_vector(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
     row = quantize_embeddings(df).first()
     assert row["q_scale"] == 0.0 and list(row["q_embedding"]) == [0, 0]
+
+
+def test_all_pairs_plan_unreachable_without_exact_opt_in(spark):
+    """Regime enforcement: below LSH_SAFE_THRESHOLD every entry point
+    refuses the O(n²) all-pairs plan unless exact=True is passed."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    docs = spark.createDataFrame([(i, "t") for i in range(6)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exact=True"):
+        SIM.cosine_pairs(df, 0.4)
+    with pytest.raises(ValueError, match="exact=True"):
+        SIM.near_duplicate_pairs(df, 0.4)
+    with pytest.raises(ValueError, match="exact=True"):
+        SIM.semantic_dedup(docs, df, 0.4)  # default candidates='auto'
+    # the deliberate opt-ins still work
+    assert SIM.near_duplicate_pairs(df, 0.4, exact=True).count() >= 0
+    assert SIM.semantic_dedup(docs, df, 0.4, candidates="exact").count() > 0
+
+
+def test_near_duplicate_pairs_dedup_regime_routes_to_lsh(spark, clustered_corpus):
+    """At dedup-regime τ the router must produce the candidate-bounded
+    LSH+verify plan (equi-joins only, no nested-loop/cartesian block
+    pairing) and match the exact baseline on a clustered corpus."""
+    docs, vecs = clustered_corpus
+    routed = SIM.near_duplicate_pairs(vecs, 0.95)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    got = {(r["id1"], r["id2"]) for r in routed.collect()}
+    exact = {(r["id1"], r["id2"])
+             for r in SIM.cosine_pairs(vecs, 0.95, exact=True).collect()}
+    assert got == exact and len(got) > 0
+
+
+def test_ivf_seeding_has_no_global_sort(spark, emb):
+    """IVF centroid seeding must be a sample+limit plan — no Sort /
+    TakeOrderedAndProject over the corpus (the old orderBy(id).limit(n)
+    ranked every row to pick 16)."""
+    cand = SIM.ivf_seed_candidates(emb)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "TakeOrdered" not in plan
+    assert "Sample" in plan
+    assert len(cand.collect()) >= SIM.IVF_CENTROIDS  # sf sample fills the seed set

@@ -224,3 +224,14 @@ def test_sessionize_stream_event_time_ttl_backfill_equals_batch(spark, tmp_path)
     # the beyond-gap late arrival really opened a numbered second session
     # (the batch operator's running-sum numbering starts at 1)
     assert set(map(tuple, b[["user_id", "session_idx"]].values)) >= {(1, 1), (1, 2)}
+
+
+def test_stream_definable_before_data_arrives(spark, tmp_path):
+    """An events stream must be definable over an empty (not yet
+    populated) directory: schema sniffing has nothing to read, so the
+    declared fallback schema kicks in and the normalized columns exist."""
+    empty = str(tmp_path / "empty_events")
+    os.makedirs(empty, exist_ok=True)
+    df = read_events_stream(spark, empty)
+    assert df.isStreaming
+    assert "ts_ns" in df.columns and "ts" in df.columns
