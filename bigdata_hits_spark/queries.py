@@ -603,8 +603,9 @@ def _load_extensions() -> None:
     import bigdata_hits_spark.queries_similarity  # noqa: F401
     import bigdata_hits_spark.queries_events  # noqa: F401
     import bigdata_hits_spark.queries_multimodal  # noqa: F401
-    # Loads LAST on purpose: its oracle-backed entries land AFTER the 50
-    # gate-prefix slots (stable sort preserves registration order), so
-    # they add local-harness + bench coverage without displacing any
-    # driver gate slot.
+    # These load LAST on purpose: their oracle-backed entries land AFTER
+    # the 50 gate-prefix slots (stable sort preserves registration
+    # order), so they add local-harness + bench coverage without
+    # displacing any driver gate slot.
     import bigdata_hits_spark.queries_graph  # noqa: F401
+    import bigdata_hits_spark.queries_postgate  # noqa: F401

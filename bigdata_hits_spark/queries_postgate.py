@@ -1,0 +1,170 @@
+"""Post-gate declared queries for the round-3 library-only operators:
+k-core, per-group caps, int8 quantization, and incremental MinHash dedup.
+
+Like queries_graph.py, this module loads LAST in queries._load_extensions,
+so its oracle-backed entries land AFTER the 50-slot gate prefix — the
+local harness (scripts/check_oracle.py) and the driver still verify them
+with the full row/schema/value discipline, without displacing a gate slot.
+
+Oracle formulations follow the repo's portability discipline: k-core is
+the peeling loop unrolled as CTE rounds past its measured fixpoint depth
+(extra rounds are no-ops, so the unroll only needs an upper bound);
+quantization arithmetic is associated IDENTICALLY on both sides; MinHash
+estimates reuse the md5-derived hash chain of queries_dedup.py, and the
+match fraction is an exact multiple of 1/16 (bit-identical doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators import dedup as DD
+from bigdata_hits_spark.operators.graphalgs import k_core
+from bigdata_hits_spark.operators.sampling import cap_per_group
+from bigdata_hits_spark.operators.similarity import quantize_embeddings
+from bigdata_hits_spark.oracles import duck_hex_to_long
+from bigdata_hits_spark.queries import register
+from bigdata_hits_spark.queries_graph import _SYM_CTE, _sym
+from bigdata_hits_spark.sources import derived
+from bigdata_hits_spark.sources.readers import load_table
+
+#: k chosen so the sf0.01 part->part graph peels NON-trivially (9 rounds
+#: measured) to a non-empty core (1906 of 2000 nodes) — a fixpoint the
+#: oracle can only match by reproducing the simultaneous-peel semantics.
+KCORE_K = 41
+#: CTE unroll depth: measured fixpoint depth 9 + margin (rounds past the
+#: fixpoint drop nothing, so over-unrolling cannot change the answer).
+KCORE_UNROLL = 12
+
+CAP_PER_SOURCE = 10
+
+
+def _kcore_sql(k: int = KCORE_K, unroll: int = KCORE_UNROLL) -> str:
+    # AS MATERIALIZED: each round references its predecessor 3× (degree
+    # CTE once, edge filter twice); inlined, the scan tree grows 3^unroll
+    # and DuckDB runs out of file handles re-opening the parquet.
+    ctes = [
+        f"e0 AS MATERIALIZED ({derived.G_PP_EDGES_SQL})",
+        _SYM_CTE.replace("sym AS (", "sym AS MATERIALIZED (", 1),
+    ]
+    prev = "sym"
+    for i in range(1, unroll + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT a AS id, COUNT(*) AS deg FROM {prev} GROUP BY a)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT s.a, s.b FROM {prev} s "
+            f"JOIN d{i} da ON da.id = s.a AND da.deg >= {k} "
+            f"JOIN d{i} db ON db.id = s.b AND db.deg >= {k})"
+        )
+        prev = f"s{i}"
+    return "WITH " + ", ".join(ctes) + f" SELECT DISTINCT a AS id FROM {prev}"
+
+
+@register("kcore", _kcore_sql())
+def q_kcore(spark, sf_dir):
+    """Nodes of the k-core of the part->part graph —
+    operators/graphalgs.py k_core (simultaneous peeling with the
+    escalating-batch fixpoint loop); the oracle unrolls the same peel as
+    degree-filter CTE rounds."""
+    g = derived.g_pp(spark, sf_dir)
+    return k_core(g.edges, KCORE_K, sym=_sym(g))
+
+
+@register(
+    "cap_per_group_docs",
+    f"SELECT doc_id, source FROM ("
+    f"SELECT doc_id, source, ROW_NUMBER() OVER ("
+    f"PARTITION BY source ORDER BY doc_id DESC) AS rn FROM documents) "
+    f"WHERE rn <= {CAP_PER_SOURCE}",
+)
+def q_cap_per_group(spark, sf_dir):
+    """Domain balancing: at most CAP_PER_SOURCE docs per source, highest
+    doc_id first — operators/sampling.py cap_per_group's salted two-phase
+    plan vs the single-window top-N twin.  doc_id is unique, so the
+    deterministic hash tiebreak never fires and the survivor set is
+    engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", CAP_PER_SOURCE, order_col="doc_id").select(
+        "doc_id", "source"
+    )
+
+
+_QUANT_SQL = (
+    "WITH s AS (SELECT vec_id, embedding, "
+    "list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) AS mx "
+    "FROM embeddings), "
+    "el AS (SELECT vec_id, embedding, mx, unnest(range(len(embedding))) AS i FROM s) "
+    "SELECT vec_id, CAST(i AS INT) AS pos, "
+    "CASE WHEN mx > 0 THEN "
+    "CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) / (mx / 127.0)) AS INT) "
+    "ELSE 0 END AS q, "
+    "ROUND(CASE WHEN mx > 0 THEN mx / 127.0 ELSE 0.0 END, 9) AS q_scale "
+    "FROM el"
+)
+
+
+@register("quantize_embeddings", _QUANT_SQL)
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization —
+    operators/similarity.py quantize_embeddings, exploded to one row per
+    (vector, dimension) so the driver's value-hash covers every quantized
+    coordinate (array columns would hash engine-specifically).  The
+    division is associated identically on both sides: x / (max|x| / 127)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round(F.col("q_scale"), 9).alias("q_scale"),
+        F.posexplode("q_embedding").alias("pos", "qv"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("qv").cast("int").alias("q"),
+        "q_scale",
+    )
+
+
+def _incremental_est_sql() -> str:
+    from bigdata_hits_spark.queries_dedup import _SHINGLE_CTES
+
+    values = ", ".join(f"({j}, {a}, {b})" for j, a, b in DD.MINHASH_PARAMS)
+    x = duck_hex_to_long("md5(shingle)", 8)
+    return (
+        f"WITH {_SHINGLE_CTES}, "
+        f"tok AS (SELECT id, {x} % {DD.MINHASH_P} AS x FROM sh), "
+        f"params(j, a, b) AS (VALUES {values}), "
+        f"mh AS (SELECT id, j, MIN((a * x + b) % {DD.MINHASH_P}) AS v "
+        "FROM tok CROSS JOIN params GROUP BY id, j), "
+        f"bands AS (SELECT id, j // {DD.ROWS_PER_BAND} AS band_id, "
+        "string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS sig "
+        f"FROM mh GROUP BY id, j // {DD.ROWS_PER_BAND}), "
+        "cand AS (SELECT DISTINCT b1.id AS id1, b2.id AS id2 FROM bands b1 "
+        "JOIN bands b2 ON b1.band_id = b2.band_id AND b1.sig = b2.sig "
+        "WHERE b1.id % 2 = 1 AND b2.id % 2 = 0), "
+        "est AS (SELECT c.id1, c.id2, "
+        f"CAST(SUM(CASE WHEN m1.v = m2.v THEN 1 ELSE 0 END) AS DOUBLE) / {DD.NUM_HASHES} "
+        "AS est_jaccard FROM cand c "
+        "JOIN mh m1 ON m1.id = c.id1 JOIN mh m2 ON m2.id = c.id2 AND m2.j = m1.j "
+        "GROUP BY c.id1, c.id2) "
+        "SELECT id1, id2, est_jaccard FROM est"
+    )
+
+
+@register("dedup_minhash_incremental", _incremental_est_sql())
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Stage 2 of operators/dedup.py minhash_dedup_incremental: the new
+    batch (odd doc_ids) banded against a signature-only historical corpus
+    (even doc_ids), candidate pairs scored by the MinHash match-fraction
+    estimate (signature_jaccard_estimate) — the path where yesterday's
+    100 TB is never re-read.  Per-doc signatures are independent, so the
+    oracle computes them over the full table and splits by parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new_sigs = DD.minhash_signatures(new)
+    old_sigs = DD.minhash_signatures(old)
+    nb = DD.band_rows(new_sigs).select(F.col("id").alias("id1"), "band_id", "sig")
+    ob = DD.band_rows(old_sigs).select(F.col("id").alias("id2"), "band_id", "sig")
+    cand = nb.join(ob, ["band_id", "sig"]).select("id1", "id2").distinct()
+    return DD.signature_jaccard_estimate(cand, new_sigs, old_sigs)
