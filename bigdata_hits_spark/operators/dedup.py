@@ -60,19 +60,25 @@ def _shingles_udf(k: int):
     space -> per-doc distinct, first-occurrence order) but ~an order of
     magnitude cheaper: Catalyst executes higher-order array lambdas in
     the interpreter, paying per-element costs that a tight Python loop
-    over an Arrow batch does not."""
+    over an Arrow batch does not.
+
+    Inner-loop form chosen by microbench over the sf0.1 corpus (5k docs,
+    54 words mean; min of 3, identical output): zip-of-offset-slices
+    0.076s vs per-position slicing (" ".join(w[i:i+k])) 0.110s vs a
+    "vectorized" pandas explode + groupby-shift + str-concat 0.394s —
+    object-dtype string ops loop over PyObjects anyway, so the explicit
+    zip loop is the fast path, not a compromise."""
     if k not in _SHINGLE_UDFS:
         from pyspark.sql.functions import pandas_udf
 
         @pandas_udf("array<string>")
         def sh(texts: pd.Series) -> pd.Series:
+            join = " ".join
             out = []
             for t in texts:
                 w = t.split(" ") if t else []
                 if len(w) >= k:
-                    out.append(
-                        list(dict.fromkeys(" ".join(w[i : i + k]) for i in range(len(w) - k + 1)))
-                    )
+                    out.append(list(dict.fromkeys(map(join, zip(*(w[i:] for i in range(k)))))))
                 else:
                     out.append([])
             return pd.Series(out)
