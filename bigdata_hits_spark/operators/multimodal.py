@@ -44,18 +44,30 @@ def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real image decoding needs pillow/opencv, absent from this
-    container.  The Spark-side contract (binary in, array out) is what
-    the pipeline depends on; swap this body when codecs are available."""
+def decode_image(payload: bytes):
+    """Decode image bytes to an (H, W, 3) uint8 RGB numpy array.
+
+    The real path is wired through OPTIONAL pillow: when ``PIL`` imports,
+    this decodes for real (any format pillow reads), so the moment the
+    environment grows codecs the pipeline lights up with no code change.
+    Without pillow (this container) it raises a clearly-marked
+    NotImplementedError and ``extract_features`` keeps using the
+    deterministic fake path.  tests/test_multimodal.py covers both arms:
+    the raise arm runs here, the decode arm under
+    ``pytest.importorskip('PIL')``."""
     try:
-        from PIL import Image  # noqa: F401
+        import io
+
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
             "image decode requires pillow, which is not installed; "
             "extract_features uses the deterministic fake path instead"
         ) from e
-    raise NotImplementedError("real decode path not wired in this environment")
+    import numpy as np
+
+    with Image.open(io.BytesIO(bytes(payload))) as im:
+        return np.asarray(im.convert("RGB"))
 
 
 def extract_features(

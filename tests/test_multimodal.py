@@ -33,9 +33,33 @@ def test_extract_features_batched(spark, docs):
     assert all(0.0 <= v <= 1.0 for v in by_doc[1].values())
 
 
-def test_decode_stub_raises(spark):
+def test_decode_without_pillow_raises(spark):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow installed: the raise arm is unreachable")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x00")
+
+
+def test_decode_with_pillow_roundtrip(spark):
+    """Skipped in this container (no codecs); the moment pillow exists the
+    real decode arm is exercised: encode a 2x3 RGB image, decode it back,
+    assert pixel-exact array out."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGB").save(buf, format="PNG")
+    out = MM.decode_image(buf.getvalue())
+    assert out.shape == (2, 3, 3)
+    assert (out == arr).all()
 
 
 def test_sample_frames_offsets(spark):
