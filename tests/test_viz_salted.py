@@ -51,6 +51,34 @@ def test_viz_prepare_and_gated_draw(spark):
         assert len(paths) == 3
 
 
+def test_draw_svg_renders_three_valid_files(spark, tmp_path):
+    """draw_svg is the always-available render path: three well-formed
+    SVG documents, deterministic across calls, nodes present as circles
+    and top-k labels as text."""
+    import xml.etree.ElementTree as ET
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0), ("c", "d", 1.0)],
+        "src string, dst string, weight double",
+    )
+    nodes = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")], "id string, labels string"
+    )
+    g = Graph(nodes=nodes, edges=edges)
+    data = viz.prepare_render_data(g, hits(g, k=2), node_fraction=1.0, edge_fraction=1.0)
+    paths = viz.draw_svg(data, "t", out_dir=str(tmp_path))
+    assert len(paths) == 3 and all(p.endswith(".svg") for p in paths)
+    ns = "{http://www.w3.org/2000/svg}"
+    root = ET.parse(paths[0]).getroot()  # raises on malformed XML
+    assert len(root.findall(f"{ns}circle")) == 4  # one per sampled node
+    assert len(root.findall(f"{ns}line")) == 4  # one per sampled edge
+    hubs_root = ET.parse(paths[1]).getroot()
+    assert len(hubs_root.findall(f"{ns}text")) > 0  # top-k labeled
+    # determinism: same sample renders byte-identically
+    again = viz.draw_svg(data, "t2", out_dir=str(tmp_path))
+    assert open(paths[0]).read() == open(again[0]).read()
+
+
 def test_salted_join_rejects_right_outer(spark):
     df = spark.createDataFrame([(1, 2)], "k long, v long")
     with pytest.raises(ValueError, match="salted_join supports"):
