@@ -42,6 +42,8 @@ Beyond-reference pipeline jobs (no reference twin):
   scores as ``pagerank_scores.txt``.
 - ``triangles nodes edges`` / ``label_propagation [k [nodes edges]]`` /
   ``kcore [k [nodes edges]]`` — graph analytics written as parquet.
+- ``draw_graphs [num_iter [nodes edges]]`` — base HITS + the three
+  reference figures (PNG when matplotlib exists, else SVG).
 
 - ``clean_corpus docs.parquet [min_quality] [near_dup_threshold]
   [embeddings.parquet [semantic_threshold]]`` — quality floor +
@@ -250,6 +252,21 @@ def main(argv: list[str] | None = None) -> None:
         k_core(g.edges, k).write.mode("overwrite").parquet(
             os.path.join(out_dir, "kcore")
         )
+    elif job == "draw_graphs":
+        # draw_graphs [num_iter [nodes edges]] — run base HITS and render
+        # the three reference figures (sampled graph, top hubs red, top
+        # authorities blue — draw_graphs.py:13,35).  PNG via matplotlib
+        # when available, else the dependency-free SVG path.
+        from bigdata_hits_spark import viz
+
+        k = args.take(int, DEFAULT_ITER)
+        g = _load_graph(spark, *args.take_paths())
+        data = viz.prepare_render_data(g, hits(g, k=k))
+        try:
+            paths = viz.draw(data, "base", out_dir=out_dir)
+        except NotImplementedError:
+            paths = viz.draw_svg(data, "base", out_dir=out_dir)
+        print("\n".join(paths))
     elif job == "clean_corpus":
         # clean_corpus <docs.parquet> [min_quality] [near_dup_threshold]
         from bigdata_hits_spark.operators.pipeline import clean_corpus

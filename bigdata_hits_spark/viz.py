@@ -96,6 +96,7 @@ def _svg_graph(
     sizes: dict[str, float] | None = None,
     labels: bool = False,
     width: int = 900,
+    fill: str = "grey",
 ) -> str:
     """Serialize one laid-out graph as an SVG document string."""
     from xml.sax.saxutils import escape
@@ -117,7 +118,7 @@ def _svg_graph(
     for nid in node_ids:
         x, y = xy[nid]
         r = 4.0 + (sizes or {}).get(nid, 0.0)
-        parts.append(f'<circle cx="{x:.1f}" cy="{y:.1f}" r="{r:.1f}" fill="#1f77b4"/>')
+        parts.append(f'<circle cx="{x:.1f}" cy="{y:.1f}" r="{r:.1f}" fill="{fill}"/>')
         if labels:
             parts.append(
                 f'<text x="{x + r + 2:.1f}" y="{y:.1f}" font-size="10">{escape(str(nid))}</text>'
@@ -146,7 +147,9 @@ def draw_svg(render_data: dict, name: str, out_dir: str = "./outputs") -> list[s
     with open(path, "w") as f:
         f.write(_svg_graph(node_ids, edges))
     paths.append(path)
-    for kind in ("top_hubs", "top_auths"):
+    # Reference color convention (draw_graphs.py:13,35): hubs red,
+    # authorities blue.
+    for kind, fill in (("top_hubs", "red"), ("top_auths", "blue")):
         pdf = render_data[kind]
         scores = dict(zip(pdf["id"].astype(str), pdf["score"]))
         sub_nodes = [n for n in node_ids if n in scores] or node_ids[:1]
@@ -155,7 +158,7 @@ def draw_svg(render_data: dict, name: str, out_dir: str = "./outputs") -> list[s
         sizes = {n: 40.0 * float(scores.get(n, 0.0)) for n in sub_nodes}
         path = os.path.join(out_dir, f"{name}_{kind}.svg")
         with open(path, "w") as f:
-            f.write(_svg_graph(sub_nodes, sub_edges, sizes=sizes, labels=True))
+            f.write(_svg_graph(sub_nodes, sub_edges, sizes=sizes, labels=True, fill=fill))
         paths.append(path)
     return paths
 

@@ -165,6 +165,18 @@ def test_cli_pagerank_and_graph_analytics(spark, csv_graph, tmp_path):
     assert lp.count() > 0 and set(lp.columns) == {"id", "community"}
 
 
+def test_cli_draw_graphs_renders_figures(spark, csv_graph, tmp_path):
+    nodes, edges, _ = csv_graph
+    out = str(tmp_path / "figs")
+    cli.main(["draw_graphs", "2", nodes, edges, "--out", out])
+    files = sorted(os.listdir(out))
+    # three figures; SVG here (no matplotlib), PNG where it exists
+    assert len(files) == 3
+    assert {f.split(".")[-1] for f in files} <= {"svg", "png"}
+    assert any("sampled_graph" in f for f in files)
+    assert any("top_hubs" in f or "hub" in f for f in files)
+
+
 def test_cli_pack_corpus(spark, tmp_path):
     src = str(tmp_path / "docs_pack")
     out = str(tmp_path / "out_pack")
