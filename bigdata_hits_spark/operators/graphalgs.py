@@ -54,21 +54,24 @@ def triangle_counts(
     appearing in ``edges`` (direction and multiplicity ignored, self-loops
     dropped — the standard social-graph clustering measure).
 
-    Degree-ordered adjacency-intersection plan: orient each undirected
-    edge from its lower (degree, id) endpoint to the higher, group the
-    oriented out-neighbors into one array per node, then for every
-    oriented edge (u, v) the triangles through it are exactly
-    ``array_intersect(adj+(u), adj+(v))`` — each triangle {x, y, z} with
-    rank x < y < z is found once, at edge (x, y).  Oriented out-degree is
-    bounded by O(sqrt(2m)) regardless of hub skew, so both the array
-    sizes and the total intersection work are O(m^1.5) worst case.
+    Degree-ordered plan: orient each undirected edge from its lower
+    (degree, id) endpoint to the higher, enumerate wedges by self-joining
+    the oriented list on the pivot, and close each wedge against the
+    oriented edge set.  Every triangle is found exactly once, and wedge
+    fan-out is bounded by the SMALLER endpoint's degree — hub skew never
+    amplifies: O(m^1.5) worst case.
 
-    This replaced the classic wedge-enumeration join (self-join on the
-    pivot + semi-join close): same asymptotics, but the intersection form
-    skips materializing the wedge rows (~9M at sf0.1 for ~600k edges) and
-    closes each pair with a JVM-side hash probe instead of a shuffle.
-    Interleaved A/B at sf0.1 (scripts/ab_triangles.py, min of 3 passes,
-    identical results): wedge 6.48s vs intersect 4.45s (-31%).
+    A/B'd against the grouped-adjacency + ``array_intersect`` plan
+    (scripts/ab_triangles.py, identical results, sf0.1): the intersect
+    form wins a quiet session (4.45s vs 6.48s min-of-3) but LOSES under
+    the memory pressure of a real multi-query session — with ~40
+    persisted datasets occupying storage, its allocation-heavy
+    collect_list arrays produce pathological variance (per-pass 10.8 /
+    5.3 / 9.9 / 58.7s vs the wedge join's 12.3 / 7.0 / 6.8 / 17.7s), and
+    the recorded bench number regressed 7.4s -> 11.4s.  The wedge join
+    streams rows through spillable shuffle machinery instead of building
+    per-node arrays in execution memory, which is the behavior to bet on
+    for a busy 100 TB cluster — so it stays the production plan.
     """
     if sym is None:
         sym = symmetric_edges(edges, src, dst)
@@ -85,30 +88,36 @@ def triangle_counts(
             (F.col("deg_a") < F.col("deg_b"))
             | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
         )
-        .select(F.col("a").alias("lo"), F.col("b").alias("hi"))
+        .select(F.col("a").alias("lo"), F.col("b").alias("hi"), F.col("deg_b").alias("deg_hi"))
     )
 
-    # One array of oriented out-neighbors per node, attached to both
-    # endpoints of every oriented edge.  The hi-side attach is an inner
-    # join: a hi with no oriented out-edges closes no triangle, and every
-    # node still surfaces through the final left join against the node
-    # set.  Per-node credit: |I| to each edge endpoint, 1 to each member
-    # of the intersection I (the triangle's third, highest-ranked node).
-    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
-    pairs = (
-        oriented.join(adj.select("lo", F.col("nbrs").alias("nu")), "lo")
-        .join(adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")), "hi")
-        .select("lo", "hi", F.array_intersect("nu", "nv").alias("tri_nodes"))
+    # Wedges pivoting at the low end, ordered by ORIENTATION rank
+    # ((deg, id) of the two high endpoints): with v strictly below w in
+    # that order, a closing edge between them is oriented v -> w by
+    # construction, so the close is a semi-join against the ORIENTED set
+    # (half the symmetric set) with no direction ambiguity.
+    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("deg_hi").alias("dv"))
+    e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("deg_hi").alias("dw"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+        .select("u", "v", "w")
     )
-    contrib = (
-        pairs.select(F.col("lo").alias("id"), F.size("tri_nodes").alias("c"))
-        .unionByName(pairs.select(F.col("hi").alias("id"), F.size("tri_nodes").alias("c")))
-        .unionByName(pairs.select(F.explode("tri_nodes").alias("id"), F.lit(1).alias("c")))
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    triangles = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
+
+    per_node = (
+        triangles.select(F.col("u").alias("id"))
+        .unionByName(triangles.select(F.col("v").alias("id")))
+        .unionByName(triangles.select(F.col("w").alias("id")))
         .groupBy("id")
-        .agg(F.sum("c").alias("triangles"))
+        .agg(F.count(F.lit(1)).alias("triangles"))
     )
     nodes = sym.select(F.col("a").alias("id")).distinct()
-    return nodes.join(contrib, "id", "left").select(
+    return nodes.join(per_node, "id", "left").select(
         "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
     )
 

@@ -1,17 +1,24 @@
 #!/usr/bin/env python
-"""Interleaved A/B: wedge-join triangle counting (current) vs grouped
-adjacency arrays + array_intersect (VERDICT r3 item 4).
+"""Interleaved A/B: wedge-join triangle counting vs grouped adjacency
+arrays + array_intersect (VERDICT r3 item 4).  Both variants are defined
+here self-contained so the experiment stays reproducible regardless of
+which one graphalgs.triangle_counts currently uses.
 
 Measured at sf0.1 (min of 3 interleaved passes, identical results on all
-20,000 nodes): wedge 6.48s vs adj 4.45s (-31%) — the adj plan was
-promoted into graphalgs.triangle_counts; the wedge form lives on here as
-the counterfactual.
+20,000 nodes):
 
-Method mirrors the ranking.py:227-238 A/B discipline: same session, same
-pinned symmetric edge set, alternating passes, min-of-3 per variant,
-plus a one-shot result-equality check first.
+- quiet session: wedge 6.48s vs adj 4.45s (-31%).
+- bench-like session (~40 persisted datasets occupying storage memory,
+  4 passes): wedge [12.3, 7.0, 6.8, 17.7] vs adj [10.8, 5.3, 9.9,
+  58.7] — the adj plan's collect_list arrays are allocation-heavy and
+  produce pathological variance under heap pressure; the recorded bench
+  number regressed 7.4s -> 11.4s while it was the production plan.
 
-Usage: python scripts/ab_triangles.py [--sf DIR]
+DECISION: wedge join stays production (graphalgs.py triangle_counts) —
+it streams rows through spillable shuffle machinery, which is the
+stable behavior on a busy cluster; the adj form only wins an idle heap.
+
+Usage: python scripts/ab_triangles.py [--sf DIR] [--pressure]
 """
 
 from __future__ import annotations
@@ -24,24 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from bigdata_hits_spark.operators.graphalgs import (
-    symmetric_edges,
-    triangle_counts,
-)
+from bigdata_hits_spark.operators.graphalgs import symmetric_edges
 from bigdata_hits_spark.plans.iterate import materialize
 from bigdata_hits_spark.session import get_spark
 from bigdata_hits_spark.sources import derived
 
 
-def triangle_counts_wedge(sym):
-    """The PREVIOUS production plan, kept here as the A/B counterfactual:
-    wedge enumeration by self-join on the pivot + semi-join close against
-    the oriented set (replaced in graphalgs.py by array_intersect after
-    this script measured -31%)."""
+def _oriented(sym):
     deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
-    oriented = (
+    return (
         sym.join(da, "a")
         .join(db, "b")
         .filter(
@@ -50,6 +50,18 @@ def triangle_counts_wedge(sym):
         )
         .select(F.col("a").alias("lo"), F.col("b").alias("hi"), F.col("deg_b").alias("deg_hi"))
     )
+
+
+def _finish(per_edge_or_node, sym):
+    nodes = sym.select(F.col("a").alias("id")).distinct()
+    return nodes.join(per_edge_or_node, "id", "left").select(
+        "id", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
+    )
+
+
+def triangle_counts_wedge(sym):
+    """Wedge enumeration (the production plan in graphalgs.py)."""
+    oriented = _oriented(sym)
     e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("deg_hi").alias("dv"))
     e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("deg_hi").alias("dw"))
     wedges = (
@@ -69,10 +81,27 @@ def triangle_counts_wedge(sym):
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
-    nodes = sym.select(F.col("a").alias("id")).distinct()
-    return nodes.join(per_node, "id", "left").select(
-        "id", F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles")
+    return _finish(per_node, sym)
+
+
+def triangle_counts_adj(sym):
+    """Grouped adjacency + array_intersect (fast on an idle heap, high
+    variance under memory pressure — see module docstring)."""
+    oriented = _oriented(sym).select("lo", "hi")
+    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    pairs = (
+        oriented.join(adj.select("lo", F.col("nbrs").alias("nu")), "lo")
+        .join(adj.select(F.col("lo").alias("hi"), F.col("nbrs").alias("nv")), "hi")
+        .select("lo", "hi", F.array_intersect("nu", "nv").alias("tri_nodes"))
     )
+    contrib = (
+        pairs.select(F.col("lo").alias("id"), F.size("tri_nodes").alias("c"))
+        .unionByName(pairs.select(F.col("hi").alias("id"), F.size("tri_nodes").alias("c")))
+        .unionByName(pairs.select(F.explode("tri_nodes").alias("id"), F.lit(1).alias("c")))
+        .groupBy("id")
+        .agg(F.sum("c").alias("triangles"))
+    )
+    return _finish(contrib, sym)
 
 
 def main() -> None:
@@ -81,24 +110,32 @@ def main() -> None:
         sf_dir = sys.argv[sys.argv.index("--sf") + 1]
     spark = get_spark("ab-triangles")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--pressure" in sys.argv:
+        # Simulate a long-lived multi-query session: fill storage memory
+        # with persisted mid-sized datasets before measuring.
+        junk = []
+        for i in range(40):
+            df = (
+                spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+                .select("l_orderkey", "l_partkey", "l_quantity")
+                .withColumn("j", F.lit(i))
+                .persist()
+            )
+            df.count()
+            junk.append(df)
     g = derived.g_pp(spark, sf_dir)
     sym = materialize(symmetric_edges(g.edges).repartition("b"))
 
-    # equality check first (full collect-and-compare at this SF)
     a = triangle_counts_wedge(sym).toPandas().sort_values("id").reset_index(drop=True)
-    b = triangle_counts(g.edges, sym=sym).toPandas().sort_values("id").reset_index(drop=True)
+    b = triangle_counts_adj(sym).toPandas().sort_values("id").reset_index(drop=True)
     same = a.equals(b.astype(a.dtypes.to_dict()))
     print(f"results equal: {same} ({len(a)} rows)", file=sys.stderr)
     if not same:
         merged = a.merge(b, on="id", suffixes=("_wedge", "_adj"))
-        diff = merged[merged.triangles_wedge != merged.triangles_adj]
-        print(diff.head(20), file=sys.stderr)
+        print(merged[merged.triangles_wedge != merged.triangles_adj].head(20), file=sys.stderr)
         sys.exit(1)
 
-    variants = {
-        "wedge": lambda: triangle_counts_wedge(sym),
-        "adj": lambda: triangle_counts(g.edges, sym=sym),
-    }
+    variants = {"wedge": lambda: triangle_counts_wedge(sym), "adj": lambda: triangle_counts_adj(sym)}
     times: dict[str, list[float]] = {k: [] for k in variants}
     for _pass in range(3):
         for name, fn in variants.items():
