@@ -77,7 +77,9 @@ def connected_components(
                 (F.col("nbr_min") < F.col("component")).alias("changed"),
             )
         )
-        updated = materialize(updated)
+        # Lazy checkpoint; the changed-count below triggers it — one job
+        # per round instead of checkpoint + count.
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:

@@ -240,7 +240,9 @@ def k_core(
             # eager=False: still ONE action per materialized round.
             if i + 1 < peels_per_round:
                 nxt = nxt.localCheckpoint(eager=False)
-        sym = materialize(nxt)
+        # Lazy checkpoint; the count triggers it — one job per
+        # materialized round instead of checkpoint + count.
+        sym = nxt.localCheckpoint(eager=False)
         n = sym.count()
         # Counts are monotonically non-increasing, so an unchanged count
         # across >= 1 peel means every inner peel was a no-op: fixpoint.

@@ -195,13 +195,18 @@ def _power_iterate(
     done = 0
     for _ in range(k):
         hubs_raw = damp(_step(edges_hub, auths, mode))
-        auths_raw = materialize(damp(_step(edges_auth, hubs_raw, mode)))
-        # O(1) driver scalar over the fresh checkpoint (the reference
-        # collects the same scalar — base_hits.py:17); injecting it as a
-        # literal keeps the next iteration's plan free of an extra
-        # broadcast barrier.  (Measured: an in-plan broadcast norm nests
-        # a BroadcastExchange inside the score-vector broadcast and runs
-        # SLOWER — two serialized broadcast barriers per iteration.)
+        # LAZY checkpoint + norm agg as the triggering action: the agg
+        # materializes the checkpoint AND returns the scalar in ONE job
+        # (previously an eager checkpoint job followed by a separate agg
+        # job — two launches per iteration).  The floats are identical:
+        # the same hash-agg runs over the same checkpointed partitions.
+        # O(1) driver scalar per iteration (the reference collects the
+        # same — base_hits.py:17); injecting it as a literal keeps the
+        # next iteration's plan free of an extra broadcast barrier.
+        # (Measured: an in-plan broadcast norm nests a BroadcastExchange
+        # inside the score-vector broadcast and runs SLOWER — two
+        # serialized broadcast barriers per iteration.)
+        auths_raw = damp(_step(edges_auth, hubs_raw, mode)).localCheckpoint(eager=False)
         nrm = auths_raw.agg(norm_expr).first()[0]
         auths = auths_raw.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
         done += 1
@@ -547,14 +552,13 @@ def pagerank(
     for _ in range(k):
         contrib = _step(ea, scores, mode)
         contrib = F.broadcast(contrib) if mode == "broadcast" else contrib.hint("shuffle_hash")
-        scores_raw = materialize(
-            node_ids.join(contrib, "id", "left").select(
-                "id",
-                (F.lit(beta) * F.coalesce(F.col("score"), F.lit(0.0)) + teleport).alias(
-                    "score"
-                ),
-            )
-        )
+        # Lazy checkpoint; the norm agg below is the triggering action —
+        # checkpoint materialization and scalar in ONE job (same fusion
+        # as _power_iterate).
+        scores_raw = node_ids.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(beta) * F.coalesce(F.col("score"), F.lit(0.0)) + teleport).alias("score"),
+        ).localCheckpoint(eager=False)
         nrm = scores_raw.agg(F.sum("score").alias("__norm")).first()[0]
         scores_new = scores_raw.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
         done += 1
