@@ -177,9 +177,11 @@ def label_propagation(
         # Unlike the ranking loop there is NO per-round driver scalar, so
         # rounds compose into one lazy plan and the whole propagation runs
         # as a single job; checkpoint on a cadence only to bound plan
-        # depth for large k.
+        # depth for large k.  LAZY (eager would launch a job mid-loop):
+        # the final action materializes the cut, and the logical plan
+        # downstream of it is a flat LogicalRDD either way.
         if (i + 1) % _LP_CHECKPOINT_EVERY == 0 and (i + 1) < k:
-            labels = materialize(labels)
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
