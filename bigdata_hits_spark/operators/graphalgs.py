@@ -44,41 +44,20 @@ def symmetric_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return fwd.unionByName(rev).filter(F.col("a") != F.col("b")).distinct()
 
 
-def triangle_counts(
-    edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    sym: DataFrame | None = None,
-) -> DataFrame:
-    """(id, triangles): number of undirected triangles through each node
-    appearing in ``edges`` (direction and multiplicity ignored, self-loops
-    dropped — the standard social-graph clustering measure).
+def _wedge_counts(sym: DataFrame) -> DataFrame:
+    """Degree-ordered wedge enumeration over a symmetric (a, b) edge set
+    whose endpoints may be any orderable type; returns (id, triangles)
+    for nodes in at least one triangle.
 
-    Degree-ordered plan: orient each undirected edge from its lower
-    (degree, id) endpoint to the higher, enumerate wedges by self-joining
-    the oriented list on the pivot, and close each wedge against the
-    oriented edge set.  Every triangle is found exactly once, and wedge
-    fan-out is bounded by the SMALLER endpoint's degree — hub skew never
-    amplifies: O(m^1.5) worst case.
-
-    A/B'd against the grouped-adjacency + ``array_intersect`` plan
-    (scripts/ab_triangles.py, identical results, sf0.1): the intersect
-    form wins a quiet session (4.45s vs 6.48s min-of-3) but LOSES under
-    the memory pressure of a real multi-query session — with ~40
-    persisted datasets occupying storage, its allocation-heavy
-    collect_list arrays produce pathological variance (per-pass 10.8 /
-    5.3 / 9.9 / 58.7s vs the wedge join's 12.3 / 7.0 / 6.8 / 17.7s), and
-    the recorded bench number regressed 7.4s -> 11.4s.  The wedge join
-    streams rows through spillable shuffle machinery instead of building
-    per-node arrays in execution memory, which is the behavior to bet on
-    for a busy 100 TB cluster — so it stays the production plan.
+    Orient each undirected edge from its lower (degree, id) endpoint to
+    the higher, enumerate wedges by self-joining the oriented list on the
+    pivot, close each wedge with a semi-join against the oriented set.
+    Every triangle is found exactly once; wedge fan-out is bounded by the
+    SMALLER endpoint's degree — hub skew never amplifies: O(m^1.5).
+    (The orientation tiebreak on equal degree depends on the id ordering,
+    but the triangle SET is orientation-invariant, so counts don't.)
     """
-    if sym is None:
-        sym = symmetric_edges(edges, src, dst)
     deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-
-    # Orientation rank: (degree, id) — total order, so exactly one
-    # direction survives per undirected edge.
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
     oriented = (
@@ -90,12 +69,6 @@ def triangle_counts(
         )
         .select(F.col("a").alias("lo"), F.col("b").alias("hi"), F.col("deg_b").alias("deg_hi"))
     )
-
-    # Wedges pivoting at the low end, ordered by ORIENTATION rank
-    # ((deg, id) of the two high endpoints): with v strictly below w in
-    # that order, a closing edge between them is oriented v -> w by
-    # construction, so the close is a semi-join against the ORIENTED set
-    # (half the symmetric set) with no direction ambiguity.
     e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("deg_hi").alias("dv"))
     e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("deg_hi").alias("dw"))
     wedges = (
@@ -108,15 +81,62 @@ def triangle_counts(
     )
     closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
     triangles = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
-
-    per_node = (
+    return (
         triangles.select(F.col("u").alias("id"))
         .unionByName(triangles.select(F.col("v").alias("id")))
         .unionByName(triangles.select(F.col("w").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    sym: DataFrame | None = None,
+) -> DataFrame:
+    """(id, triangles): number of undirected triangles through each node
+    appearing in ``edges`` (direction and multiplicity ignored, self-loops
+    dropped — the standard social-graph clustering measure).
+
+    The wedge machinery (:func:`_wedge_counts`) runs on xxhash64-ENCODED
+    long ids: the wedge join is by far the heaviest dataflow in the
+    engine (~9M wedge rows at sf0.1), and 8-byte longs through those
+    shuffles beat variable-length strings decisively — pressure-context
+    A/B (scripts/ab_triangles.py --pressure, identical results): strings
+    min 5.9s / worst 10.1s vs longs min 3.3s / worst 4.9s (-43%, and the
+    variance tightens).  String ids are restored by one node-sized dim
+    join at the end.
+
+    Hash-collision guard: two node ids colliding under xxhash64 would
+    merge their neighborhoods.  With P(collision) ≈ n²/2^65 this is
+    negligible below ~10^8 nodes but real at 10^9+ (≈2.7% at 1e9), so
+    the operator counts distinct ids vs distinct hashes first (one
+    node-sized agg) and falls back to the string-keyed plan on a hit.
+
+    Plan-shape history: the grouped-adjacency + array_intersect variant
+    was A/B'd too — faster on an idle heap (4.45s vs 6.48s) but
+    pathological under multi-query memory pressure (worst pass 58.7s;
+    bench regressed 7.4s -> 11.4s) because its collect_list arrays live
+    in execution memory instead of streaming through spillable shuffle
+    machinery.  Wedges + long ids is the plan that holds up busy.
+    """
+    if sym is None:
+        sym = symmetric_edges(edges, src, dst)
     nodes = sym.select(F.col("a").alias("id")).distinct()
+    ncounts = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64("id")).alias("nh"),
+    ).first()
+    if ncounts["n"] == ncounts["nh"]:
+        enc = sym.select(F.xxhash64("a").alias("a"), F.xxhash64("b").alias("b"))
+        per_node = _wedge_counts(enc).withColumnRenamed("id", "idh")
+        keyed = nodes.withColumn("idh", F.xxhash64("id"))
+        return keyed.join(per_node, "idh", "left").select(
+            "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+        )
+    per_node = _wedge_counts(sym)
     return nodes.join(per_node, "id", "left").select(
         "id", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
     )
