@@ -324,3 +324,65 @@ def run_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "com
     )
     q.awaitTermination()
     return q
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    signature_store: str,
+    survivors_out: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous corpus construction: dedup a document STREAM against a
+    persistent signature-only store via ``foreachBatch`` +
+    ``operators/dedup.py minhash_dedup_incremental``.
+
+    Per micro-batch: (1) exact MinHash+LSH dedup within the batch, (2)
+    estimated dedup against the signature store (historical bodies are
+    NEVER re-read — the store is 16 longs per historical doc), (3)
+    survivors appended to ``survivors_out``, their signatures appended to
+    the store, preserving the state invariant for the next batch.  The
+    sequential micro-batch discipline of foreachBatch is exactly the
+    consistency the incremental operator needs: batch N+1 sees batch N's
+    signatures.  Restart-safety comes from the checkpoint: a replayed
+    batch re-appends, which LSH-dedup itself then suppresses downstream
+    (signatures are deterministic, so replayed rows are exact duplicates
+    of stored ones — idempotence-by-dedup rather than transactional
+    sinks, the standard file-sink compromise).
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    from bigdata_hits_spark.operators.dedup import NUM_HASHES, minhash_dedup_incremental
+
+    sig_schema = T.StructType(
+        [T.StructField("id", T.StringType())]
+        + [T.StructField(f"h{j}", T.LongType()) for j in range(NUM_HASHES)]
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            corpus_sigs = spark.read.parquet(signature_store)
+        except AnalysisException:
+            # First batch: no store yet.  An empty frame with the right
+            # shape makes stage 2 a no-op.
+            corpus_sigs = spark.createDataFrame([], sig_schema)
+        # The id column type follows the batch's id column; align the
+        # empty frame lazily via the operator's own joins (ids only meet
+        # ids from the same side of the store).
+        survivors, survivor_sigs = minhash_dedup_incremental(
+            batch_df, corpus_sigs, threshold, id_col, text_col
+        )
+        survivors.write.mode("append").parquet(survivors_out)
+        survivor_sigs.write.mode("append").parquet(signature_store)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -235,3 +235,59 @@ def test_stream_definable_before_data_arrives(spark, tmp_path):
     df = read_events_stream(spark, empty)
     assert df.isStreaming
     assert "ts_ns" in df.columns and "ts" in df.columns
+
+
+def test_incremental_dedup_stream_builds_corpus(spark, tmp_path):
+    """foreachBatch incremental MinHash dedup over a two-micro-batch doc
+    stream: intra-batch near-dups collapse, cross-batch near-dups are
+    dropped by the signature store, and the store ends with exactly the
+    survivors' signatures."""
+    from pyspark.sql import types as T
+
+    from bigdata_hits_spark.streaming.jobs import incremental_dedup_stream
+
+    # Non-repeating tokens: ~200 distinct shingles, so a one-word edit
+    # keeps Jaccard ~0.97 and banded candidate generation is
+    # deterministic-safe (P(no band match) ~ 1e-4 would show as a stable
+    # failure here, not flakiness — hashes are fixed).
+    words = [f"w{i}" for i in range(200)]
+    base = " ".join(words)
+    edited = " ".join(w if i != 100 else "CHANGED" for i, w in enumerate(words))
+    other = "one two three four five six seven eight nine ten " * 10
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "docs_src")
+    # batch 1 (file 0): A and its near-dup A' (one word edited), B
+    spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 2 (file 1): C = another near-dup of A (must be dropped via
+    # the signature store), D = genuinely new
+    edited2 = " ".join(w if i != 150 else "ALSOCHANGED" for i, w in enumerate(words))
+    spark.createDataFrame(
+        [(10, edited2), (11, "completely different words " * 20)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "sig_store")
+    out = str(tmp_path / "survivors")
+    q = incremental_dedup_stream(
+        stream, store, out, checkpoint=str(tmp_path / "ckpt"), threshold=0.5
+    )
+    q.awaitTermination()
+
+    surv_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # Whichever file order maxFilesPerTrigger picks, exactly ONE of the
+    # {1, 2, 10} near-dup family survives (intra-batch dedup collapses
+    # same-batch members, the signature store kills cross-batch ones),
+    # and both distinct docs {3, 11} survive.
+    assert len(surv_ids & {1, 2, 10}) == 1, surv_ids
+    assert {3, 11} <= surv_ids and len(surv_ids) == 3, surv_ids
+    store_rows = spark.read.parquet(store)
+    assert {r["id"] for r in store_rows.collect()} == surv_ids
+    assert len(store_rows.columns) == 17  # id + h0..h15
