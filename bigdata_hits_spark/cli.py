@@ -52,6 +52,8 @@ Beyond-reference pipeline jobs (no reference twin):
 - ``semantic_dedup docs.parquet embeddings.parquet [threshold]`` —
   embedding near-dup removal alone (sign-LSH candidates + exact cosine
   verify), survivors written as parquet.
+- ``chunk_corpus docs.parquet max_tokens [overlap]`` — overlapping
+  token-window chunking of long documents, written as parquet.
 - ``pack_corpus docs.parquet max_tokens [token_col]`` — greedy sequence
   packing into token-budgeted bins, written as parquet.
 - ``split_corpus docs.parquet key_col [train=0.9,test=0.1]`` —
@@ -310,6 +312,19 @@ def main(argv: list[str] | None = None) -> None:
         packs = pack_documents(docs, max_tokens, token_col)
         packs.write.mode("overwrite").parquet(os.path.join(out_dir, "pack_corpus"))
         print(f"pack_corpus: packs={packs.count()}")
+    elif job == "chunk_corpus":
+        # chunk_corpus <docs.parquet> <max_tokens> [overlap] — split long
+        # documents into overlapping token windows (feed into pack_corpus).
+        from bigdata_hits_spark.operators.sampling import chunk_documents
+
+        docs_path = args.take()
+        max_tokens = args.take(int)
+        if docs_path is None or max_tokens is None:
+            raise SystemExit("chunk_corpus needs a docs parquet path and max_tokens")
+        overlap = args.take(int, 0)
+        chunk_documents(spark.read.parquet(docs_path), max_tokens, overlap).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "chunk_corpus"))
     elif job == "semantic_dedup":
         # semantic_dedup <docs.parquet> <embeddings.parquet> [threshold]
         from bigdata_hits_spark.operators.similarity import semantic_dedup

@@ -258,3 +258,54 @@ def pack_documents(
             "n_docs long, total_tokens long"
         ),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, chunk_text, n_tokens): split each document's
+    whitespace tokens into windows of ``max_tokens`` with ``overlap``
+    tokens shared between consecutive windows — the standard
+    long-document preparation step before sequence packing (a 50k-token
+    document cannot ride one training sample; its chunks can).
+
+    Chunk i covers tokens [i·stride, i·stride + max_tokens) with
+    stride = max_tokens − overlap; the last chunk may be shorter, and a
+    document of <= max_tokens tokens yields exactly one chunk (idx 0).
+    Number of chunks: max(1, ceil((n − overlap) / stride)).
+
+    Scale shape: pure Column expressions (split → explode(sequence) →
+    slice → array_join), whole-stage-codegen friendly, no UDF, no
+    shuffle — a narrow map over the documents scan whose output row
+    count is bounded by n_tokens/stride per doc.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must be in [0, max_tokens)")
+    stride = max_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # ceil((n - overlap) / stride) in exact integer arithmetic (floats
+    # would drift for huge n); greatest(1, ·) covers n <= max_tokens.
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, max_tokens), " ").alias("chunk_text"),
+            F.size(F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, max_tokens)).alias("n_tokens"),
+        )
+    )

@@ -168,3 +168,42 @@ def q_dedup_minhash_incremental(spark, sf_dir):
     ob = DD.band_rows(old_sigs).select(F.col("id").alias("id2"), "band_id", "sig")
     cand = nb.join(ob, ["band_id", "sig"]).select("id1", "id2").distinct()
     return DD.signature_jaccard_estimate(cand, new_sigs, old_sigs)
+
+
+CHUNK_MAX = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_MAX - CHUNK_OVERLAP
+
+_CHUNK_SQL = (
+    "WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, "
+    f"GREATEST(1, (len(toks) - {CHUNK_OVERLAP} + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE}) "
+    "AS n_chunks FROM t), "
+    "e AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM c) "
+    "SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, "
+    f"array_to_string(toks[chunk_idx * {_CHUNK_STRIDE} + 1 : "
+    f"chunk_idx * {_CHUNK_STRIDE} + {CHUNK_MAX}], ' ') AS chunk_text, "
+    f"len(toks[chunk_idx * {_CHUNK_STRIDE} + 1 : "
+    f"chunk_idx * {_CHUNK_STRIDE} + {CHUNK_MAX}]) AS n_tokens "
+    "FROM e"
+)
+
+
+@register("chunk_documents", _CHUNK_SQL)
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (operators/sampling.py
+    chunk_documents): windows of CHUNK_MAX whitespace tokens, CHUNK_OVERLAP
+    shared between consecutive windows — the long-document preparation
+    step before packing.  Pure Column expressions vs DuckDB's 1-based
+    inclusive list slicing (Spark's slice(start, length) covers the same
+    positions)."""
+    from bigdata_hits_spark.operators.sampling import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, CHUNK_MAX, CHUNK_OVERLAP)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

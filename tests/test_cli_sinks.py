@@ -204,3 +204,17 @@ def test_cli_kcore(spark, csv_graph, tmp_path):
             kept.groupBy("a").agg(F.count("*").alias("n")).collect()}
     assert all(n >= 2 for n in degs.values())
     assert set(degs) == ids or not ids
+
+
+def test_cli_chunk_corpus(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(50))), (2, "tiny doc")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    cli.main(["chunk_corpus", src, "16", "4", "--out", out])
+    rows = spark.read.parquet(os.path.join(out, "chunk_corpus")).collect()
+    # doc 1: ceil((50-4)/12) = 4 chunks; doc 2: 1 chunk
+    assert len(rows) == 5
+    assert all(r["n_tokens"] <= 16 for r in rows)

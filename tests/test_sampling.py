@@ -230,3 +230,58 @@ def test_pack_documents_insensitive_to_arrow_batch_size(spark, sf_dir):
     # same bins regardless of batching
     assert sorted(tuple(p["doc_ids"]) for p in tiny) == \
            sorted(tuple(p["doc_ids"]) for p in baseline)
+
+
+def test_chunk_documents_windows_and_reconstruction(spark):
+    from bigdata_hits_spark.operators.sampling import chunk_documents
+
+    words = [f"t{i}" for i in range(100)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=16, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+
+    # doc 1: 100 tokens, stride 12 -> ceil(96/12) = 8 chunks
+    c1 = by_doc[1]
+    assert sorted(c1) == list(range(8))
+    assert all(c1[i]["n_tokens"] == 16 for i in range(7))
+    assert c1[7]["n_tokens"] == 100 - 7 * 12  # final short chunk
+    # window contents: chunk i starts at token i*stride
+    for i in range(8):
+        toks = c1[i]["chunk_text"].split(" ")
+        assert toks == words[i * 12 : i * 12 + 16]
+        assert len(toks) == c1[i]["n_tokens"]
+    # consecutive chunks share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split(" ")[-4:] == c1[1]["chunk_text"].split(" ")[:4]
+    # every token is covered (union of windows == original)
+    covered = sorted({t for i in c1 for t in c1[i]["chunk_text"].split(" ")},
+                     key=lambda t: int(t[1:]))
+    assert covered == words
+
+    # short docs: exactly one chunk, intact
+    assert list(by_doc[2]) == [0] and by_doc[2][0]["chunk_text"] == "short doc"
+    assert by_doc[3][0]["n_tokens"] == 1
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from bigdata_hits_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 8, overlap=8)
+
+
+def test_chunk_documents_is_jvm_only(spark):
+    """No Python UDF in the chunking plan — narrow map over the scan."""
+    from bigdata_hits_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = chunk_documents(docs, 4, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # shuffle-free
