@@ -13,6 +13,11 @@ the parity twin).  A training-data pipeline needs two more shapes:
   them); hashing the key is stable across runs, engines, cluster sizes,
   and input order, and co-locates all copies of a key in one split
   (no train/test leakage through duplicated rows).
+
+Plus the corpus-construction family built on the same determinism:
+per-group caps and token budgets, greedy sequence packing, overlapping
+token-window chunking, and per-source mixture rates with upsampling
+(``mixture_sample`` — the "epochs per dataset" step).
 """
 
 from __future__ import annotations
@@ -308,4 +313,61 @@ def chunk_documents(
             F.array_join(F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, max_tokens), " ").alias("chunk_text"),
             F.size(F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, max_tokens)).alias("n_tokens"),
         )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict,
+    key_col: str,
+    seed: str = "mix",
+) -> DataFrame:
+    """Compose a training mixture by per-group rates — the "epochs per
+    dataset" step of corpus construction.  ``rates[g]`` may be
+    fractional (downsample: keep that hash-fraction of group ``g``) or
+    > 1 (upsample: each row appears floor(rate) times plus one more for
+    a hash-fraction of rows).  Groups absent from ``rates`` are dropped.
+
+    Output adds an ``epoch`` column (0-based copy index) so downstream
+    shuffling/packing can spread the copies.
+
+    Deterministic by design: the keep/extra-copy decision hashes
+    (seed, key) through md5 — a pure function of the DATA, stable across
+    runs, engines, partitionings, and cluster sizes, unlike seeded
+    ``sample``/``sampleBy`` whose draws reseed per task attempt.  The
+    md5-derived uniform follows the repo's portable-hash discipline, so
+    a DuckDB oracle reproduces the exact row multiset
+    (queries_postgate.py mixture_sample).
+
+    Scale shape: one narrow filter + a bounded explode (ceil(rate)
+    copies max), no shuffle, no UDF.
+    """
+    if not rates:
+        raise ValueError("rates must be non-empty")
+    for g, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for group {g!r} must be >= 0")
+    # uniform in [0, 1) from the first 8 md5 hex digits of (seed, key)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    # chained CASE over the rate map (create_map needs homogeneous keys;
+    # a when-chain keeps group values typed as-is)
+    rate_expr = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == F.lit(g)
+        rate_expr = F.when(cond, F.lit(float(r))) if rate_expr is None else rate_expr.when(cond, F.lit(float(r)))
+    rate_expr = rate_expr.otherwise(F.lit(0.0))
+    n_copies = (F.floor(rate_expr) + F.when(u < rate_expr - F.floor(rate_expr), 1).otherwise(0)).cast("int")
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)))
+        .drop("__n_copies")
     )

@@ -207,3 +207,38 @@ def q_chunk_documents(spark, sf_dir):
         "chunk_text",
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+#: Mixture rates for the declared query: downsample src0, keep src1,
+#: upsample src2 2.5x (epochs!), drop every other source.
+MIX_RATES = {"src0": 0.25, "src1": 1.0, "src2": 2.5}
+
+
+def _mixture_sql() -> str:
+    u = duck_hex_to_long("md5('mix' || '|' || CAST(doc_id AS VARCHAR))", 8)
+    case = " ".join(
+        f"WHEN source = '{g}' THEN {float(r)}" for g, r in MIX_RATES.items()
+    )
+    return (
+        f"WITH r AS (SELECT doc_id, source, {u} / 4294967296.0 AS u, "
+        f"CASE {case} ELSE 0.0 END AS rate FROM documents), "
+        "c AS (SELECT doc_id, source, "
+        "CAST(FLOOR(rate) + CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END AS INT) "
+        "AS n_copies FROM r) "
+        "SELECT doc_id, source, CAST(unnest(range(n_copies)) AS INT) AS epoch "
+        "FROM c WHERE n_copies > 0"
+    )
+
+
+@register("mixture_sample", _mixture_sql())
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic training-mixture composition
+    (operators/sampling.py mixture_sample): per-source rates downsample
+    (hash-fraction keep), upsample (floor(rate) copies + one more for a
+    hash-fraction of rows, 0-based epoch index), or drop.  The md5-derived
+    uniform makes the exact row multiset engine-portable."""
+    from bigdata_hits_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(docs, "source", MIX_RATES, key_col="doc_id")
+    return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))

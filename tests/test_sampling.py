@@ -285,3 +285,43 @@ def test_chunk_documents_is_jvm_only(spark):
     plan = chunk_documents(docs, 4, 1)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # shuffle-free
+
+
+def test_mixture_sample_rates_and_epochs(spark, sf_dir):
+    from bigdata_hits_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 0.25, "src1": 1.0, "src2": 2.5}
+    out = mixture_sample(docs, "source", rates, key_col="doc_id")
+    per_source_in = {r["source"]: r["n"] for r in
+                     docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    per_source_out = {r["source"]: r["n"] for r in
+                      out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # dropped sources absent; kept source exact; up/down-sampled within
+    # binomial tolerance of rate * n
+    assert set(per_source_out) == set(rates)
+    assert per_source_out["src1"] == per_source_in["src1"]
+    for s in ("src0", "src2"):
+        n = per_source_in[s]
+        expect = rates[s] * n
+        assert abs(per_source_out[s] - expect) < 4 * (0.25 * n) ** 0.5 + 4
+    # upsampled rows carry dense 0-based epochs
+    epochs = out.filter(F.col("source") == "src2").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("epoch").alias("mx"), F.min("epoch").alias("mn")
+    )
+    bad = epochs.filter((F.col("mn") != 0) | (F.col("mx") != F.col("n") - 1)).count()
+    assert bad == 0
+    assert {r["n"] for r in epochs.collect()} == {2, 3}  # floor(2.5) or +1
+    # determinism: second run identical
+    again = mixture_sample(docs, "source", rates, key_col="doc_id")
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_mixture_sample_rejects_bad_rates(spark, sf_dir):
+    from bigdata_hits_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "source", {}, key_col="doc_id")
+    with pytest.raises(ValueError):
+        mixture_sample(docs, "source", {"src0": -0.5}, key_col="doc_id")
