@@ -242,3 +242,33 @@ def q_mixture_sample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = mixture_sample(docs, "source", MIX_RATES, key_col="doc_id")
     return out.select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+
+
+def _profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    parts = []
+    for c in cols:
+        parts.append(
+            "SELECT "
+            f"'{c}' AS \"column\", COUNT(*) AS n_rows, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"COUNT(DISTINCT {c}) AS n_distinct, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_value, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_value FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_orders", _profile_sql())
+def q_profile_orders(spark, sf_dir):
+    """One-pass table profile (operators/profiling.py profile_table,
+    exact_distinct=True for the gate): per-column rows/nulls/distincts
+    and stringified extrema over a 5-column orders projection.  The
+    approx (HLL++) mode is the scale default; exactness here is what
+    makes the numbers engine-portable."""
+    from bigdata_hits_spark.operators.profiling import profile_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    return profile_table(orders, exact_distinct=True)

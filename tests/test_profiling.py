@@ -1,0 +1,35 @@
+"""profile_table: one-pass per-column profiling."""
+
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators.profiling import profile_table
+
+
+def test_profile_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "a", 2.5), (4, None, None)],
+        "k long, s string, v double",
+    )
+    prof = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    assert all(prof[c]["n_rows"] == 4 for c in prof)
+    assert prof["s"]["n_nulls"] == 1 and prof["v"]["n_nulls"] == 2
+    assert prof["k"]["n_distinct"] == 4 and prof["s"]["n_distinct"] == 2
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "4"
+    assert prof["s"]["min_value"] == "a" and prof["s"]["max_value"] == "b"
+
+
+def test_profile_approx_mode_no_expand(spark):
+    """The scale default (HLL++) must not plan an Expand (the exact
+    mode's rows-times-columns blowup)."""
+    df = spark.createDataFrame([(i, f"s{i % 7}") for i in range(100)], "k long, s string")
+    approx = profile_table(df)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    prof = {r["column"]: r for r in approx.collect()}
+    # HLL++ is exact-ish at tiny cardinalities
+    assert abs(prof["s"]["n_distinct"] - 7) <= 1
+    exact_plan = (
+        profile_table(df, exact_distinct=True)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the documented cost of exactness
