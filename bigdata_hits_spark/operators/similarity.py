@@ -588,15 +588,24 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     planes: int = LSH_PLANES,
     bands: int = LSH_BANDS,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing at least one
     banded sub-signature with the query.  At corpus scale this replaces
     the |Q|×|C| cross join with a bucket equi-join — the standard
-    recall/throughput trade."""
+    recall/throughput trade.
+
+    ``multiprobe=True`` additionally probes, per query band, every
+    bucket at Hamming distance 1 (each single sign-bit flipped) — the
+    classic multiprobe-LSH recall boost.  Only the QUERY side fans out
+    (bands × (1 + band_bits) probe rows per query); the corpus keeps one
+    row per band, so corpus storage and shuffle volume are unchanged —
+    which is the whole point: queries are the small side.
+    """
     band_bits = planes // bands
     sig_udf = lsh_signature_udf(planes)
 
-    def with_bands(df: DataFrame, role: str) -> DataFrame:
+    def with_bands(df: DataFrame, role: str, probe: bool = False) -> DataFrame:
         sig = sig_udf(F.col(vec_col))
         rows = df.select(
             F.col(id_col).alias(f"{role}id"),
@@ -604,19 +613,25 @@ def lsh_bucket_topk(
             l2_norm(F.col(vec_col)).alias(f"{role}nrm"),
             sig.alias("sig"),
         )
-        bandarr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.shiftright(F.col("sig"), b * band_bits)
-                    .bitwiseAND(F.lit((1 << band_bits) - 1))
-                    .alias("band_sig"),
-                )
-                for b in range(bands)
-            ]
-        )
+        entries = []
+        for b in range(bands):
+            band_sig = (
+                F.shiftright(F.col("sig"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+            )
+            entries.append(
+                F.struct(F.lit(b).alias("band_id"), band_sig.alias("band_sig"))
+            )
+            if probe:
+                entries += [
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        band_sig.bitwiseXOR(F.lit(1 << bit)).alias("band_sig"),
+                    )
+                    for bit in range(band_bits)
+                ]
         return rows.select(
-            f"{role}id", f"{role}vec", f"{role}nrm", F.explode(bandarr).alias("bb")
+            f"{role}id", f"{role}vec", f"{role}nrm", F.explode(F.array(*entries)).alias("bb")
         ).select(
             f"{role}id",
             f"{role}vec",
@@ -625,7 +640,7 @@ def lsh_bucket_topk(
             F.col("bb.band_sig").alias("band_sig"),
         )
 
-    qb = with_bands(queries, "q")
+    qb = with_bands(queries, "q", probe=multiprobe)
     cb = with_bands(corpus, "c")
     candidates = (
         qb.join(cb, ["band_id", "band_sig"])

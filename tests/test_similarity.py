@@ -263,3 +263,24 @@ def test_ivf_seeding_has_no_global_sort(spark, emb):
     assert "Sort" not in plan and "TakeOrdered" not in plan
     assert "Sample" in plan
     assert len(cand.collect()) >= SIM.IVF_CENTROIDS  # sf sample fills the seed set
+
+
+def test_lsh_multiprobe_improves_recall(spark, emb):
+    """Flip-1-bit query-side multiprobe must dominate the plain bucket
+    probe: candidate superset => recall can only rise, and on these
+    random embeddings it should clear a higher floor."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    truth = {(r["qid"], r["cid"]) for r in exact}
+    plain = {(r["qid"], r["cid"]) for r in SIM.lsh_bucket_topk(emb, queries, k=10).collect()}
+    probed = {
+        (r["qid"], r["cid"])
+        for r in SIM.lsh_bucket_topk(emb, queries, k=10, multiprobe=True).collect()
+    }
+    r_plain = len(truth & plain) / len(truth)
+    r_probed = len(truth & probed) / len(truth)
+    assert r_probed >= r_plain, (r_plain, r_probed)
+    # the test embeddings are adversarially random (near-uniform cosine
+    # mass, no cluster structure), so the absolute floor is modest; the
+    # superset-dominance assertion above is the semantic content.
+    assert r_probed >= 0.35, f"multiprobe recall too low: {r_probed}"
