@@ -94,3 +94,4 @@ def q_events_asof(spark, sf_dir):
         F.col("event_id_r").alias("purchase_id"),
         F.col("value_r").alias("purchase_value"),
     )
+

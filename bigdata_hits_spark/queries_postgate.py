@@ -272,3 +272,27 @@ def q_profile_orders(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
     return profile_table(orders, exact_distinct=True)
+
+
+from bigdata_hits_spark.operators import events as EV
+from bigdata_hits_spark.queries_events import _events_us
+
+
+_SLIDE_S = EV.SLIDE_NS // 1_000_000_000
+
+
+@register(
+    "events_sliding_agg",
+    "WITH e AS (SELECT event_type, value, "
+    f"epoch_ns(ts) // {EV.SLIDE_NS} AS slot FROM events), "
+    f"x AS (SELECT event_type, value, (slot - i) * {_SLIDE_S} AS window_start_s "
+    f"FROM e CROSS JOIN (SELECT unnest(range({EV.HOUR_NS // EV.SLIDE_NS})) AS i)) "
+    "SELECT window_start_s, event_type, COUNT(*) AS n, "
+    "ROUND(CAST(SUM(value) AS DOUBLE), 6) AS total_value "
+    "FROM x GROUP BY 1, 2",
+)
+def q_events_sliding(spark, sf_dir):
+    """Overlapping sliding windows (1h window, 15min slide) —
+    operators/events.py sliding_event_counts; membership via bounded
+    sequence explode on both engines (no self/range join)."""
+    return EV.sliding_event_counts(_events_us(spark, sf_dir))

@@ -91,6 +91,30 @@ def hourly_event_counts_stream(events: DataFrame, watermark: str = "2 hours") ->
     )
 
 
+def sliding_event_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sliding-window counts — the overlapping-window twin of
+    ``operators/events.py sliding_event_counts``.  ``F.window`` with a
+    slide assigns each event to window/slide overlapping windows in
+    state; the watermark expires them.  Window starts re-expressed as
+    slide-aligned epoch seconds, directly comparable to the batch op."""
+    windowed = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+    return windowed.select(
+        F.expr("unix_timestamp(window.start)").alias("window_start_s"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
 #: Output schema of the stateful sessionizer — matches the batch operator
 #: (operators/events.py sessionize) so stream-vs-batch equivalence is a
 #: straight row comparison.

@@ -291,3 +291,27 @@ def test_incremental_dedup_stream_builds_corpus(spark, tmp_path):
     store_rows = spark.read.parquet(store)
     assert {r["id"] for r in store_rows.collect()} == surv_ids
     assert len(store_rows.columns) == 17  # id + h0..h15
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, events_dir):
+    """Overlapping sliding windows: the F.window(slide) streaming twin
+    must emit the same (window_start_s, event_type) aggregate rows as the
+    batch sequence-explode formulation."""
+    from bigdata_hits_spark.operators.events import sliding_event_counts
+    from bigdata_hits_spark.streaming.jobs import sliding_event_counts_stream
+
+    batch = sliding_event_counts(load_table(spark, sf_dir, "events")).toPandas()
+    stream_df = sliding_event_counts_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream_df, "t_sliding")
+    streamed = spark.sql("SELECT * FROM t_sliding").toPandas()
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[sorted(df.columns)]
+            .sort_values(by=sorted(df.columns))
+            .reset_index(drop=True)
+        )
+
+    a, b = canon(batch), canon(streamed)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
