@@ -20,7 +20,7 @@ rather than failing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def write_bucketed(
@@ -54,3 +54,36 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet`` on the files would LOSE the bucketing metadata
     and reintroduce the shuffle)."""
     return spark.table(table)
+
+
+def write_time_partitioned(
+    events: DataFrame,
+    path: str,
+    ts_ns_col: str = "ts_ns",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an event table partitioned by event DATE — the canonical
+    time-series layout: a query over a day/week range prunes to exactly
+    those directories at PLANNING time, so a 3-day scan over a 3-year
+    corpus reads ~0.3% of the files (asserted in
+    tests/test_plans.py::test_time_partitioned_scan_prunes).
+
+    The partition column is derived from the engine's int64-nano
+    convention (``event_date = date(ts_ns div 1e9 epoch seconds)``,
+    UTC).  Within each date the events are repartitioned to one file per
+    date at this scale; a production writer would also bucket or sort by
+    user within the date for join/session locality.
+    """
+    dated = events.withColumn(
+        "event_date",
+        F.to_date(F.timestamp_seconds(F.expr(f"{ts_ns_col} div 1000000000"))),
+    )
+    # One file per date (repartition on the partition key) — avoids the
+    # (tasks x dates) small-file explosion.
+    dated.repartition("event_date").write.mode(mode).partitionBy("event_date").parquet(path)
+
+
+def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned layout back; filters on ``event_date`` prune
+    directories at planning time (PartitionFilters in the scan node)."""
+    return spark.read.parquet(path)
