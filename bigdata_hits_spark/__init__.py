@@ -39,11 +39,15 @@ from bigdata_hits_spark.operators.similarity import (
 from bigdata_hits_spark.operators.pipeline import clean_corpus
 from bigdata_hits_spark.operators.sampling import (
     cap_per_group,
+    chunk_documents,
     deterministic_split,
+    mixture_sample,
     pack_documents,
     sample_to_token_budget,
     stratified_sample,
 )
+from bigdata_hits_spark.operators.profiling import profile_table
+from bigdata_hits_spark.operators.events import sliding_event_counts
 from bigdata_hits_spark.operators.textstats import ngram_overlap, repetition_signals, tfidf
 from bigdata_hits_spark.functions.text import pii_counts, redact_pii
 from bigdata_hits_spark.sql import register_graph_views, register_testdata_views
@@ -71,6 +75,10 @@ __all__ = [
     "semantic_dedup",
     "clean_corpus",
     "cap_per_group",
+    "chunk_documents",
+    "mixture_sample",
+    "profile_table",
+    "sliding_event_counts",
     "deterministic_split",
     "pack_documents",
     "sample_to_token_budget",
