@@ -211,3 +211,76 @@ def test_pack_documents_is_exact_partition_within_budget(spark, rows):
     for p in packs:
         assert p["total_tokens"] == sum(sizes[d] for d in p["doc_ids"])
         assert p["total_tokens"] <= budget or p["n_docs"] == 1
+
+
+chunk_strategy = st.lists(
+    st.integers(min_value=0, max_value=60),  # words per doc
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(lens=chunk_strategy, max_tokens=st.integers(2, 12), overlap=st.integers(0, 5))
+def test_chunk_documents_matches_bruteforce(spark, lens, max_tokens, overlap):
+    from bigdata_hits_spark.operators.sampling import chunk_documents
+
+    if overlap >= max_tokens:
+        overlap = max_tokens - 1
+    stride = max_tokens - overlap
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n))) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, max_tokens, overlap).collect()
+    }
+
+    expect = {}
+    for i, n in enumerate(lens):
+        # split(' ') on an empty string yields [''] — one empty token,
+        # mirroring both engines' convention
+        words = [f"w{i}_{j}" for j in range(n)] if n else [""]
+        n_eff = len(words)
+        n_chunks = max(1, -(-(n_eff - overlap) // stride))
+        for c in range(n_chunks):
+            w = words[c * stride : c * stride + max_tokens]
+            expect[(i, c)] = (" ".join(w), len(w))
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 200), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    rate_num=st.integers(0, 27),
+)
+def test_mixture_sample_matches_bruteforce(spark, rows, rate_num):
+    """mixture_sample must equal the single-node replay of the same md5
+    arithmetic: per-key uniform u, n_copies = floor(rate) + (u < frac)."""
+    import hashlib
+
+    from bigdata_hits_spark.operators.sampling import mixture_sample
+
+    rate = rate_num / 10.0  # 0.0 .. 2.7 covers drop/down/keep/upsample
+    rates = {"a": rate, "b": 1.0}
+    df = spark.createDataFrame(rows, "k long, grp string")
+    got = sorted(
+        (r["k"], r["grp"], r["epoch"])
+        for r in mixture_sample(df, "grp", rates, key_col="k").collect()
+    )
+
+    import math
+
+    expect = []
+    for k, g in rows:
+        r = rates.get(g)
+        if r is None:
+            continue
+        u = int(hashlib.md5(f"mix|{k}".encode()).hexdigest()[:8], 16) / 2**32
+        n = int(math.floor(r)) + (1 if u < r - math.floor(r) else 0)
+        expect += [(k, g, e) for e in range(n)]
+    assert got == sorted(expect)
