@@ -58,6 +58,10 @@ Beyond-reference pipeline jobs (no reference twin):
   packing into token-budgeted bins, written as parquet.
 - ``split_corpus docs.parquet key_col [train=0.9,test=0.1]`` —
   deterministic hash splits, written partitioned by split.
+- ``profile table.parquet [exact]`` — per-column rows/nulls/distincts/
+  extrema (HLL++ by default; ``exact`` opts into exact distincts).
+- ``mixture docs.parquet group_col key_col name=rate[,...]`` —
+  deterministic per-group mixture rates with upsampling epochs.
 - ``tfidf docs.parquet [id_col] [text_col]`` — per-(doc, term) tf-idf
   parquet (join onto an edge list for weighted_hits weights).
 - ``decontaminate docs.parquet benchmark.parquet [n] [max_frac]`` —
@@ -358,6 +362,33 @@ def main(argv: list[str] | None = None) -> None:
         out.write.mode("overwrite").partitionBy("split").parquet(
             os.path.join(out_dir, "split_corpus")
         )
+    elif job == "profile":
+        # profile <table.parquet> [exact] — per-column rows/nulls/
+        # distincts/extrema; 'exact' switches HLL++ to exact distincts.
+        from bigdata_hits_spark.operators.profiling import profile_table
+
+        src = args.take()
+        if src is None:
+            raise SystemExit("profile needs a parquet path")
+        exact = args.take(str, "") == "exact"
+        profile_table(spark.read.parquet(src), exact_distinct=exact).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "profile"))
+    elif job == "mixture":
+        # mixture <docs.parquet> <group_col> <key_col> <name=rate,...>
+        # e.g. mixture docs.parquet source doc_id wiki=2.5,crawl=0.1
+        from bigdata_hits_spark.operators.sampling import mixture_sample
+
+        src = args.take()
+        group_col = args.take()
+        key_col = args.take()
+        spec = args.take()
+        if None in (src, group_col, key_col, spec):
+            raise SystemExit("mixture needs docs.parquet group_col key_col name=rate[,...]")
+        rates = {name: float(r) for name, r in (p.split("=") for p in spec.split(","))}
+        mixture_sample(spark.read.parquet(src), group_col, rates, key_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "mixture"))
     elif job == "tfidf":
         # tfidf <docs.parquet> [id_col] [text_col]
         from bigdata_hits_spark.operators.textstats import tfidf

@@ -218,3 +218,23 @@ def test_cli_chunk_corpus(spark, tmp_path):
     # doc 1: ceil((50-4)/12) = 4 chunks; doc 2: 1 chunk
     assert len(rows) == 5
     assert all(r["n_tokens"] <= 16 for r in rows)
+
+
+def test_cli_profile_and_mixture(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(src)
+    out = str(tmp_path / "out")
+
+    cli.main(["profile", src, "exact", "--out", out])
+    prof = spark.read.parquet(os.path.join(out, "profile"))
+    assert prof.count() == 5  # one row per documents column
+    assert set(prof.columns) == {
+        "column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    }
+
+    cli.main(["mixture", src, "source", "doc_id", "src0=2.0,src1=0.5", "--out", out])
+    mix = spark.read.parquet(os.path.join(out, "mixture"))
+    srcs = {r["source"] for r in mix.select("source").distinct().collect()}
+    assert srcs <= {"src0", "src1"} and "epoch" in mix.columns
+    n_in = spark.read.parquet(src).filter("source = 'src0'").count()
+    assert mix.filter("source = 'src0'").count() == 2 * n_in  # rate=2.0 exact
