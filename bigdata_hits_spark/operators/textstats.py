@@ -194,3 +194,46 @@ def ngram_overlap(
             "contaminated_frac"
         ),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob): mean natural-log probability of each
+    document's tokens under the CORPUS's own add-``alpha``-smoothed
+    unigram distribution — a dependency-free perplexity-style quality
+    signal (documents dominated by tokens rare in the corpus score low:
+    gibberish, OCR noise, wrong-language fragments).
+
+    Self-trained: p(w) = (count(w) + alpha) / (total + alpha·|V|) over
+    the same corpus being scored — the standard cheap LM gate when no
+    external model is shippable.  Two hash-aggs (term counts, per-doc
+    sums) plus one token->logprob equi-join; only (doc, token) keys and
+    the vocabulary-sized frequency table shuffle, never documents.  At
+    100 TB the frequency table is vocabulary-sized (≪ corpus); broadcast
+    it below ~100M terms, let AQE decide otherwise.
+    """
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "w",
+        F.log(
+            (F.col("c") + F.lit(alpha))
+            / (F.col("total") + F.lit(alpha) * F.col("vocab"))
+        ).alias("lp"),
+    )
+    return (
+        toks.join(probs, "w")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
+    )

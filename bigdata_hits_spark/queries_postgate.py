@@ -296,3 +296,27 @@ def q_events_sliding(spark, sf_dir):
     operators/events.py sliding_event_counts; membership via bounded
     sequence explode on both engines (no self/range join)."""
     return EV.sliding_event_counts(_events_us(spark, sf_dir))
+
+
+_UNIGRAM_SQL = (
+    "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents), "
+    "counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w), "
+    "tot AS (SELECT SUM(c) AS total, COUNT(*) AS vocab FROM counts), "
+    "probs AS (SELECT w, LN((c + 1.0) / (total + 1.0 * vocab)) AS lp "
+    "FROM counts CROSS JOIN tot) "
+    "SELECT t.doc_id, COUNT(*) AS n_tokens, "
+    "ROUND(AVG(lp), 6) AS avg_logprob "
+    "FROM toks t JOIN probs USING (w) GROUP BY t.doc_id"
+)
+
+
+@register("text_unigram_logprob", _UNIGRAM_SQL)
+def q_unigram_logprob(spark, sf_dir):
+    """Self-trained unigram LM quality score
+    (operators/textstats.py unigram_logprob): mean add-1-smoothed log
+    probability of each document's tokens under the corpus's own
+    unigram distribution — the dependency-free perplexity gate."""
+    from bigdata_hits_spark.operators.textstats import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)

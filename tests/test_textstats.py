@@ -140,3 +140,19 @@ def test_pii_counts_and_redact(spark):
     assert "123-45-6789" not in red[1]
     assert "10.0.0.255" not in red[1]
     assert red[2] == "no pii at all"
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    """Documents made of corpus-common tokens must score higher than
+    rare-token gibberish; exact smoothed values check against hand math."""
+    import math
+
+    rows = [(i, "the cat sat") for i in range(9)] + [(9, "zxqv jklm")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.unigram_logprob(df).collect()}
+    assert got[0]["n_tokens"] == 3 and got[9]["n_tokens"] == 2
+    assert got[0]["avg_logprob"] > got[9]["avg_logprob"]
+    # hand-check: vocab = {the, cat, sat, zxqv, jklm} (V=5), total=29
+    # p(common) = (9+1)/(29+5); p(rare) = (1+1)/(29+5)
+    assert got[0]["avg_logprob"] == pytest.approx(math.log(10 / 34), abs=1e-6)
+    assert got[9]["avg_logprob"] == pytest.approx(math.log(2 / 34), abs=1e-6)
