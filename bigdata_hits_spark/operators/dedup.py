@@ -390,3 +390,56 @@ def minhash_dedup_incremental(
         survivors.select(F.col(id_col).alias("id")), "id", "left_semi"
     )
     return survivors, survivor_sigs
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb curation
+    stage): drop every line that appears in >= ``min_df`` DISTINCT
+    documents — headers, footers, cookie banners, nav chrome — and
+    rebuild each document from its surviving lines in original order.
+
+    Returns (id, clean_text, n_lines_kept, n_lines_dropped); documents
+    whose every line is boilerplate survive with an empty clean_text
+    (callers typically quality-filter afterwards).
+
+    Scale shape: lines shuffle keyed by md5(line) — 32 fixed chars
+    regardless of line length, effectively collision-free (2^128) and
+    engine-portable (the DuckDB oracle reproduces the same keys).  The
+    document-frequency table is distinct-line-sized; the rebuild is one
+    groupBy(id) with an in-memory array_sort over that document's
+    surviving (pos, line) structs — per-document state only, no window.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    ).withColumn("h", F.md5(F.col("line")))
+    df_counts = lines.groupBy("h").agg(F.countDistinct("id").alias("df"))
+    common = df_counts.filter(F.col("df") >= min_df).select("h")
+    flagged = lines.join(common.withColumn("__common", F.lit(1)), "h", "left")
+    rebuilt = flagged.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__common").isNull(),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            line_sep,
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("__common").isNull(), 1).otherwise(0)).alias("n_lines_kept"),
+        F.sum(F.when(F.col("__common").isNull(), 0).otherwise(1)).alias("n_lines_dropped"),
+    )
+    return rebuilt.select(
+        F.col("id").alias(id_col), "clean_text", "n_lines_kept", "n_lines_dropped"
+    )

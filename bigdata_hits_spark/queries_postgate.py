@@ -320,3 +320,42 @@ def q_unigram_logprob(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+BOILERPLATE_MIN_DF = 2
+
+_BOILER_SQL = (
+    "WITH t AS (SELECT doc_id, str_split(text, chr(10)) AS l FROM documents), "
+    "e AS (SELECT doc_id, unnest(range(len(l))) AS pos, l FROM t), "
+    "lines AS (SELECT doc_id, CAST(pos AS INT) AS pos, l[pos + 1] AS line FROM e), "
+    "h AS (SELECT doc_id, pos, line, md5(line) AS hh FROM lines), "
+    "dfc AS (SELECT hh, COUNT(DISTINCT doc_id) AS df FROM h GROUP BY hh), "
+    f"fl AS (SELECT doc_id, pos, line, (df >= {BOILERPLATE_MIN_DF}) AS com "
+    "FROM h JOIN dfc USING (hh)) "
+    "SELECT doc_id, "
+    "COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT com), '') "
+    "AS clean_text, "
+    "SUM(CASE WHEN com THEN 0 ELSE 1 END) AS n_lines_kept, "
+    "SUM(CASE WHEN com THEN 1 ELSE 0 END) AS n_lines_dropped "
+    "FROM fl GROUP BY doc_id"
+)
+
+
+@register("strip_boilerplate", _BOILER_SQL)
+def q_strip_boilerplate(spark, sf_dir):
+    """Line-level boilerplate removal (operators/dedup.py
+    strip_boilerplate, min_df=2): lines repeating across >= 2 documents
+    drop, documents rebuild from surviving lines in original order.
+    On the single-line driver corpus this degenerates to emptying
+    exact-duplicate texts — which is exactly what the oracle must also
+    conclude."""
+    from bigdata_hits_spark.operators.dedup import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = strip_boilerplate(docs, min_df=BOILERPLATE_MIN_DF)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
+    )

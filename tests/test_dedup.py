@@ -88,3 +88,44 @@ def test_minhash_dedup_incremental_against_signature_store(spark):
     assert 11 in kept and 12 not in kept  # intra-batch pair -> min id survives
     assert 13 in kept
     assert {r["id"] for r in sigs.collect()} == kept
+
+
+def test_strip_boilerplate_drops_repeated_lines(spark):
+    from bigdata_hits_spark.operators.dedup import strip_boilerplate
+
+    footer = "subscribe to our newsletter"
+    header = "ACME corp daily news"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header}\nunique story one\n{footer}"),
+            (2, f"{header}\nanother unique story\n{footer}"),
+            (3, f"{header}\nthird body text\n{footer}"),
+            (4, "standalone document\nwith its own lines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_df=3).collect()}
+    # header+footer hit df=3 and vanish; bodies survive in order
+    assert out[1]["clean_text"] == "unique story one"
+    assert out[2]["clean_text"] == "another unique story"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 2
+    assert out[4]["clean_text"] == "standalone document\nwith its own lines"
+    assert out[4]["n_lines_dropped"] == 0
+    # min_df above any df: nothing dropped, text roundtrips byte-exact
+    intact = {r["doc_id"]: r["clean_text"]
+              for r in strip_boilerplate(docs, min_df=10).collect()}
+    for i, t in [(1, f"{header}\nunique story one\n{footer}"),
+                 (4, "standalone document\nwith its own lines")]:
+        assert intact[i] == t
+
+
+def test_strip_boilerplate_fully_boilerplate_doc_empties(spark):
+    from bigdata_hits_spark.operators.dedup import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "same line"), (2, "same line"), (3, "same line\nextra")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_df=2).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_lines_kept"] == 0
+    assert out[3]["clean_text"] == "extra"
