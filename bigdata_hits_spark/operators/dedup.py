@@ -443,3 +443,66 @@ def strip_boilerplate(
     return rebuilt.select(
         F.col("id").alias(id_col), "clean_text", "n_lines_kept", "n_lines_dropped"
     )
+
+
+def repeated_ngram_coverage(
+    docs: DataFrame,
+    n: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, covered_tokens, coverage_frac): per document, the
+    fraction of tokens inside at least one ``n``-token window whose
+    exact text occurs >= ``min_count`` times across the corpus
+    (within-document repeats included) — the repeated-substring signal
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), which document-level dedup cannot see: two mostly
+    distinct documents sharing a long quoted passage score high here and
+    0 on whole-doc hashes.
+
+    Plan: one windowed explode per start position (narrow), md5 window
+    keys (32 fixed chars) counted globally, flagged windows joined back
+    by key, then each flagged window re-explodes to its ``n`` covered
+    positions and a per-doc distinct count closes it.  Shuffled data is
+    window keys and (doc, position) ints only — never text; the n×
+    position blowup applies ONLY to flagged (repeated) windows.
+    Documents shorter than ``n`` tokens have no windows: coverage 0.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
+    ).withColumn("n_tokens", F.size("tk"))
+    wins = toks.filter(F.col("n_tokens") >= n).select(
+        "id",
+        "tk",
+        F.explode(F.sequence(F.lit(0), F.col("n_tokens") - n)).alias("pos"),
+    ).select(
+        "id",
+        "pos",
+        F.md5(F.array_join(F.slice("tk", F.col("pos") + 1, n), " ")).alias("h"),
+    )
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    flagged = wins.join(
+        counts.filter(F.col("c") >= min_count).select("h"), "h", "left_semi"
+    )
+    covered = (
+        flagged.select(
+            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p")
+        )
+        .groupBy("id")
+        .agg(F.countDistinct("p").alias("covered_tokens"))
+    )
+    return (
+        toks.select("id", "n_tokens")
+        .join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens"), 7
+            ).alias("coverage_frac"),
+        )
+    )

@@ -359,3 +359,40 @@ def q_strip_boilerplate(spark, sf_dir):
         F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
         F.col("n_lines_dropped").cast("long").alias("n_lines_dropped"),
     )
+
+
+SPAN_N = 5
+SPAN_MIN_COUNT = 2
+
+_SPAN_SQL = (
+    "WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents), "
+    "tt AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t), "
+    f"w AS (SELECT doc_id, unnest(range(n_tokens - {SPAN_N} + 1)) AS pos, tk "
+    f"FROM tt WHERE n_tokens >= {SPAN_N}), "
+    f"keys AS (SELECT doc_id, pos, md5(array_to_string(tk[pos + 1 : pos + {SPAN_N}], ' ')) AS h FROM w), "
+    f"freq AS (SELECT h FROM keys GROUP BY h HAVING COUNT(*) >= {SPAN_MIN_COUNT}), "
+    "fl AS (SELECT doc_id, pos FROM keys WHERE h IN (SELECT h FROM freq)), "
+    f"cov AS (SELECT doc_id, COUNT(DISTINCT p) AS covered_tokens FROM "
+    f"(SELECT doc_id, unnest(range(pos, pos + {SPAN_N})) AS p FROM fl) GROUP BY doc_id) "
+    "SELECT tt.doc_id, tt.n_tokens, COALESCE(cov.covered_tokens, 0) AS covered_tokens, "
+    "ROUND(COALESCE(cov.covered_tokens, 0) / CAST(tt.n_tokens AS DOUBLE), 7) AS coverage_frac "
+    "FROM tt LEFT JOIN cov ON tt.doc_id = cov.doc_id"
+)
+
+
+@register("repeated_span_coverage", _SPAN_SQL)
+def q_repeated_span_coverage(spark, sf_dir):
+    """Repeated-substring coverage (operators/dedup.py
+    repeated_ngram_coverage, n=5): per document, the token fraction
+    inside >= twice-occurring 5-token windows — the Lee et al. 2022
+    signal that document-level dedup cannot see."""
+    from bigdata_hits_spark.operators.dedup import repeated_ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repeated_ngram_coverage(docs, n=SPAN_N, min_count=SPAN_MIN_COUNT)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("covered_tokens").cast("long").alias("covered_tokens"),
+        "coverage_frac",
+    )

@@ -129,3 +129,29 @@ def test_strip_boilerplate_fully_boilerplate_doc_empties(spark):
     out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_df=2).collect()}
     assert out[1]["clean_text"] == "" and out[1]["n_lines_kept"] == 0
     assert out[3]["clean_text"] == "extra"
+
+
+def test_repeated_ngram_coverage_marks_shared_passage(spark):
+    from bigdata_hits_spark.operators.dedup import repeated_ngram_coverage
+
+    quote = "to be or not to be that is the question"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {quote} gamma delta"),
+            (2, f"{quote} entirely different tail words here"),
+            (3, "no repeats anywhere in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           repeated_ngram_coverage(docs, n=10, min_count=2).collect()}
+    # the 10-token quote is the only repeated window; both carriers cover
+    # exactly those 10 tokens
+    assert out[1]["covered_tokens"] == 10 and out[2]["covered_tokens"] == 10
+    assert out[1]["n_tokens"] == 14
+    assert out[1]["coverage_frac"] == pytest.approx(10 / 14, abs=1e-6)
+    assert out[3]["covered_tokens"] == 0 and out[3]["coverage_frac"] == 0.0
+    # a doc shorter than n has no windows and coverage 0
+    short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    r9 = repeated_ngram_coverage(short, n=10).collect()[0]
+    assert r9["covered_tokens"] == 0 and r9["n_tokens"] == 2
