@@ -506,3 +506,75 @@ def repeated_ngram_coverage(
             ).alias("coverage_frac"),
         )
     )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, clean_text, n_tokens, removed_tokens): excise repeated
+    ``n``-token spans, keeping their FIRST occurrence — the action
+    counterpart of :func:`repeated_ngram_coverage` (Lee et al. 2022
+    keep-one semantics, approximated at token-window granularity).
+
+    Per repeated window key the globally minimal (id, pos) occurrence
+    survives; every token covered by a non-surviving occurrence is
+    dropped and each document is rebuilt from its remaining tokens in
+    order.  Overlap rule: a token survives only if NO non-surviving
+    repeated window covers it.  Same movement contract as the coverage
+    scorer plus one (id, pos)-keyed anti-join and the per-doc rebuild
+    (array_sort of surviving (pos, token) structs — no window function).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
+    ).withColumn("n_tokens", F.size("tk"))
+    wins = (
+        toks.filter(F.col("n_tokens") >= n)
+        .select(
+            "id",
+            "tk",
+            F.explode(F.sequence(F.lit(0), F.col("n_tokens") - n)).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.md5(F.array_join(F.slice("tk", F.col("pos") + 1, n), " ")).alias("h"),
+        )
+    )
+    counts = wins.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct("id", "pos")).alias("first"),
+    )
+    repeated = counts.filter(F.col("c") >= min_count).select("h", "first")
+    losers = wins.join(repeated, "h").filter(
+        (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
+    )
+    drop_pos = (
+        losers.select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("p"))
+        .distinct()
+    )
+    exploded = toks.select("id", "n_tokens", F.posexplode("tk").alias("p", "tok"))
+    kept = exploded.join(drop_pos, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id", "n_tokens").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+    )
+    base = toks.select("id", "n_tokens")
+    return base.join(rebuilt.drop("n_tokens"), "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0))).alias(
+            "removed_tokens"
+        ),
+    )

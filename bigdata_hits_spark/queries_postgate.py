@@ -396,3 +396,44 @@ def q_repeated_span_coverage(spark, sf_dir):
         F.col("covered_tokens").cast("long").alias("covered_tokens"),
         "coverage_frac",
     )
+
+
+_REMOVE_SQL = (
+    "WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents), "
+    "tt AS (SELECT doc_id, tk, len(tk) AS n_tokens FROM t), "
+    f"w AS (SELECT doc_id, unnest(range(n_tokens - {SPAN_N} + 1)) AS pos, tk "
+    f"FROM tt WHERE n_tokens >= {SPAN_N}), "
+    f"keys AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+    f"md5(array_to_string(tk[pos + 1 : pos + {SPAN_N}], ' ')) AS h FROM w), "
+    "rk AS (SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS c, "
+    "ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM keys), "
+    f"losers AS (SELECT doc_id, pos FROM rk WHERE c >= {SPAN_MIN_COUNT} AND rn > 1), "
+    f"dropped AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {SPAN_N})) AS p FROM losers), "
+    "ex AS (SELECT doc_id, unnest(range(len(tk))) AS p, tk FROM tt), "
+    "tokpos AS (SELECT doc_id, CAST(p AS BIGINT) AS p, tk[p + 1] AS tok FROM ex), "
+    "kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp "
+    "LEFT JOIN dropped d ON d.doc_id = tp.doc_id AND d.p = tp.p WHERE d.p IS NULL), "
+    "reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text, "
+    "COUNT(*) AS kept_tokens FROM kept GROUP BY doc_id) "
+    "SELECT tt.doc_id, COALESCE(reb.clean_text, '') AS clean_text, tt.n_tokens, "
+    "tt.n_tokens - COALESCE(reb.kept_tokens, 0) AS removed_tokens "
+    "FROM tt LEFT JOIN reb ON tt.doc_id = reb.doc_id"
+)
+
+
+@register("remove_repeated_spans", _REMOVE_SQL)
+def q_remove_repeated_spans(spark, sf_dir):
+    """Keep-first repeated-span excision (operators/dedup.py
+    remove_repeated_spans, n=5): the globally first occurrence of each
+    repeated 5-token window survives, every other occurrence's tokens
+    are removed and documents rebuild from the remainder."""
+    from bigdata_hits_spark.operators.dedup import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = remove_repeated_spans(docs, n=SPAN_N, min_count=SPAN_MIN_COUNT)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("removed_tokens").cast("long").alias("removed_tokens"),
+    )

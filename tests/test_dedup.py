@@ -155,3 +155,41 @@ def test_repeated_ngram_coverage_marks_shared_passage(spark):
     short = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
     r9 = repeated_ngram_coverage(short, n=10).collect()[0]
     assert r9["covered_tokens"] == 0 and r9["n_tokens"] == 2
+
+
+def test_remove_repeated_spans_keeps_first_occurrence(spark):
+    from bigdata_hits_spark.operators.dedup import remove_repeated_spans
+
+    quote = "to be or not to be that is the question"  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{quote} alpha beta"),
+            (2, f"prefix words {quote}"),
+            (3, "independent text with no shared spans at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_repeated_spans(docs, n=10, min_count=2).collect()}
+    # first occurrence = (doc 1, pos 0): doc 1 keeps the quote
+    assert out[1]["clean_text"] == f"{quote} alpha beta"
+    assert out[1]["removed_tokens"] == 0
+    # doc 2 loses exactly the quote's 10 tokens, keeps its prefix
+    assert out[2]["clean_text"] == "prefix words"
+    assert out[2]["removed_tokens"] == 10
+    assert out[3]["removed_tokens"] == 0
+    assert out[3]["clean_text"] == "independent text with no shared spans at all"
+
+
+def test_remove_repeated_spans_identical_docs_one_survivor(spark):
+    from bigdata_hits_spark.operators.dedup import remove_repeated_spans
+
+    text = " ".join(f"t{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           remove_repeated_spans(docs, n=12, min_count=2).collect()}
+    assert out[1]["clean_text"] == text  # min (id, pos) survives
+    assert out[2]["clean_text"] == "" and out[3]["clean_text"] == ""
+    assert out[2]["removed_tokens"] == 12
