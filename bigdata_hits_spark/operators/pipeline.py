@@ -58,6 +58,8 @@ def clean_corpus(
     vectors: DataFrame | None = None,
     vec_id_col: str = "vec_id",
     semantic_threshold: float = 0.95,
+    boilerplate_min_df: int | None = None,
+    min_unigram_logprob: float | None = None,
 ) -> DataFrame | tuple[DataFrame, CleanStats]:
     """Clean a document corpus; returns surviving docs with per-doc stat
     columns (``quality``, ``n_tokens``, ``n_bpe_tokens``, ``lang_pred``,
@@ -77,9 +79,35 @@ def clean_corpus(
     """
     text = F.col(text_col)
 
+    # 0. Optional line-level boilerplate stripping (CCNet-style) — runs
+    #    FIRST so repeated chrome neither depresses quality scores nor
+    #    glues unrelated documents together in the near-dup stages.
+    if boilerplate_min_df is not None:
+        from bigdata_hits_spark.operators.dedup import strip_boilerplate
+
+        cleaned = strip_boilerplate(docs, boilerplate_min_df, id_col, text_col)
+        docs = (
+            docs.drop(text_col)
+            .join(cleaned.select(id_col, "clean_text"), id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+
     # 1. Quality floor — narrow, no shuffle, prunes before any join.
     scored = docs.withColumn("quality", quality_score(text))
     quality = scored.filter(F.col("quality") >= min_quality)
+
+    # 1b. Optional corpus-LM floor: drop documents whose tokens are
+    #     improbably rare under the corpus's own unigram distribution
+    #     (gibberish/OCR noise).  Two hash-aggs + one id-semi-join; runs
+    #     after the free quality floor so the LM only trains/scores on
+    #     plausibly-clean mass.
+    if min_unigram_logprob is not None:
+        from bigdata_hits_spark.operators.textstats import unigram_logprob
+
+        lm_ok = unigram_logprob(quality, id_col, text_col).filter(
+            F.col("avg_logprob") >= min_unigram_logprob
+        )
+        quality = quality.join(lm_ok.select(id_col), id_col, "left_semi")
 
     # 2. Exact dedup — keep each text's minimum-id row (one hash-groupBy;
     #    join back by id so bodies don't ride the aggregate).

@@ -76,3 +76,35 @@ def test_clean_corpus_semantic_collapses_planted_cluster(spark):
            clean_corpus(docs, min_quality=0.0, vectors=vecs).select("doc_id").collect()}
     assert {1, 2} <= lex
     assert 2 not in sem and 1 in sem
+
+
+def test_clean_corpus_boilerplate_and_lm_stages(spark):
+    from bigdata_hits_spark.operators.pipeline import clean_corpus
+
+    body = " ".join(f"word{i} common text flows naturally here" for i in range(6))
+    footer = "click here to subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{body} alpha.\n{footer}"),
+            (2, f"{body} beta variant.\n{footer}"),
+            (3, f"{body} gamma edition.\n{footer}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = clean_corpus(
+        docs,
+        min_quality=0.0,
+        near_dup_threshold=0.99,
+        boilerplate_min_df=3,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # the shared footer line is gone from every survivor
+    assert rows and all(footer not in r["text"] for r in rows.values())
+
+    # LM floor: an impossible threshold empties the corpus, a permissive
+    # one keeps it — the stage is wired and directional
+    kept = clean_corpus(docs, min_quality=0.0, near_dup_threshold=0.99,
+                        min_unigram_logprob=-1e9)
+    none = clean_corpus(docs, min_quality=0.0, near_dup_threshold=0.99,
+                        min_unigram_logprob=1.0)
+    assert kept.count() == 3 and none.count() == 0
