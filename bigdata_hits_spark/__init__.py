@@ -30,7 +30,12 @@ from bigdata_hits_spark.operators.graphalgs import (
     symmetric_edges,
     triangle_counts,
 )
-from bigdata_hits_spark.operators.dedup import minhash_dedup_incremental
+from bigdata_hits_spark.operators.dedup import (
+    minhash_dedup_incremental,
+    remove_repeated_spans,
+    repeated_ngram_coverage,
+    strip_boilerplate,
+)
 from bigdata_hits_spark.operators.similarity import (
     near_duplicate_pairs,
     quantize_embeddings,
@@ -48,7 +53,12 @@ from bigdata_hits_spark.operators.sampling import (
 )
 from bigdata_hits_spark.operators.profiling import profile_table
 from bigdata_hits_spark.operators.events import sliding_event_counts
-from bigdata_hits_spark.operators.textstats import ngram_overlap, repetition_signals, tfidf
+from bigdata_hits_spark.operators.textstats import (
+    ngram_overlap,
+    repetition_signals,
+    tfidf,
+    unigram_logprob,
+)
 from bigdata_hits_spark.functions.text import pii_counts, redact_pii
 from bigdata_hits_spark.sql import register_graph_views, register_testdata_views
 
@@ -70,6 +80,9 @@ __all__ = [
     "symmetric_edges",
     "triangle_counts",
     "minhash_dedup_incremental",
+    "remove_repeated_spans",
+    "repeated_ngram_coverage",
+    "strip_boilerplate",
     "quantize_embeddings",
     "near_duplicate_pairs",
     "semantic_dedup",
@@ -86,6 +99,7 @@ __all__ = [
     "ngram_overlap",
     "repetition_signals",
     "tfidf",
+    "unigram_logprob",
     "pii_counts",
     "redact_pii",
     "register_graph_views",
