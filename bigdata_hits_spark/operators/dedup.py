@@ -414,6 +414,11 @@ def strip_boilerplate(
     document-frequency table is distinct-line-sized; the rebuild is one
     groupBy(id) with an in-memory array_sort over that document's
     surviving (pos, line) structs — per-document state only, no window.
+
+    ``line_sep`` must be a literal, regex-safe separator (default
+    newline): Spark's ``split`` interprets it as a REGEX while the
+    rebuild's ``array_join`` uses it literally, so a metacharacter
+    separator would split and rejoin asymmetrically.
     """
     lines = docs.select(
         F.col(id_col).alias("id"),
