@@ -437,3 +437,31 @@ def q_remove_repeated_spans(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("removed_tokens").cast("long").alias("removed_tokens"),
     )
+
+
+_ROLLUP_SQL = (
+    "SELECT o_orderstatus, o_orderpriority, "
+    "GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid, "
+    "COUNT(*) AS n, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS revenue "
+    "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+)
+
+
+@register("rollup_orders_revenue", _ROLLUP_SQL)
+def q_rollup_orders(spark, sf_dir):
+    """Hierarchical ROLLUP aggregate (status -> priority -> grand total)
+    with an explicit grouping id — the OLAP grouping-sets primitive,
+    executed as Spark's native Expand + single hash-agg (one pass over
+    the data for all three levels)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
+    )
