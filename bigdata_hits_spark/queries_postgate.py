@@ -465,3 +465,37 @@ def q_rollup_orders(spark, sf_dir):
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
     )
+
+
+PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _pivot_sql() -> str:
+    cols = ", ".join(
+        f"COALESCE(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END), 0) "
+        f"AS \"p{i + 1}\""
+        for i, p in enumerate(PIVOT_PRIORITIES)
+    )
+    return f"SELECT o_orderstatus, {cols} FROM orders GROUP BY o_orderstatus"
+
+
+@register("pivot_orders_priority", _pivot_sql())
+def q_pivot_orders(spark, sf_dir):
+    """Pivot: order counts by status with one column per priority — the
+    wide-format OLAP primitive.  The value set is DECLARED (not
+    discovered), so Spark skips the extra distinct-values job and the
+    plan is a single hash-agg; the oracle is plain conditional
+    aggregation over the same fixed columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PIVOT_PRIORITIES)
+        .count()
+    )
+    return wide.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+            for i, p in enumerate(PIVOT_PRIORITIES)
+        ],
+    )
