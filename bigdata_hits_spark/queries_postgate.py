@@ -499,3 +499,31 @@ def q_pivot_orders(spark, sf_dir):
             for i, p in enumerate(PIVOT_PRIORITIES)
         ],
     )
+
+
+UNPIVOT_METRICS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _unpivot_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT l_returnflag, '{m}' AS metric, "
+        f"ROUND(CAST(SUM({m}) AS DOUBLE), 4) AS total FROM lineitem GROUP BY l_returnflag"
+        for m in UNPIVOT_METRICS
+    )
+    return arms
+
+
+@register("unpivot_lineitem_metrics", _unpivot_sql())
+def q_unpivot_lineitem(spark, sf_dir):
+    """Unpivot (melt): the four lineitem measures rotated long into
+    (returnflag, metric, total) rows — the inverse reshape of
+    pivot_orders_priority, via Spark's native unpivot (one Expand, no
+    join).  Aggregation first, melt second: the Expand multiplies only
+    the flag-count-sized aggregate, never the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        *[F.round(F.sum(m), 4).alias(m) for m in UNPIVOT_METRICS]
+    )
+    return agg.unpivot(
+        ["l_returnflag"], UNPIVOT_METRICS, "metric", "total"
+    )
