@@ -527,3 +527,59 @@ def q_unpivot_lineitem(spark, sf_dir):
     return agg.unpivot(
         ["l_returnflag"], UNPIVOT_METRICS, "metric", "total"
     )
+
+
+ASOF_TOL_NS = EV.HOUR_NS  # matches older than 1h (event time) null out
+
+_ASOF_TOL_SQL = (
+    "WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type, value FROM events), "
+    "u AS ("
+    "SELECT user_id, ts_ns, 1 AS side, NULL::BIGINT AS tb, event_id, "
+    "NULL::BIGINT AS p_id, NULL::DOUBLE AS p_value, NULL::BIGINT AS p_ts FROM e "
+    "WHERE event_type = 'click' "
+    "UNION ALL "
+    "SELECT user_id, ts_ns, 0, event_id, NULL, event_id, value, ts_ns FROM e "
+    "WHERE event_type = 'purchase'), "
+    "f AS (SELECT user_id, ts_ns, side, event_id, "
+    "LAST_VALUE(p_id IGNORE NULLS) OVER w AS purchase_id, "
+    "LAST_VALUE(p_value IGNORE NULLS) OVER w AS purchase_value, "
+    "LAST_VALUE(p_ts IGNORE NULLS) OVER w AS purchase_ts "
+    "FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, side, tb "
+    "ROWS UNBOUNDED PRECEDING)) "
+    "SELECT event_id AS click_id, user_id, ts_ns // 1000 AS ts_us, "
+    f"CASE WHEN ts_ns - purchase_ts <= {ASOF_TOL_NS} THEN purchase_id END AS purchase_id, "
+    f"CASE WHEN ts_ns - purchase_ts <= {ASOF_TOL_NS} THEN purchase_value END AS purchase_value "
+    "FROM f WHERE side = 1"
+)
+
+
+@register("events_asof_tolerance", _ASOF_TOL_SQL)
+def q_events_asof_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of attribution (operators/asof.py asof_join
+    with tolerance=1h): matches staler than the window null out — pandas
+    merge_asof tolerance semantics on the same union + single-window
+    plan (no range join)."""
+    from bigdata_hits_spark.operators.asof import asof_join
+    from bigdata_hits_spark.queries_events import _events_us
+
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_ns")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ns", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="ts_ns",
+        by="user_id",
+        value_cols=["event_id", "value"],
+        tiebreak="event_id",
+        tolerance=ASOF_TOL_NS,
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("value_r").alias("purchase_value"),
+    )
