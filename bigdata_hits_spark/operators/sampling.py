@@ -348,6 +348,10 @@ def mixture_sample(
     for g, r in rates.items():
         if r < 0:
             raise ValueError(f"rate for group {g!r} must be >= 0")
+    if "epoch" in df.columns:
+        raise ValueError(
+            "input already has an 'epoch' column; rename it before mixture_sample"
+        )
     # uniform in [0, 1) from the first 8 md5 hex digits of (seed, key)
     u = (
         F.conv(
