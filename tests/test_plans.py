@@ -257,3 +257,36 @@ def test_time_partitioned_scan_prunes(spark, sf_dir_oracle, tmp_path):
         F.to_date(F.timestamp_seconds(F.expr("ts_ns div 1000000000"))) == F.lit(one_date)
     ).count()
     assert q.count() == expect > 0
+
+
+def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
+    """No round-4 query may plan a cartesian product or a
+    broadcast-nested-loop join — the scale guarantee stated in each
+    docstring, pinned here for the whole batch."""
+    from bigdata_hits_spark import queries as q
+
+    names = [
+        "chunk_documents",
+        "mixture_sample",
+        "profile_orders",
+        "events_sliding_agg",
+        "text_unigram_logprob",
+        "strip_boilerplate",
+        "repeated_span_coverage",
+        "remove_repeated_spans",
+        "rollup_orders_revenue",
+        "pivot_orders_priority",
+        "unpivot_lineitem_metrics",
+        "events_asof_tolerance",
+    ]
+    reg = q.queries()
+    # unigram attaches its (total, vocab) one-row aggregate via
+    # crossJoin(broadcast(...)) — the engine's standard scalar-attach
+    # (plans/iterate.py normalized); a BNLJ whose build side is one row
+    # is a constant-fold, not a scale risk.  Exactly one is allowed
+    # there and zero anywhere else.
+    for name in names:
+        plan = _plan(reg[name](spark, sf_dir_oracle))
+        assert "CartesianProduct" not in plan, name
+        allowed = 1 if name == "text_unigram_logprob" else 0
+        assert plan.count("BroadcastNestedLoopJoin") <= allowed, name
