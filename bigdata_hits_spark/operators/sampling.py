@@ -361,17 +361,40 @@ def mixture_sample(
         ).cast("double")
         / F.lit(float(1 << 32))
     )
-    # chained CASE over the rate map (create_map needs homogeneous keys;
-    # a when-chain keeps group values typed as-is)
-    rate_expr = None
-    for g, r in rates.items():
-        cond = F.col(group_col) == F.lit(g)
-        rate_expr = F.when(cond, F.lit(float(r))) if rate_expr is None else rate_expr.when(cond, F.lit(float(r)))
-    rate_expr = rate_expr.otherwise(F.lit(0.0))
-    n_copies = (F.floor(rate_expr) + F.when(u < rate_expr - F.floor(rate_expr), 1).otherwise(0)).cast("int")
+    if len(rates) <= 64:
+        # chained CASE over the rate map (create_map needs homogeneous
+        # keys; a when-chain keeps group values typed as-is) — fine for
+        # hand-written mixes, but expression depth grows linearly, so a
+        # LARGE rate table (per-domain weights, thousands of entries)
+        # switches to a broadcast equi-join below.
+        rate_expr = None
+        for g, r in rates.items():
+            cond = F.col(group_col) == F.lit(g)
+            rate_expr = (
+                F.when(cond, F.lit(float(r)))
+                if rate_expr is None
+                else rate_expr.when(cond, F.lit(float(r)))
+            )
+        rate_expr = rate_expr.otherwise(F.lit(0.0))
+        rated = df.withColumn("__rate", rate_expr)
+    else:
+        spark = df.sparkSession
+        rate_df = spark.createDataFrame(
+            [(g, float(r)) for g, r in rates.items()], f"{group_col} string, __rate double"
+        )
+        rated = (
+            df.join(F.broadcast(rate_df), group_col, "left")
+            # the join moves the key column first; restore the caller's
+            # column order so both rate paths emit identical schemas
+            .select(*df.columns, F.coalesce(F.col("__rate"), F.lit(0.0)).alias("__rate"))
+        )
+    n_copies = (
+        F.floor(F.col("__rate"))
+        + F.when(u < F.col("__rate") - F.floor(F.col("__rate")), 1).otherwise(0)
+    ).cast("int")
     return (
-        df.withColumn("__n_copies", n_copies)
+        rated.withColumn("__n_copies", n_copies)
         .filter(F.col("__n_copies") > 0)
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)))
-        .drop("__n_copies")
+        .drop("__n_copies", "__rate")
     )

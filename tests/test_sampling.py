@@ -325,3 +325,18 @@ def test_mixture_sample_rejects_bad_rates(spark, sf_dir):
         mixture_sample(docs, "source", {}, key_col="doc_id")
     with pytest.raises(ValueError):
         mixture_sample(docs, "source", {"src0": -0.5}, key_col="doc_id")
+
+
+def test_mixture_sample_large_rate_map_join_path(spark, sf_dir):
+    """Past 64 groups the rate attach switches to a broadcast join; the
+    two paths must produce identical multisets on overlapping groups."""
+    from bigdata_hits_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = {"src0": 1.5, "src1": 0.5}
+    big = dict(small)
+    big.update({f"ghost{i}": 1.0 for i in range(70)})  # absent groups
+    a = mixture_sample(docs, "source", small, key_col="doc_id")
+    b = mixture_sample(docs, "source", big, key_col="doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert "BroadcastHashJoin" in b._jdf.queryExecution().executedPlan().toString()
