@@ -284,3 +284,76 @@ def test_mixture_sample_matches_bruteforce(spark, rows, rate_num):
         n = int(math.floor(r)) + (1 if u < r - math.floor(r) else 0)
         expect += [(k, g, e) for e in range(n)]
     assert got == sorted(expect)
+
+
+boiler_strategy = st.lists(
+    st.lists(st.integers(0, 4), min_size=1, max_size=5),  # docs as line-id lists
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**_SETTINGS)
+@given(docs_lines=boiler_strategy, min_df=st.integers(2, 4))
+def test_strip_boilerplate_matches_bruteforce(spark, docs_lines, min_df):
+    from bigdata_hits_spark.operators.dedup import strip_boilerplate
+
+    line_text = {i: f"line body number {i}" for i in range(5)}
+    rows = [
+        (d, "\n".join(line_text[l] for l in lines))
+        for d, lines in enumerate(docs_lines)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in strip_boilerplate(df, min_df=min_df).collect()
+    }
+
+    from collections import defaultdict
+
+    df_count = defaultdict(set)
+    for d, lines in enumerate(docs_lines):
+        for l in lines:
+            df_count[l].add(d)
+    common = {l for l, ds in df_count.items() if len(ds) >= min_df}
+    expect = {}
+    for d, lines in enumerate(docs_lines):
+        kept = [line_text[l] for l in lines if l not in common]
+        dropped = sum(1 for l in lines if l in common)
+        expect[d] = ("\n".join(kept), len(kept), dropped)
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    docs_toks=st.lists(
+        st.lists(st.integers(0, 5), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    n=st.integers(2, 4),
+)
+def test_repeated_ngram_coverage_matches_bruteforce(spark, docs_toks, n):
+    from bigdata_hits_spark.operators.dedup import repeated_ngram_coverage
+
+    rows = [(d, " ".join(f"t{t}" for t in toks)) for d, toks in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in repeated_ngram_coverage(df, n=n, min_count=2).collect()
+    }
+
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs_toks:
+        for i in range(len(toks) - n + 1):
+            grams[tuple(toks[i : i + n])] += 1
+    expect = {}
+    for d, toks in enumerate(docs_toks):
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if grams[tuple(toks[i : i + n])] >= 2:
+                covered.update(range(i, i + n))
+        expect[d] = (len(toks), len(covered))
+    assert got == expect
