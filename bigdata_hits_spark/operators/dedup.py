@@ -422,7 +422,11 @@ def strip_boilerplate(
     """
     lines = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+        # null text behaves as one empty line (posexplode of a null array
+        # would silently DROP the document)
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)).alias(
+            "pos", "line"
+        ),
     ).withColumn("h", F.md5(F.col("line")))
     df_counts = lines.groupBy("h").agg(F.countDistinct("id").alias("df"))
     common = df_counts.filter(F.col("df") >= min_df).select("h")
@@ -477,7 +481,8 @@ def repeated_ngram_coverage(
     if n <= 0:
         raise ValueError("n must be positive")
     toks = docs.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
+        F.col(id_col).alias("id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("tk"),
     ).withColumn("n_tokens", F.size("tk"))
     wins = toks.filter(F.col("n_tokens") >= n).select(
         "id",
@@ -536,7 +541,8 @@ def remove_repeated_spans(
     if n <= 0:
         raise ValueError("n must be positive")
     toks = docs.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
+        F.col(id_col).alias("id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("tk"),
     ).withColumn("n_tokens", F.size("tk"))
     wins = (
         toks.filter(F.col("n_tokens") >= n)

@@ -293,7 +293,9 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("overlap must be in [0, max_tokens)")
     stride = max_tokens - overlap
-    toks = F.split(F.col(text_col), " ")
+    # null text behaves as empty: one chunk of the empty string, not a
+    # null-propagated junk row
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n = F.size(toks)
     # ceil((n - overlap) / stride) in exact integer arithmetic (floats
     # would drift for huge n); greatest(1, ·) covers n <= max_tokens.

@@ -193,3 +193,26 @@ def test_remove_repeated_spans_identical_docs_one_survivor(spark):
     assert out[1]["clean_text"] == text  # min (id, pos) survives
     assert out[2]["clean_text"] == "" and out[3]["clean_text"] == ""
     assert out[2]["removed_tokens"] == 12
+
+
+def test_null_text_documents_survive_curation_ops(spark):
+    """A null text column must behave as empty text, not drop or corrupt
+    the document row."""
+    from bigdata_hits_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_ngram_coverage,
+        strip_boilerplate,
+    )
+    from bigdata_hits_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real text here")], "doc_id long, text string"
+    )
+    sb = {r["doc_id"]: r for r in strip_boilerplate(docs, min_df=2).collect()}
+    assert sb[1]["clean_text"] == "" and sb[1]["n_lines_kept"] == 1  # one empty line
+    cov = {r["doc_id"]: r for r in repeated_ngram_coverage(docs, n=2).collect()}
+    assert cov[1]["covered_tokens"] == 0 and cov[1]["n_tokens"] == 1
+    rm = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=2).collect()}
+    assert rm[1]["removed_tokens"] == 0
+    ch = {r["doc_id"]: r for r in chunk_documents(docs, 4).collect()}
+    assert ch[1]["chunk_text"] == "" and ch[1]["n_tokens"] == 1
