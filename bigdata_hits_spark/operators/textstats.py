@@ -216,7 +216,12 @@ def unigram_logprob(
     100 TB the frequency table is vocabulary-sized (≪ corpus); broadcast
     it below ~100M terms, let AQE decide otherwise.
     """
-    toks = docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("w"))
+    # null text scores as empty text (one "" token), not as a silently
+    # absent document
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("w"),
+    )
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(
         F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
