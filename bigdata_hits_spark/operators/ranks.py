@@ -1,0 +1,168 @@
+"""Distributed exact global ranking and NTILE without a single-task window.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` — the primitive behind exact
+percentile gates, NTILE bucketing, and "keep the top X% by score"
+curation cuts — funnels the ENTIRE dataset through one task when written
+as a plain unpartitioned window.  This module computes the identical
+numbers distributively, with the same two-phase shape the engine already
+uses for the global token budget (operators/sampling.py
+sample_to_token_budget):
+
+1. range-partition the rows on the requested sort order (balanced,
+   sampled boundaries — Spark's own RangePartitioning, the same exchange
+   a global ``orderBy`` would plan);
+2. per-partition counts roll into exclusive prefix offsets — a
+   bucket-count-sized frame (one row per partition) that a single tiny
+   window pass handles trivially;
+3. each row's global rank = its partition's offset + its local
+   ``row_number`` within the partition.
+
+Every data-sized structure moves at most twice (the range exchange and
+the pid-clustered window exchange); nothing data-sized ever lands on one
+task, so the plan survives a 1000-executor 100 TB sort the way the naive
+window cannot.
+
+Determinism: ranks are well-defined only when ``order_by`` is a TOTAL
+order — callers must include a tiebreak column (the declared query uses
+``(quality DESC, doc_id ASC)``).  Given a total order, the output is
+independent of partition-boundary placement, so the sampled range
+boundaries cannot leak into results.
+
+No reference counterpart (the reference's only ordering is the global
+score sort, ``base_hits.py:66-67``); this is part of the
+beyond-reference curation surface (driver brief: training-data
+pipelines need exact quantile gates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _ceil_div(a: Column, b: Column) -> Column:
+    """ceil(a / b) for positive integer columns, in exact integer math."""
+    return F.floor((a + b - F.lit(1)) / b).cast("long")
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Attach the exact 1-based global ``ROW_NUMBER`` over ``order_by``.
+
+    ``order_by`` must define a total order (include a unique tiebreak);
+    with ties the rank assignment among tied rows is partition-dependent,
+    exactly as an unpartitioned window's would be.
+
+    Plan shape: one range exchange + one hash exchange on the partition
+    id, a broadcast of the bucket-count offsets (one row per bucket),
+    and per-bucket local windows.  The bucket-counts branch re-reads the
+    range exchange, which AQE deduplicates via ReusedExchange.
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(num_buckets, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    offsets = _bucket_offsets(ranged)
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        ranged.join(F.broadcast(offsets.drop("__n")), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.row_number().over(w_local))
+        .drop("__pid", "__off")
+    )
+
+
+def _bucket_offsets(ranged: DataFrame) -> DataFrame:
+    """(__pid, __n, __off): per-range-bucket row counts and exclusive
+    prefix offsets.  Bucket-count-sized (= num_buckets rows), so the
+    single-task window over it is free."""
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        "__pid", "__n", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+
+
+def ntile_exact(
+    df: DataFrame,
+    n: int,
+    order_by: list[Column],
+    tile_col: str = "tile",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Attach the exact SQL ``NTILE(n) OVER (ORDER BY ...)`` tile,
+    computed distributively from the global rank.
+
+    SQL NTILE semantics reproduced in closed form: with N rows,
+    q = N div n and r = N mod n, the first r tiles hold q+1 rows and the
+    rest hold q, so
+
+        tile(rank) = ceil(rank / (q+1))                 if rank <= r*(q+1)
+                     r + ceil((rank - r*(q+1)) / q)      otherwise
+
+    The total N is derived from the bucket counts already computed for
+    the rank offsets (a num_buckets-row aggregate — no extra pass over
+    the data) and attached via ``crossJoin(broadcast(...))``, the
+    engine's standard one-row scalar attach.
+    """
+    if n <= 0:
+        raise ValueError(f"ntile requires n >= 1, got {n}")
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(num_buckets, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    offsets = _bucket_offsets(ranged)
+    total = offsets.agg(F.sum("__n").alias("__N"))
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    ranked = (
+        ranged.join(F.broadcast(offsets.drop("__n")), "__pid")
+        .withColumn("__rank", F.col("__off") + F.row_number().over(w_local))
+        .crossJoin(F.broadcast(total))
+    )
+    q = F.floor(F.col("__N") / n).cast("long")
+    r = (F.col("__N") % n).cast("long")
+    rank = F.col("__rank")
+    first_block = r * (q + F.lit(1))
+    tile = (
+        F.when(rank <= first_block, _ceil_div(rank, q + F.lit(1)))
+        .otherwise(r + _ceil_div(rank - first_block, F.greatest(q, F.lit(1))))
+        .cast("int")
+    )
+    return ranked.withColumn(tile_col, tile).drop("__pid", "__off", "__rank", "__N")
+
+
+def top_fraction(
+    df: DataFrame,
+    frac: float,
+    order_by: list[Column],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Keep the exact top ``frac`` of rows under ``order_by`` (ceil(N*frac)
+    rows) — the "keep the best X% by quality" curation gate, exact and
+    distributed.  Equivalent to ``global_rank <= ceil(N*frac)`` without
+    materializing N on the driver."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = df.repartitionByRange(num_buckets, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    offsets = _bucket_offsets(ranged)
+    total = offsets.agg(F.sum("__n").alias("__N"))
+    w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    keep = F.ceil(F.col("__N") * F.lit(float(frac))).cast("long")
+    return (
+        ranged.join(F.broadcast(offsets.drop("__n")), "__pid")
+        .withColumn("__rank", F.col("__off") + F.row_number().over(w_local))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("__rank") <= keep)
+        .drop("__pid", "__off", "__rank", "__N")
+    )

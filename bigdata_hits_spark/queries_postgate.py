@@ -583,3 +583,108 @@ def q_events_asof_tolerance(spark, sf_dir):
         F.col("event_id_r").alias("purchase_id"),
         F.col("value_r").alias("purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 (late): distributed exact NTILE quality gate, CUBE grouping sets,
+# frame-based moving average
+# ---------------------------------------------------------------------------
+
+NTILE_N = 4
+
+
+def _ntile_sql() -> str:
+    from bigdata_hits_spark.queries_text import QUALITY_SQL_EXPR
+
+    return (
+        "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), "
+        f"q AS (SELECT doc_id, {QUALITY_SQL_EXPR} AS quality FROM t) "
+        f"SELECT doc_id, quality, NTILE({NTILE_N}) OVER "
+        "(ORDER BY quality DESC NULLS LAST, doc_id) AS tile FROM q"
+    )
+
+
+@register("quality_ntile_gate", _ntile_sql())
+def q_quality_ntile_gate(spark, sf_dir):
+    """Exact NTILE(4) quality bucketing of the corpus — the "keep the
+    top quartile by quality" curation gate, computed DISTRIBUTIVELY
+    (operators/ranks.py ntile_exact: range-partition on the sort order,
+    bucket-count prefix offsets, per-bucket local windows) instead of
+    the single-task unpartitioned window the oracle's NTILE plans.
+    Total order pinned by the (quality DESC NULLS LAST, doc_id) tiebreak
+    on BOTH sides, so tile boundaries are engine-independent."""
+    from bigdata_hits_spark.functions import text as TX
+    from bigdata_hits_spark.operators.ranks import ntile_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 7).alias("quality")
+    )
+    out = ntile_exact(
+        scored, NTILE_N, [F.desc_nulls_last("quality"), F.asc("doc_id")], tile_col="tile"
+    )
+    return out.select("doc_id", "quality", "tile")
+
+
+_CUBE_SQL = (
+    "SELECT o_orderstatus, o_orderpriority, "
+    "GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid, "
+    "COUNT(*) AS n, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS revenue "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+)
+
+
+@register("cube_orders_revenue", _CUBE_SQL)
+def q_cube_orders(spark, sf_dir):
+    """CUBE over (status, priority) — all four grouping sets (both,
+    status-only, priority-only, grand total) in ONE Expand + single
+    hash-agg pass, completing the grouping-sets trio next to
+    rollup_orders_revenue.  The Expand multiplies rows by the number of
+    grouping sets BEFORE the partial aggregate, so at scale the partial
+    agg (map-side combine on low-cardinality keys) absorbs the 4x
+    blow-up before any exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
+    )
+
+
+MAVG_DAYS = 7
+
+_MAVG_SQL = (
+    "WITH d AS (SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day, "
+    "ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS revenue "
+    "FROM orders GROUP BY 1) "
+    "SELECT day, revenue, "
+    f"ROUND(AVG(revenue) OVER (ORDER BY day ROWS BETWEEN {MAVG_DAYS - 1} PRECEDING "
+    "AND CURRENT ROW), 4) AS mavg "
+    "FROM d"
+)
+
+
+@register("orders_moving_avg", _MAVG_SQL)
+def q_orders_moving_avg(spark, sf_dir):
+    """Trailing 7-day moving average of daily revenue — the window-FRAME
+    primitive (ROWS BETWEEN), complementing the rank/tile windows.  The
+    frame runs over the DAY-GRAIN aggregate (bounded by calendar days —
+    thousands of rows at any corpus scale), never the fact table, so the
+    unpartitioned window is aggregate-sized by construction; the heavy
+    lifting is the ordinary day groupBy with map-side partials."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").cast("string").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy("day").rowsBetween(-(MAVG_DAYS - 1), Window.currentRow)
+    return daily.select(
+        "day", "revenue", F.round(F.avg("revenue").over(w), 4).alias("mavg")
+    )

@@ -47,15 +47,22 @@ def q_text_token_count(spark, sf_dir):
     )
 
 
-@register(
-    "text_quality",
-    "SELECT doc_id, ROUND(CAST("
+#: DuckDB twin of functions/text.py quality_score over (text, w) columns,
+#: rounded to 7 — shared with the quality NTILE gate in queries_postgate.
+QUALITY_SQL_EXPR = (
+    "ROUND(CAST("
     "0.5 * LEAST(1.0, len(w) / 100.0) "
     f"+ 0.3 * (1.0 - len(list_filter(w, x -> x IN ({_sql_in(TX.STOPWORDS['en'])}))) "
     "/ (CASE WHEN len(w) > 0 THEN len(w) ELSE 1 END)) "
     "+ 0.2 * LEAST(1.0, ((length(text) - (len(w) - 1)) "
     "/ (CASE WHEN len(w) > 0 THEN len(w) ELSE 1 END)) / 8.0) "
-    "AS DOUBLE), 7) AS quality "
+    "AS DOUBLE), 7)"
+)
+
+
+@register(
+    "text_quality",
+    f"SELECT doc_id, {QUALITY_SQL_EXPR} AS quality "
     "FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)",
 )
 def q_text_quality(spark, sf_dir):

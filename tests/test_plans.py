@@ -278,15 +278,20 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         "pivot_orders_priority",
         "unpivot_lineitem_metrics",
         "events_asof_tolerance",
+        "quality_ntile_gate",
+        "cube_orders_revenue",
+        "orders_moving_avg",
     ]
     reg = q.queries()
     # unigram attaches its (total, vocab) one-row aggregate via
     # crossJoin(broadcast(...)) — the engine's standard scalar-attach
     # (plans/iterate.py normalized); a BNLJ whose build side is one row
-    # is a constant-fold, not a scale risk.  Exactly one is allowed
-    # there and zero anywhere else.
+    # is a constant-fold, not a scale risk.  quality_ntile_gate's total-N
+    # attach (operators/ranks.py ntile_exact) is the same shape.  Exactly
+    # one is allowed there and zero anywhere else.
+    one_row_attach = {"text_unigram_logprob", "quality_ntile_gate"}
     for name in names:
         plan = _plan(reg[name](spark, sf_dir_oracle))
         assert "CartesianProduct" not in plan, name
-        allowed = 1 if name == "text_unigram_logprob" else 0
+        allowed = 1 if name in one_row_attach else 0
         assert plan.count("BroadcastNestedLoopJoin") <= allowed, name

@@ -1,0 +1,78 @@
+"""Distributed exact global rank / NTILE (operators/ranks.py): the
+two-phase range-bucket form must reproduce the single-window numbers
+exactly, on data engineered to spread across many range buckets."""
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from bigdata_hits_spark.operators.ranks import global_rank, ntile_exact, top_fraction
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # 997 rows, scores with heavy ties (mod 13) so tiebreak discipline is
+    # exercised; num_buckets in the operator defaults to the session's 8
+    # shuffle partitions -> multiple non-empty range buckets.
+    rows = [Row(id=i, score=float((i * 7) % 13)) for i in range(997)]
+    return spark.createDataFrame(rows)
+
+
+def _order():
+    return [F.desc("score"), F.asc("id")]
+
+
+def test_global_rank_matches_single_window(spark, scored):
+    got = {r["id"]: r["rank"] for r in global_rank(scored, _order()).collect()}
+    w = Window.orderBy(*_order())
+    want = {
+        r["id"]: r["rank"]
+        for r in scored.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_ntile_matches_single_window(spark, scored):
+    # 997 = 3*332 + 1: SQL NTILE(3) gives tiles of 333/332/332 — the
+    # remainder handling is exactly what the closed form must reproduce.
+    got = {r["id"]: r["tile"] for r in ntile_exact(scored, 3, _order()).collect()}
+    w = Window.orderBy(*_order())
+    want = {
+        r["id"]: r["tile"]
+        for r in scored.withColumn("tile", F.ntile(3).over(w)).collect()
+    }
+    assert got == want
+    sizes = sorted(
+        ntile_exact(scored, 3, _order()).groupBy("tile").count().rdd.map(tuple).collect()
+    )
+    assert sizes == [(1, 333), (2, 332), (3, 332)]
+
+
+def test_ntile_more_tiles_than_rows(spark):
+    # N < n: every row its own tile (tile == rank), no division by zero.
+    df = spark.createDataFrame([Row(id=i, score=float(i)) for i in range(3)])
+    got = sorted(
+        (r["id"], r["tile"])
+        for r in ntile_exact(df, 10, [F.asc("score"), F.asc("id")]).collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_top_fraction_exact_cut(spark, scored):
+    kept = top_fraction(scored, 0.25, _order())
+    assert kept.count() == 250  # ceil(997 * 0.25)
+    w = Window.orderBy(*_order())
+    want = {
+        r["id"]
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 250)
+        .collect()
+    }
+    assert {r["id"] for r in kept.collect()} == want
+
+
+def test_rank_plan_is_range_partitioned_not_single_task(spark, scored):
+    plan = global_rank(scored, _order())._jdf.queryExecution().executedPlan().toString()
+    # the data-sized window runs partitioned by the range-bucket id, not
+    # over a single global partition
+    assert "rangepartitioning" in plan.lower()
+    assert "__pid" in plan
