@@ -52,6 +52,8 @@ from bigdata_hits_spark.operators.sampling import (
     stratified_sample,
 )
 from bigdata_hits_spark.operators.profiling import profile_table
+from bigdata_hits_spark.operators.rangejoin import range_join_bins
+from bigdata_hits_spark.operators.ranks import global_rank, ntile_exact, top_fraction
 from bigdata_hits_spark.operators.events import sliding_event_counts
 from bigdata_hits_spark.operators.textstats import (
     ngram_overlap,
@@ -91,6 +93,10 @@ __all__ = [
     "chunk_documents",
     "mixture_sample",
     "profile_table",
+    "range_join_bins",
+    "global_rank",
+    "ntile_exact",
+    "top_fraction",
     "sliding_event_counts",
     "deterministic_split",
     "pack_documents",

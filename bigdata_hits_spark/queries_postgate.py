@@ -688,3 +688,40 @@ def q_orders_moving_avg(spark, sf_dir):
     return daily.select(
         "day", "revenue", F.round(F.avg("revenue").over(w), 4).alias("mavg")
     )
+
+
+BAND_W = 4000  # half-width of each customer's typical-price band, exact integer
+
+_RANGE_JOIN_SQL = (
+    "WITH b AS (SELECT o_custkey, "
+    f"ROUND(AVG(o_totalprice)) - {BAND_W} AS lo, "
+    f"ROUND(AVG(o_totalprice)) + {BAND_W} AS hi "
+    "FROM orders GROUP BY o_custkey) "
+    "SELECT o.o_orderkey, COUNT(*) AS n_bands FROM orders o "
+    "JOIN b ON o.o_totalprice BETWEEN b.lo AND b.hi "
+    "GROUP BY o.o_orderkey"
+)
+
+
+@register("range_join_price_bands", _RANGE_JOIN_SQL)
+def q_range_join_price_bands(spark, sf_dir):
+    """Non-equi interval-containment join with NO shared key: for each
+    order, how many customers' typical-price bands (rounded mean +- 4000
+    — integer bounds, so BETWEEN decisions cannot flip on cross-engine
+    float association) contain its price.  The oracle writes the naive
+    BETWEEN theta-join; the engine runs operators/rangejoin.py
+    range_join_bins — intervals exploded onto a price grid, probe rows
+    hashed to their one grid bin, equi-join + exact filter — which is
+    O(candidates) instead of the CartesianProduct/BNLJ Catalyst would
+    otherwise plan.  Bin width = the band half-width, so each interval
+    replicates to exactly 3 bins."""
+    from bigdata_hits_spark.operators.rangejoin import range_join_bins
+
+    orders = load_table(spark, sf_dir, "orders")
+    avg_p = F.round(F.avg("o_totalprice"))
+    bands = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (avg_p - BAND_W).alias("lo"), (avg_p + BAND_W).alias("hi")
+    )
+    probe = orders.select("o_orderkey", "o_totalprice")
+    joined = range_join_bins(probe, bands, "o_totalprice", "lo", "hi", float(BAND_W))
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_bands"))
