@@ -31,6 +31,7 @@ from bigdata_hits_spark.operators.graphalgs import (
     triangle_counts,
 )
 from bigdata_hits_spark.operators.dedup import (
+    levenshtein_neardup_pairs,
     minhash_dedup_incremental,
     remove_repeated_spans,
     repeated_ngram_coverage,
@@ -81,6 +82,7 @@ __all__ = [
     "label_propagation",
     "symmetric_edges",
     "triangle_counts",
+    "levenshtein_neardup_pairs",
     "minhash_dedup_incremental",
     "remove_repeated_spans",
     "repeated_ngram_coverage",

@@ -589,3 +589,73 @@ def remove_repeated_spans(
             "removed_tokens"
         ),
     )
+
+
+def levenshtein_neardup_pairs(
+    df: DataFrame,
+    col: str = "text",
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """(name_a, name_b, dist): pairs of DISTINCT ``col`` values within
+    ``max_dist`` character edits — the edit-distance dedup modality for
+    SHORT strings (titles, product names, entity labels), where
+    shingle/MinHash similarity is meaningless because a 1-char typo in a
+    9-char name destroys most shingles.  Exact duplicates of the same
+    value are exact_duplicates' job; this finds the near-misses.
+
+    Candidate generation is the length-band join: two strings within
+    edit distance d differ in length by at most d (each edit changes
+    length by at most 1), so the index side replicates each value to the
+    ``d+1`` length keys [len .. len+d] and the probe side joins at its
+    own length — an equi-join whose candidates are COMPLETE (no true
+    pair can escape) with each unordered pair produced exactly once:
+    unequal lengths pair only as (longer probe, shorter index), equal
+    lengths are halved by the lexicographic tiebreak.  The O(len_a *
+    len_b) levenshtein verify runs only on candidates.
+
+    At corpus scale, length alone is a weak blocker (all ~10-char names
+    collide); pass ``block`` — an expression over the value, e.g.
+    ``F.substring(F.col('name'), 1, 1)`` or a phonetic key — to AND a
+    second equi-key into the candidate join.  That trades completeness
+    (a typo in the blocked prefix escapes) for candidate sparsity, the
+    standard blocking bargain; the default stays complete.
+
+    Output is canonical: name_a < name_b lexicographically, one row per
+    pair, ``dist`` the exact edit distance.
+    """
+    vals = df.select(F.col(col).alias("name")).filter(F.col("name").isNotNull()).distinct()
+    vals = vals.withColumn("__len", F.length("name"))
+    if block is not None:
+        vals = vals.withColumn("__blk", block)
+    idx = vals.select(
+        F.col("name").alias("name_b"),
+        F.col("__len").alias("__len_b"),
+        *([F.col("__blk").alias("__blk_b")] if block is not None else []),
+        F.explode(
+            F.sequence(F.col("__len"), F.col("__len") + F.lit(max_dist))
+        ).alias("__key_len"),
+    )
+    probe = vals.select(
+        F.col("name").alias("name_a"),
+        F.col("__len").alias("__len_a"),
+        *([F.col("__blk").alias("__blk_a")] if block is not None else []),
+        F.col("__len").alias("__key_len"),
+    )
+    on = [probe["__key_len"] == idx["__key_len"]]
+    if block is not None:
+        on.append(F.col("__blk_a") == F.col("__blk_b"))
+    once = (F.col("__len_a") > F.col("__len_b")) | (
+        (F.col("__len_a") == F.col("__len_b")) & (F.col("name_a") < F.col("name_b"))
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        probe.join(idx, on)
+        .filter(once)
+        .filter(dist <= max_dist)
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )

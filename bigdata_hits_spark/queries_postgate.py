@@ -725,3 +725,26 @@ def q_range_join_price_bands(spark, sf_dir):
     probe = orders.select("o_orderkey", "o_totalprice")
     joined = range_join_bins(probe, bands, "o_totalprice", "lo", "hi", float(BAND_W))
     return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_bands"))
+
+
+LEV_MAX_DIST = 2
+
+_LEV_SQL = (
+    "WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL) "
+    "SELECT a.p_name AS name_a, b.p_name AS name_b, "
+    "CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist "
+    "FROM n a JOIN n b ON a.p_name < b.p_name "
+    f"WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX_DIST}"
+)
+
+
+@register("dedup_levenshtein_names", _LEV_SQL)
+def q_dedup_levenshtein_names(spark, sf_dir):
+    """Edit-distance near-dup over distinct part names —
+    operators/dedup.py levenshtein_neardup_pairs: the length-band
+    candidate join (complete for edit distance <= d, since each edit
+    changes length by at most 1) with the exact levenshtein verify on
+    candidates only.  The oracle is the naive all-pairs theta-join the
+    engine refuses to plan."""
+    parts = load_table(spark, sf_dir, "part")
+    return DD.levenshtein_neardup_pairs(parts, "p_name", max_dist=LEV_MAX_DIST)

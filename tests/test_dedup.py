@@ -216,3 +216,66 @@ def test_null_text_documents_survive_curation_ops(spark):
     assert rm[1]["removed_tokens"] == 0
     ch = {r["doc_id"]: r for r in chunk_documents(docs, 4).collect()}
     assert ch[1]["chunk_text"] == "" and ch[1]["n_tokens"] == 1
+
+
+class TestLevenshteinNearDup:
+    def test_matches_brute_force(self, spark):
+        from itertools import combinations
+
+        from bigdata_hits_spark.operators.dedup import levenshtein_neardup_pairs
+
+        names = [
+            "kitten", "sitting", "cold bolt", "old bolt", "bold bolt",
+            "red rod", "new rod", "rod", "ro", "r", "", "zzzzzz",
+            "abcdef", "abcdeg", "abcde", "abcd",
+        ]
+        df = spark.createDataFrame([(n,) for n in names] * 2, ["name"])  # dup rows collapse
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        for d in (1, 2, 3):
+            got = sorted(
+                map(tuple, levenshtein_neardup_pairs(df, "name", max_dist=d).collect())
+            )
+            want = sorted(
+                (min(a, b), max(a, b), lev(a, b))
+                for a, b in combinations(sorted(set(names)), 2)
+                if lev(a, b) <= d
+            )
+            assert got == want, f"max_dist={d}"
+
+    def test_blocking_trades_recall_for_sparsity(self, spark):
+        from pyspark.sql import functions as F
+
+        from bigdata_hits_spark.operators.dedup import levenshtein_neardup_pairs
+
+        df = spark.createDataFrame(
+            [("cold bolt",), ("old bolt",), ("gold bolt",), ("cold colt",)], ["name"]
+        )
+        blocked = levenshtein_neardup_pairs(
+            df, "name", max_dist=2, block=F.substring(F.col("name"), 1, 1)
+        )
+        got = {(r["name_a"], r["name_b"]) for r in blocked.collect()}
+        # same-first-char pairs survive; cross-block true pairs are traded away
+        assert ("cold bolt", "cold colt") in got
+        assert ("cold bolt", "old bolt") not in got
+
+    def test_plan_is_equi_join(self, spark):
+        from bigdata_hits_spark.operators.dedup import levenshtein_neardup_pairs
+
+        df = spark.createDataFrame([("abc",), ("abd",)], ["name"])
+        plan = (
+            levenshtein_neardup_pairs(df, "name")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

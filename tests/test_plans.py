@@ -282,6 +282,7 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         "cube_orders_revenue",
         "orders_moving_avg",
         "range_join_price_bands",
+        "dedup_levenshtein_names",
     ]
     reg = q.queries()
     # unigram attaches its (total, vocab) one-row aggregate via
