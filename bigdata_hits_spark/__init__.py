@@ -25,6 +25,7 @@ from bigdata_hits_spark.operators.ranking import (
 )
 from bigdata_hits_spark.operators.components import connected_components, dedup_survivors
 from bigdata_hits_spark.operators.graphalgs import (
+    bfs_distances,
     k_core,
     label_propagation,
     symmetric_edges,
@@ -78,6 +79,7 @@ __all__ = [
     "list_topics",
     "connected_components",
     "dedup_survivors",
+    "bfs_distances",
     "k_core",
     "label_propagation",
     "symmetric_edges",

@@ -274,3 +274,51 @@ def k_core(
         if rounds >= max_iter:
             peels_per_round *= 2
     return sym.select(F.col("a").alias("id")).distinct()
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    sym: DataFrame | None = None,
+) -> DataFrame:
+    """(id, dist): minimum hop count (0..max_depth) from the nearest
+    ``seeds`` row over the undirected graph; nodes unreached within
+    ``max_depth`` are absent.  Multi-source BFS — the reachability /
+    "within k hops of any seed" primitive behind neighborhood feature
+    extraction and contamination-spread checks, generalizing the
+    one-hop neighborhood subgraph (operators/graph.py neighborhood) to
+    arbitrary depth.
+
+    ``seeds`` is a one-column (``id``) DataFrame; seeds absent from the
+    edge set still appear at dist 0 (a seed is trivially reachable from
+    itself).
+
+    Frontier algorithm with the label-propagation loop discipline: the
+    pinned symmetric edge set never moves (partitioned on the join key
+    once); per round one (edges x frontier) equi-join + distinct finds
+    the next hop and an anti-join against the settled set keeps first
+    (= minimum) distances only.  The frontier and settled vectors are
+    node-sized — the only moving data.  Rounds compose into one lazy
+    plan (no per-round driver action), lineage cut on the same cadence
+    as label_propagation to bound plan depth for large ``max_depth``.
+    """
+    if sym is None:
+        sym = materialize(symmetric_edges(edges, src, dst).repartition("b"))
+    dist = seeds.select("id").distinct().withColumn("dist", F.lit(0))
+    frontier = dist.select("id")
+    for depth in range(1, max_depth + 1):
+        reached = (
+            sym.join(frontier, sym["b"] == frontier["id"])
+            .select(F.col("a").alias("id"))
+            .distinct()
+        )
+        new = reached.join(dist, "id", "left_anti").withColumn("dist", F.lit(depth))
+        dist = dist.unionByName(new)
+        frontier = new.select("id")
+        if depth % _LP_CHECKPOINT_EVERY == 0 and depth < max_depth:
+            dist = dist.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
+    return dist

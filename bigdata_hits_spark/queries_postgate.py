@@ -748,3 +748,72 @@ def q_dedup_levenshtein_names(spark, sf_dir):
     engine refuses to plan."""
     parts = load_table(spark, sf_dir, "part")
     return DD.levenshtein_neardup_pairs(parts, "p_name", max_dist=LEV_MAX_DIST)
+
+
+_MEDIAN_SQL = (
+    "SELECT p_brand, COUNT(*) AS n, "
+    "ROUND(CAST(quantile_cont(p_retailprice, 0.5) AS DOUBLE), 4) AS med, "
+    "ROUND(CAST(quantile_cont(p_retailprice, 0.9) AS DOUBLE), 4) AS p90 "
+    "FROM part GROUP BY p_brand"
+)
+
+
+@register("median_price_per_brand", _MEDIAN_SQL)
+def q_median_price_per_brand(spark, sf_dir):
+    """Exact per-group continuous percentiles (median + p90 retail price
+    per brand) — the EXACT percentile aggregate, linear-interpolation
+    semantics identical across engines (verified: Spark percentile ==
+    DuckDB quantile_cont to the rounded digit).  Exactness buffers each
+    group's values in the aggregate state, fine for bounded groups like
+    brands; unbounded groups at corpus scale should use the
+    percentile_approx twin (t-digest state, mergeable map-side), the
+    same approx/exact split profile_orders documents for distincts."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("p_retailprice", F.lit(0.5)), 4).alias("med"),
+        F.round(F.percentile("p_retailprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+BFS_DEPTH = 3
+BFS_SEED_MOD = 97
+
+
+def _bfs_sql(k: int = BFS_DEPTH) -> str:
+    ctes = [
+        f"e0 AS MATERIALIZED ({derived.G_PP_EDGES_SQL})",
+        _SYM_CTE.replace("sym AS (", "sym AS MATERIALIZED (", 1),
+        f"seeds AS (SELECT DISTINCT 'P' || p_partkey AS id FROM part "
+        f"WHERE p_partkey % {BFS_SEED_MOD} = 0)",
+        "r0 AS MATERIALIZED (SELECT id, 0 AS dist FROM seeds)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"n{i} AS (SELECT DISTINCT s.a AS id FROM sym s "
+            f"JOIN r{i - 1} r ON s.b = r.id)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT id, dist FROM r{i - 1} UNION ALL "
+            f"SELECT n.id, {i} AS dist FROM n{i} n "
+            f"LEFT JOIN r{i - 1} p ON n.id = p.id WHERE p.id IS NULL)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT id, CAST(dist AS BIGINT) AS dist FROM r{k}"
+
+
+@register("graph_bfs_distance", _bfs_sql())
+def q_graph_bfs_distance(spark, sf_dir):
+    """Multi-source BFS hop distances (depth 3, every 97th part as a
+    seed) on the part->part graph — operators/graphalgs.py
+    bfs_distances; the oracle unrolls the frontier rounds as
+    anti-joined union CTEs."""
+    from bigdata_hits_spark.operators.graphalgs import bfs_distances
+    from bigdata_hits_spark.queries_graph import _sym
+
+    g = derived.g_pp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    seeds = part.filter(F.col("p_partkey") % BFS_SEED_MOD == 0).select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("id")
+    )
+    out = bfs_distances(g.edges, seeds, max_depth=BFS_DEPTH, sym=_sym(g))
+    return out.select("id", F.col("dist").cast("long").alias("dist"))

@@ -136,3 +136,50 @@ def test_k_core_deep_peel_escalates_instead_of_raising(spark):
     # pure chain: the 2-core is empty, again past the action budget
     chain_only = spark.createDataFrame(chain, "src string, dst string")
     assert k_core(chain_only, 2, max_iter=4).count() == 0
+
+
+def _brute_bfs(pairs, seeds, max_depth):
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, max_depth + 1):
+        frontier = {
+            n for f in frontier for n in adj.get(f, ()) if n not in dist
+        }
+        for n in frontier:
+            dist[n] = d
+        if not frontier:
+            break
+    return dist
+
+
+def test_bfs_distances_path_graph(spark):
+    from bigdata_hits_spark.operators.graphalgs import bfs_distances
+
+    # path a-b-c-d-e plus isolated seed z and unreachable island x-y
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("z",)], ["id"])
+    got = {(r["id"], r["dist"]) for r in bfs_distances(df, seeds, 2).collect()}
+    assert got == {("a", 0), ("z", 0), ("b", 1), ("c", 2)}
+    # deeper budget reaches the whole path; the island stays absent
+    got4 = {(r["id"], r["dist"]) for r in bfs_distances(df, seeds, 4).collect()}
+    assert got4 == {("a", 0), ("z", 0), ("b", 1), ("c", 2), ("d", 3), ("e", 4)}
+
+
+def test_bfs_distances_random_matches_bruteforce(spark):
+    from bigdata_hits_spark.operators.graphalgs import bfs_distances
+
+    rng = random.Random(31)
+    pairs = list({(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(60)})
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    seed_ids = ["n0", "n7", "n13"]
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], ["id"])
+    for depth in (1, 2, 5):
+        got = {(r["id"], r["dist"]) for r in bfs_distances(df, seeds, depth).collect()}
+        want = set(_brute_bfs(pairs, seed_ids, depth).items())
+        assert got == want, depth

@@ -283,6 +283,8 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         "orders_moving_avg",
         "range_join_price_bands",
         "dedup_levenshtein_names",
+        "median_price_per_brand",
+        "graph_bfs_distance",
     ]
     reg = q.queries()
     # unigram attaches its (total, vocab) one-row aggregate via
