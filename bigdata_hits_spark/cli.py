@@ -41,7 +41,8 @@ Beyond-reference pipeline jobs (no reference twin):
 - ``pagerank [num_iter [beta [nodes edges]]]`` — textbook PageRank
   scores as ``pagerank_scores.txt``.
 - ``triangles nodes edges`` / ``label_propagation [k [nodes edges]]`` /
-  ``kcore [k [nodes edges]]`` — graph analytics written as parquet.
+  ``kcore [k [nodes edges]]`` / ``bfs seed1,seed2 [depth [nodes edges]]``
+  — graph analytics written as parquet.
 - ``draw_graphs [num_iter [nodes edges]]`` — base HITS + the three
   reference figures (PNG when matplotlib exists, else SVG).
 
@@ -257,6 +258,22 @@ def main(argv: list[str] | None = None) -> None:
         g = _load_graph(spark, *args.take_paths())
         k_core(g.edges, k).write.mode("overwrite").parquet(
             os.path.join(out_dir, "kcore")
+        )
+    elif job == "bfs":
+        # bfs <seed_ids_comma_separated> [max_depth [nodes edges]] —
+        # minimum hop distance from the nearest seed (undirected)
+        from bigdata_hits_spark.operators.graphalgs import bfs_distances
+
+        seeds_arg = args.take()
+        if seeds_arg is None:
+            raise SystemExit("bfs needs comma-separated seed node ids")
+        depth = args.take(int, 3)
+        g = _load_graph(spark, *args.take_paths())
+        seeds = spark.createDataFrame(
+            [(s,) for s in seeds_arg.split(",")], ["id"]
+        )
+        bfs_distances(g.edges, seeds, depth).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "bfs")
         )
     elif job == "draw_graphs":
         # draw_graphs [num_iter [nodes edges]] — run base HITS and render

@@ -238,3 +238,15 @@ def test_cli_profile_and_mixture(spark, tmp_path):
     assert srcs <= {"src0", "src1"} and "epoch" in mix.columns
     n_in = spark.read.parquet(src).filter("source = 'src0'").count()
     assert mix.filter("source = 'src0'").count() == 2 * n_in  # rate=2.0 exact
+
+
+def test_cli_bfs(spark, csv_graph, tmp_path):
+    nodes, edges, _ = csv_graph
+    out = str(tmp_path / "out_bfs")
+    cli.main(["bfs", "a", "2", nodes, edges, "--out", out])
+    dist = {
+        (r["id"], r["dist"])
+        for r in spark.read.parquet(os.path.join(out, "bfs")).collect()
+    }
+    # a-b, a-c, b-c, c-a undirected: everything is within 1 hop of a
+    assert dist == {("a", 0), ("b", 1), ("c", 1)}
