@@ -166,3 +166,33 @@ def top_fraction(
         .filter(F.col("__rank") <= keep)
         .drop("__pid", "__off", "__rank", "__N")
     )
+
+
+def top_fraction_approx(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep approximately the top ``frac`` of rows by ``score_col`` —
+    the one-pass scale path next to :func:`top_fraction`'s exact cut.
+
+    The cutoff is the (1-frac) approx percentile (t-digest-style sketch:
+    mergeable map-side state, one aggregation, no sort, no shuffle of
+    the data beyond the one-row sketch merge), attached in-plan via the
+    engine's standard ``crossJoin(broadcast(one-row))`` scalar attach —
+    no driver round-trip.  Rows with scores exactly at the cutoff are
+    kept (>=), so the kept fraction can exceed ``frac`` by the tied mass
+    plus the sketch error (1/accuracy relative rank error); use
+    :func:`top_fraction` when the boundary must be exact.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    cutoff = df.agg(
+        F.percentile_approx(score_col, F.lit(1.0 - frac), F.lit(accuracy)).alias("__cut")
+    )
+    return (
+        df.crossJoin(F.broadcast(cutoff))
+        .filter(F.col(score_col) >= F.col("__cut"))
+        .drop("__cut")
+    )

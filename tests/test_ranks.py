@@ -76,3 +76,26 @@ def test_rank_plan_is_range_partitioned_not_single_task(spark, scored):
     # over a single global partition
     assert "rangepartitioning" in plan.lower()
     assert "__pid" in plan
+
+
+def test_top_fraction_approx_close_to_exact(spark, scored):
+    from bigdata_hits_spark.operators.ranks import top_fraction_approx
+
+    kept = top_fraction_approx(scored, 0.25, "score").count()
+    # scores are (i*7)%13 — only 13 distinct values, so the >= cutoff
+    # keeps whole tied bands; the kept count must cover at least the
+    # requested quarter and stay within one value-band of it
+    assert kept >= 0.25 * 997
+    band = 997 / 13 + 1
+    assert kept <= 0.25 * 997 + band + 997 / 100  # tied band + sketch error
+
+
+def test_top_fraction_approx_no_driver_action(spark, scored):
+    from bigdata_hits_spark.operators.ranks import top_fraction_approx
+
+    df = top_fraction_approx(scored, 0.5, "score")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # scalar attached in-plan: exactly one one-row broadcast join, and no
+    # range exchange (the whole point vs the exact cut)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "rangepartitioning" not in plan.lower()
