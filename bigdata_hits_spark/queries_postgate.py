@@ -817,3 +817,29 @@ def q_graph_bfs_distance(spark, sf_dir):
     )
     out = bfs_distances(g.edges, seeds, max_depth=BFS_DEPTH, sym=_sym(g))
     return out.select("id", F.col("dist").cast("long").alias("dist"))
+
+
+_JSON_PROPS_SQL = (
+    "SELECT event_type, "
+    "CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_bucket, "
+    "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value "
+    "FROM events GROUP BY 1, 2"
+)
+
+
+@register("events_json_props", _JSON_PROPS_SQL)
+def q_events_json_props(spark, sf_dir):
+    """Semi-structured extraction: the events ``props`` JSON string
+    parsed with a DECLARED schema (``from_json`` — JVM-side Jackson, a
+    Column expression inside whole-stage codegen, never a Python UDF)
+    and aggregated per (event_type, k-decile).  Parsing with a declared
+    schema skips the schema-inference pass a 100 TB ``spark.read.json``
+    would pay; the oracle uses DuckDB's json_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k LONG")["k"]
+    return ev.groupBy(
+        "event_type", F.floor(k / 10).cast("long").alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
