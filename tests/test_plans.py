@@ -286,6 +286,7 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         "median_price_per_brand",
         "graph_bfs_distance",
         "events_json_props",
+        "lineitem_metric_stats",
     ]
     reg = q.queries()
     # unigram attaches its (total, vocab) one-row aggregate via
