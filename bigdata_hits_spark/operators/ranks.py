@@ -49,38 +49,67 @@ def global_rank(
     order_by: list[Column],
     rank_col: str = "rank",
     num_buckets: int | None = None,
+    method: str = "row_number",
+    key_cols: list[Column] | None = None,
 ) -> DataFrame:
-    """Attach the exact 1-based global ``ROW_NUMBER`` over ``order_by``.
+    """Attach the exact 1-based global ``ROW_NUMBER`` / ``RANK`` /
+    ``DENSE_RANK`` over ``order_by``.
 
-    ``order_by`` must define a total order (include a unique tiebreak);
-    with ties the rank assignment among tied rows is partition-dependent,
-    exactly as an unpartitioned window's would be.
+    For ``row_number``, ``order_by`` must define a total order (include
+    a unique tiebreak); with ties the assignment among tied rows is
+    partition-dependent, exactly as an unpartitioned window's would be.
+    ``rank``/``dense_rank`` are well-defined under ties — and ties are
+    safe across buckets because Spark's RangePartitioning assigns equal
+    sort keys to the same partition, so a tie group never straddles a
+    bucket boundary and local-rank + bucket-offset stays exact.
+    ``dense_rank`` additionally needs ``key_cols`` — the plain (no
+    asc/desc) expressions of the sort key — because its offsets count
+    DISTINCT keys per bucket, and sort-ordered Columns cannot be fed to
+    countDistinct.
 
     Plan shape: one range exchange + one hash exchange on the partition
     id, a broadcast of the bucket-count offsets (one row per bucket),
     and per-bucket local windows.  The bucket-counts branch re-reads the
     range exchange, which AQE deduplicates via ReusedExchange.
     """
+    if method not in ("row_number", "rank", "dense_rank"):
+        raise ValueError(f"unknown rank method {method!r}")
+    if method == "dense_rank" and not key_cols:
+        raise ValueError("dense_rank needs key_cols (plain sort-key expressions)")
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = df.repartitionByRange(num_buckets, *order_by).withColumn(
         "__pid", F.spark_partition_id()
     )
-    offsets = _bucket_offsets(ranged)
+    offsets = _bucket_offsets(ranged, key_cols if method == "dense_rank" else None)
     w_local = Window.partitionBy("__pid").orderBy(*order_by)
+    local = {
+        "row_number": F.row_number(),
+        "rank": F.rank(),
+        "dense_rank": F.dense_rank(),
+    }[method]
     return (
         ranged.join(F.broadcast(offsets.drop("__n")), "__pid")
-        .withColumn(rank_col, F.col("__off") + F.row_number().over(w_local))
+        .withColumn(rank_col, F.col("__off") + local.over(w_local))
         .drop("__pid", "__off")
     )
 
 
-def _bucket_offsets(ranged: DataFrame) -> DataFrame:
-    """(__pid, __n, __off): per-range-bucket row counts and exclusive
-    prefix offsets.  Bucket-count-sized (= num_buckets rows), so the
-    single-task window over it is free."""
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+def _bucket_offsets(ranged: DataFrame, key_cols: list[Column] | None = None) -> DataFrame:
+    """(__pid, __n, __off): per-range-bucket counts and exclusive prefix
+    offsets — row counts by default, DISTINCT-sort-key counts when
+    ``key_cols`` is given (the dense_rank offset unit).  Bucket-count-
+    sized (= num_buckets rows), so the single-task window over it is
+    free."""
+    # struct-wrap the keys: count_distinct drops NULL arguments, but a
+    # struct of NULLs is itself non-null, so null sort keys still count
+    # as one distinct value (matching DENSE_RANK, where NULL is a peer
+    # group like any other).
+    measure = (
+        F.count_distinct(F.struct(*key_cols)) if key_cols else F.count(F.lit(1))
+    ).alias("__n")
+    counts = ranged.groupBy("__pid").agg(measure)
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     return counts.select(
         "__pid", "__n", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")

@@ -99,3 +99,57 @@ def test_top_fraction_approx_no_driver_action(spark, scored):
     # range exchange (the whole point vs the exact cut)
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_rank_and_dense_rank_with_ties(spark, scored):
+    # order by score alone -> heavy ties (13 distinct values across 997
+    # rows), tie groups co-located by range partitioning
+    order = [F.desc("score")]
+    w = Window.orderBy(F.desc("score"))
+    want_rank = {
+        (r["id"], r["rank"])
+        for r in scored.withColumn("rank", F.rank().over(w)).collect()
+    }
+    got_rank = {
+        (r["id"], r["rank"])
+        for r in global_rank(scored, order, method="rank").collect()
+    }
+    assert got_rank == want_rank
+    want_dense = {
+        (r["id"], r["rank"])
+        for r in scored.withColumn("rank", F.dense_rank().over(w)).collect()
+    }
+    got_dense = {
+        (r["id"], r["rank"])
+        for r in global_rank(
+            scored, order, method="dense_rank", key_cols=[F.col("score")]
+        ).collect()
+    }
+    assert got_dense == want_dense
+
+
+def test_dense_rank_counts_null_keys(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5.0), (4, 1.0), (5, 1.0)],
+        "id long, score double",
+    )
+    order = [F.asc_nulls_first("score"), ]
+    got = {
+        (r["id"], r["rank"])
+        for r in global_rank(
+            df, order, method="dense_rank", key_cols=[F.col("score")]
+        ).collect()
+    }
+    w = Window.orderBy(F.asc_nulls_first("score"))
+    want = {
+        (r["id"], r["rank"])
+        for r in df.withColumn("rank", F.dense_rank().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_dense_rank_requires_key_cols(spark, scored):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key_cols"):
+        global_rank(scored, [F.desc("score")], method="dense_rank")
