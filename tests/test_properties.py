@@ -357,3 +357,81 @@ def test_repeated_ngram_coverage_matches_bruteforce(spark, docs_toks, n):
                 covered.update(range(i, i + n))
         expect[d] = (len(toks), len(covered))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Bin-bucketed range join and distributed NTILE vs single-node references
+# ---------------------------------------------------------------------------
+
+rangejoin_strategy = st.tuples(
+    st.lists(st.integers(min_value=-40, max_value=40), min_size=1, max_size=25),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-40, max_value=40),
+            st.integers(min_value=0, max_value=30),  # span (hi = lo + span)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([1.0, 3.0, 7.5, 100.0]),
+)
+
+
+@settings(**_SETTINGS)
+@given(data=rangejoin_strategy)
+def test_range_join_bins_matches_bruteforce(spark, data):
+    from bigdata_hits_spark.operators.rangejoin import range_join_bins
+
+    values, intervals, width = data
+    probe = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "pid long, value double"
+    )
+    ivals = spark.createDataFrame(
+        [(j, float(lo), float(lo + span)) for j, (lo, span) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_bins(probe, ivals, "value", "lo", "hi", width).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, v in enumerate(values)
+        for j, (lo, span) in enumerate(intervals)
+        if lo <= v <= lo + span
+    )
+    assert got == want
+
+
+ntile_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=40),
+    st.integers(min_value=1, max_value=7),
+)
+
+
+@settings(**_SETTINGS)
+@given(data=ntile_strategy)
+def test_ntile_exact_matches_sql_semantics(spark, data):
+    from bigdata_hits_spark.operators.ranks import ntile_exact
+    from pyspark.sql import functions as F
+
+    scores, n = data
+    df = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(scores)], "id long, score double"
+    )
+    got = {
+        r["id"]: r["tile"]
+        for r in ntile_exact(df, n, [F.asc("score"), F.asc("id")]).collect()
+    }
+    # single-node SQL NTILE: first (N mod n) tiles get one extra row
+    order = sorted(range(len(scores)), key=lambda i: (scores[i], i))
+    N = len(order)
+    q, r_ = divmod(N, n)
+    want, rank = {}, 0
+    for tile in range(1, n + 1):
+        size = q + (1 if tile <= r_ else 0)
+        for _ in range(size):
+            if rank < N:
+                want[order[rank]] = tile
+                rank += 1
+    assert got == want
