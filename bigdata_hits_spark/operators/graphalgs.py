@@ -283,30 +283,47 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     sym: DataFrame | None = None,
+    directed: bool = False,
 ) -> DataFrame:
     """(id, dist): minimum hop count (0..max_depth) from the nearest
-    ``seeds`` row over the undirected graph; nodes unreached within
-    ``max_depth`` are absent.  Multi-source BFS — the reachability /
-    "within k hops of any seed" primitive behind neighborhood feature
-    extraction and contamination-spread checks, generalizing the
-    one-hop neighborhood subgraph (operators/graph.py neighborhood) to
-    arbitrary depth.
+    ``seeds`` row; nodes unreached within ``max_depth`` are absent.
+    Multi-source BFS — the reachability / "within k hops of any seed"
+    primitive behind neighborhood feature extraction and
+    contamination-spread checks, generalizing the one-hop neighborhood
+    subgraph (operators/graph.py neighborhood) to arbitrary depth.
+
+    ``directed=False`` (default) walks the undirected graph;
+    ``directed=True`` follows edges src->dst only (forward reachability
+    — flip src/dst at the call site for "who can reach the seeds").
 
     ``seeds`` is a one-column (``id``) DataFrame; seeds absent from the
     edge set still appear at dist 0 (a seed is trivially reachable from
     itself).
 
     Frontier algorithm with the label-propagation loop discipline: the
-    pinned symmetric edge set never moves (partitioned on the join key
-    once); per round one (edges x frontier) equi-join + distinct finds
-    the next hop and an anti-join against the settled set keeps first
-    (= minimum) distances only.  The frontier and settled vectors are
-    node-sized — the only moving data.  Rounds compose into one lazy
-    plan (no per-round driver action), lineage cut on the same cadence
-    as label_propagation to bound plan depth for large ``max_depth``.
+    pinned (a=to, b=from) edge relation never moves (partitioned on the
+    join key once); per round one (edges x frontier) equi-join +
+    distinct finds the next hop and an anti-join against the settled
+    set keeps first (= minimum) distances only.  The frontier and
+    settled vectors are node-sized — the only moving data.  Rounds
+    compose into one lazy plan (no per-round driver action), lineage
+    cut on the same cadence as label_propagation to bound plan depth
+    for large ``max_depth``.
     """
     if sym is None:
-        sym = materialize(symmetric_edges(edges, src, dst).repartition("b"))
+        if directed:
+            # one directed (a=head, b=tail) row per edge: the frontier
+            # join below walks b -> a, i.e. follows src -> dst
+            sym = materialize(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .repartition("b")
+            )
+        else:
+            sym = materialize(symmetric_edges(edges, src, dst).repartition("b"))
+    elif directed:
+        raise ValueError("pass either a prebuilt sym relation or directed=True, not both")
     dist = seeds.select("id").distinct().withColumn("dist", F.lit(0))
     frontier = dist.select("id")
     for depth in range(1, max_depth + 1):

@@ -183,3 +183,26 @@ def test_bfs_distances_random_matches_bruteforce(spark):
         got = {(r["id"], r["dist"]) for r in bfs_distances(df, seeds, depth).collect()}
         want = set(_brute_bfs(pairs, seed_ids, depth).items())
         assert got == want, depth
+
+
+def test_bfs_distances_directed(spark):
+    from bigdata_hits_spark.operators.graphalgs import bfs_distances
+
+    # a -> b -> c and c -> a: forward from a reaches b (1) and c (2);
+    # d -> a means d is NOT forward-reachable from a
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    got = {
+        (r["id"], r["dist"])
+        for r in bfs_distances(df, seeds, 3, directed=True).collect()
+    }
+    assert got == {("a", 0), ("b", 1), ("c", 2)}
+    # reverse reachability: who reaches a within 1 hop -> c and d
+    rev = {
+        (r["id"], r["dist"])
+        for r in bfs_distances(
+            df, seeds, 1, src="dst", dst="src", directed=True
+        ).collect()
+    }
+    assert rev == {("a", 0), ("c", 1), ("d", 1)}
