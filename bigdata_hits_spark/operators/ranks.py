@@ -44,6 +44,22 @@ def _ceil_div(a: Column, b: Column) -> Column:
     return F.floor((a + b - F.lit(1)) / b).cast("long")
 
 
+def _ranged_pinned(df: DataFrame, order_by: list[Column], num_buckets: int) -> DataFrame:
+    """Range-partition on the sort order, stamp the partition id, and PIN
+    the result (lazy localCheckpoint) so every downstream branch sees ONE
+    evaluation.  Load-bearing for correctness, not just cost: Spark
+    samples range boundaries with a seed derived from the evaluation, so
+    the offsets branch and the window branch re-planning the exchange
+    independently can land on DIFFERENT boundaries — offsets computed
+    under one partitioning would then join against window pids of
+    another (observed: ~9k wrong ranks at sf0.01 before pinning).  The
+    checkpoint materializes on the offsets broadcast's build job and is
+    reused by the main stage."""
+    return df.repartitionByRange(num_buckets, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
+
+
 def global_rank(
     df: DataFrame,
     order_by: list[Column],
@@ -69,8 +85,9 @@ def global_rank(
 
     Plan shape: one range exchange + one hash exchange on the partition
     id, a broadcast of the bucket-count offsets (one row per bucket),
-    and per-bucket local windows.  The bucket-counts branch re-reads the
-    range exchange, which AQE deduplicates via ReusedExchange.
+    and per-bucket local windows.  The range-partitioned input is pinned
+    to a single evaluation (see ``_ranged_pinned``) so the offsets
+    branch and the window branch cannot diverge on sampled boundaries.
     """
     if method not in ("row_number", "rank", "dense_rank"):
         raise ValueError(f"unknown rank method {method!r}")
@@ -79,9 +96,7 @@ def global_rank(
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = df.repartitionByRange(num_buckets, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged = _ranged_pinned(df, order_by, num_buckets)
     offsets = _bucket_offsets(ranged, key_cols if method == "dense_rank" else None)
     w_local = Window.partitionBy("__pid").orderBy(*order_by)
     local = {
@@ -143,9 +158,7 @@ def ntile_exact(
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = df.repartitionByRange(num_buckets, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged = _ranged_pinned(df, order_by, num_buckets)
     offsets = _bucket_offsets(ranged)
     total = offsets.agg(F.sum("__n").alias("__N"))
     w_local = Window.partitionBy("__pid").orderBy(*order_by)
@@ -181,9 +194,7 @@ def top_fraction(
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    ranged = df.repartitionByRange(num_buckets, *order_by).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged = _ranged_pinned(df, order_by, num_buckets)
     offsets = _bucket_offsets(ranged)
     total = offsets.agg(F.sum("__n").alias("__N"))
     w_local = Window.partitionBy("__pid").orderBy(*order_by)

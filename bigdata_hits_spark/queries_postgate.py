@@ -872,3 +872,40 @@ def q_lineitem_metric_stats(spark, sf_dir):
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
     )
+
+
+_PRICE_RANK_SQL = (
+    "WITH b AS (SELECT o_orderkey, "
+    "CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket FROM orders) "
+    "SELECT o_orderkey, bucket, "
+    "RANK() OVER (ORDER BY bucket DESC) AS rnk, "
+    "DENSE_RANK() OVER (ORDER BY bucket DESC) AS drnk FROM b"
+)
+
+
+@register("orders_price_rank", _PRICE_RANK_SQL)
+def q_orders_price_rank(spark, sf_dir):
+    """Global RANK and DENSE_RANK over a deliberately tie-heavy key
+    (price k$-bucket, ~30-way ties) — operators/ranks.py global_rank's
+    tie-safe distributed path: equal sort keys co-locate under range
+    partitioning, so bucket offsets (row counts for RANK, distinct-key
+    counts for DENSE_RANK) stay exact where a wrong design would split
+    a peer group across buckets.  The oracle is the single-task window
+    pair the engine refuses to plan."""
+    from bigdata_hits_spark.operators.ranks import global_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket"),
+    )
+    ranked = global_rank(orders, [F.desc("bucket")], rank_col="rnk", method="rank")
+    dense = global_rank(
+        orders,
+        [F.desc("bucket")],
+        rank_col="drnk",
+        method="dense_rank",
+        key_cols=[F.col("bucket")],
+    )
+    return ranked.join(dense.select("o_orderkey", "drnk"), "o_orderkey").select(
+        "o_orderkey", "bucket", "rnk", "drnk"
+    )

@@ -287,6 +287,7 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         "graph_bfs_distance",
         "events_json_props",
         "lineitem_metric_stats",
+        "orders_price_rank",
     ]
     reg = q.queries()
     # unigram attaches its (total, vocab) one-row aggregate via

@@ -72,10 +72,14 @@ def test_top_fraction_exact_cut(spark, scored):
 
 def test_rank_plan_is_range_partitioned_not_single_task(spark, scored):
     plan = global_rank(scored, _order())._jdf.queryExecution().executedPlan().toString()
-    # the data-sized window runs partitioned by the range-bucket id, not
-    # over a single global partition
-    assert "rangepartitioning" in plan.lower()
-    assert "__pid" in plan
+    # the data-sized window runs partitioned by the range-bucket id —
+    # no single-partition exchange anywhere in the data path (the only
+    # single-task window is over the bucket-count offsets, whose input
+    # is the num_buckets-row aggregate, visible as the HashAggregate
+    # feeding the SinglePartition exchange)
+    row_number_windows = [seg for seg in plan.split("Window ")[1:] if "row_number" in seg]
+    assert row_number_windows, plan
+    assert all("__pid" in seg.splitlines()[0] for seg in row_number_windows), plan
 
 
 def test_top_fraction_approx_close_to_exact(spark, scored):
