@@ -43,7 +43,7 @@ from bigdata_hits_spark.operators.similarity import (
     quantize_embeddings,
     semantic_dedup,
 )
-from bigdata_hits_spark.operators.pipeline import clean_corpus
+from bigdata_hits_spark.operators.pipeline import clean_corpus, resolve_entities
 from bigdata_hits_spark.operators.sampling import (
     cap_per_group,
     chunk_documents,
@@ -93,6 +93,7 @@ __all__ = [
     "near_duplicate_pairs",
     "semantic_dedup",
     "clean_corpus",
+    "resolve_entities",
     "cap_per_group",
     "chunk_documents",
     "mixture_sample",

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from bigdata_hits_spark.functions.text import (
     bpe_tokens,
@@ -164,3 +164,45 @@ def clean_corpus(
         n_lexical=n_lexical,
     )
     return final, stats
+
+
+def resolve_entities(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """(name, canonical): map every distinct ``name_col`` value to the
+    canonical (lexicographically smallest) member of its edit-distance
+    cluster — entity resolution for short-string identity columns
+    (vendor names, product titles, author strings), composed entirely
+    from existing scale-safe pieces:
+
+    1. candidate pairs within ``max_dist`` edits
+       (operators/dedup.py levenshtein_neardup_pairs — complete
+       length-band candidates, optional ``block`` key);
+    2. transitive closure over the pair graph
+       (operators/components.py connected_components — min-label
+       propagation, auto-escalating to star contraction), so A~B and
+       B~C canonicalize together even when A and C differ by more than
+       ``max_dist`` (the standard, documented transitivity bargain of
+       cluster-based resolution);
+    3. names in no pair map to themselves.
+
+    Join the result back on ``name_col`` to rewrite a fact table to
+    canonical entities — names shuffle, fact rows join by name key.
+    """
+    from bigdata_hits_spark.operators.components import connected_components
+    from bigdata_hits_spark.operators.dedup import levenshtein_neardup_pairs
+
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+    )
+    pairs = levenshtein_neardup_pairs(df, name_col, max_dist=max_dist, block=block)
+    comp = connected_components(pairs, "name_a", "name_b")
+    return (
+        names.join(comp, names["name"] == comp["id"], "left")
+        .select("name", F.coalesce(F.col("component"), F.col("name")).alias("canonical"))
+    )

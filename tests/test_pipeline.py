@@ -108,3 +108,26 @@ def test_clean_corpus_boilerplate_and_lm_stages(spark):
     none = clean_corpus(docs, min_quality=0.0, near_dup_threshold=0.99,
                         min_unigram_logprob=1.0)
     assert kept.count() == 3 and none.count() == 0
+
+
+def test_resolve_entities_transitive_clusters(spark):
+    from bigdata_hits_spark.operators.pipeline import resolve_entities
+
+    # chain: "acme corp" ~ "acme c0rp" ~ "acme c0rpx" (ends differ by 3
+    # edits -> only transitivity links them); "zeta llc" isolated; rows
+    # duplicated to prove distinct-value semantics; a null is ignored
+    rows = [
+        ("acme corp",), ("acme c0rp",), ("acme c0rpx",),
+        ("zeta llc",), ("acme corp",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "vendor string")
+    got = {
+        r["name"]: r["canonical"]
+        for r in resolve_entities(df, "vendor", max_dist=2).collect()
+    }
+    assert got == {
+        "acme corp": "acme c0rp",
+        "acme c0rp": "acme c0rp",
+        "acme c0rpx": "acme c0rp",
+        "zeta llc": "zeta llc",
+    }
