@@ -909,3 +909,34 @@ def q_orders_price_rank(spark, sf_dir):
     return ranked.join(dense.select("o_orderkey", "drnk"), "o_orderkey").select(
         "o_orderkey", "bucket", "rnk", "drnk"
     )
+
+
+_RESOLVE_SQL = (
+    "WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part "
+    "WHERE p_name IS NOT NULL), "
+    "dup AS (SELECT a.name AS name_a, b.name AS name_b FROM n a "
+    "JOIN n b ON a.name < b.name "
+    f"WHERE levenshtein(a.name, b.name) <= {LEV_MAX_DIST}), "
+    "e AS (SELECT name_a AS src, name_b AS dst FROM dup "
+    "UNION SELECT name_b, name_a FROM dup), "
+    "reach AS (SELECT src AS id, src AS comp FROM e "
+    "UNION SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id), "
+    "comp AS (SELECT id, MIN(comp) AS canonical FROM reach GROUP BY id) "
+    "SELECT n.name, COALESCE(c.canonical, n.name) AS canonical "
+    "FROM n LEFT JOIN comp c ON n.name = c.id"
+)
+
+
+@register("entity_resolution_names", _RESOLVE_SQL)
+def q_entity_resolution_names(spark, sf_dir):
+    """The full entity-resolution composite under one oracle —
+    operators/pipeline.py resolve_entities: length-band levenshtein
+    pairs, transitive closure via auto-escalating connected components,
+    lexicographic-minimum canonical per cluster, self-mapping for
+    untouched names.  The oracle recomputes the same closure as a
+    recursive CTE over the naive pair theta-join (the
+    dedup_components oracle pattern)."""
+    from bigdata_hits_spark.operators.pipeline import resolve_entities
+
+    parts = load_table(spark, sf_dir, "part")
+    return resolve_entities(parts, "p_name", max_dist=LEV_MAX_DIST)

@@ -288,6 +288,7 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         "events_json_props",
         "lineitem_metric_stats",
         "orders_price_rank",
+        "entity_resolution_names",
     ]
     reg = q.queries()
     # unigram attaches its (total, vocab) one-row aggregate via
