@@ -12,6 +12,7 @@ Each query is materialized through the `noop` sink so the full plan
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -63,9 +64,29 @@ def main() -> None:
     # two) because this host shows sporadic 20-30 s stalls on individual
     # queries (~20% of runs); with two passes a stall lands in the min for
     # some query most bench runs, with three it is <1% per query.
+    # Between queries, release the previous queries' dead blocks:
+    # completed queries leave lazily-checkpointed RDDs and broadcasts
+    # whose Python references are garbage, but Spark's ContextCleaner
+    # only unpersists them once a GC notices — and at ~90 queries/pass
+    # the accumulated storage pressure evicts the memoized edge
+    # relations and adds collector pauses INSIDE later queries' timed
+    # windows (measured: k3 family ~5.1 s/pass under accumulation vs
+    # ~2-3 s collected).  Collecting between queries moves that cost
+    # outside the timings, so each number measures the query, not its
+    # predecessors' garbage.  The JVM full collection runs on a cadence
+    # (it walks a multi-GB heap); the Python collection is cheap enough
+    # to run every query.
     timings: dict[str, float] = {}
+    n_run = 0
     for _pass in range(3):
         for name, fn in registry.items():
+            gc.collect()
+            n_run += 1
+            if n_run % 10 == 0:
+                try:
+                    spark._jvm.System.gc()
+                except Exception:
+                    pass
             t0 = time.time()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
