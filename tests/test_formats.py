@@ -45,3 +45,65 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path_factory):
     )
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
     assert "o_totalprice" not in plan
+
+
+def test_write_zordered_clusters_every_dimension(spark, tmp_path):
+    """Z-order files must be narrow in BOTH dimensions; a plain sort is
+    narrow in its sort key and full-range in the other — that contrast
+    is the entire point of the layout."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.sources.bucketed import write_zordered
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.xxhash64("id", F.lit(1)) % 10_000).cast("double").alias("x"),
+        (F.xxhash64("id", F.lit(2)) % 10_000).cast("double").alias("y"),
+    )
+
+    def file_spans(path):
+        got = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        import statistics
+
+        return (
+            statistics.mean(r["sx"] for r in got),
+            statistics.mean(r["sy"] for r in got),
+            len(got),
+        )
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, ["x", "y"], num_files=16)
+    zx, zy, nfiles = file_spans(zpath)
+    assert nfiles >= 8
+    # global span ~20k per dim; 16 curve segments -> ~1/4-range tiles
+    assert zx < 0.45 * 20_000, zx
+    assert zy < 0.45 * 20_000, zy
+
+    spath = str(tmp_path / "sorted")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(spath)
+    sx, sy, _ = file_spans(spath)
+    assert sx < 0.2 * 20_000  # sort clusters its own key tightly...
+    assert sy > 0.9 * 20_000  # ...and leaves the other dimension useless
+
+
+def test_write_zordered_rejects_bad_args(spark):
+    from bigdata_hits_spark.sources.bucketed import write_zordered
+
+    df = spark.range(4).selectExpr("id as x", "id as y", "id as w")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_zordered(df, "/tmp/never", ["x"])
+    with _pytest.raises(ValueError):
+        write_zordered(df, "/tmp/never", ["x", "y", "w"], bits=21)
