@@ -63,7 +63,7 @@ from bigdata_hits_spark.operators.textstats import (
     tfidf,
     unigram_logprob,
 )
-from bigdata_hits_spark.functions.text import pii_counts, redact_pii
+from bigdata_hits_spark.functions.text import canonical_url, pii_counts, redact_pii
 from bigdata_hits_spark.sql import register_graph_views, register_testdata_views
 
 __all__ = [
@@ -111,6 +111,7 @@ __all__ = [
     "repetition_signals",
     "tfidf",
     "unigram_logprob",
+    "canonical_url",
     "pii_counts",
     "redact_pii",
     "register_graph_views",

@@ -145,3 +145,64 @@ def doc_fingerprint(text: Column) -> Column:
     terms = fingerprint_terms(tokens(text))
     total = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
     return (total % F.lit(FINGERPRINT_MOD)).cast("long")
+
+
+#: Query parameters dropped by canonical_url: tracking/session noise that
+#: makes byte-identical pages look distinct.  The standard web-corpus
+#: dedup key is the URL AFTER this normalization.
+URL_TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "ref", "sessionid", "sid", "phpsessid",
+)
+
+#: scheme :// authority path ?query — fragment must be stripped first.
+_URL_PARTS = r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?"
+
+
+def canonical_url(url: Column) -> Column:
+    """Deterministic canonical form of a URL for exact-dedup keying —
+    the standard web-corpus move that stops tracking noise from
+    splitting duplicate pages into distinct keys:
+
+    - fragment removed; scheme and host lowercased (path case is
+      significant and preserved); ``www.`` prefix and default ports
+      (``:80`` for http, ``:443`` for https) dropped;
+    - tracking/session query parameters (URL_TRACKING_PARAMS,
+      case-insensitive names) removed, survivors sorted by full
+      ``name=value`` text so parameter order cannot split a dup group,
+      an emptied query dropped entirely;
+    - trailing path slash dropped (``/a/`` == ``/a``, ``/`` == empty).
+
+    Pure Column expressions (one regexp decomposition, then split /
+    filter / array_sort / concat — JVM-side); NULL in, NULL out.
+    Conservative by design: no path normalization, no percent-decoding,
+    no IDN folding — it never merges URLs that could serve different
+    content.
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, _URL_PARTS, 1))
+    host = F.lower(F.regexp_extract(u, _URL_PARTS, 2))
+    path = F.regexp_extract(u, _URL_PARTS, 3)
+    query = F.regexp_extract(u, _URL_PARTS, 4)
+
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", "")).otherwise(host)
+    )
+    path = F.regexp_replace(path, "/+$", "")
+
+    drop = F.array(*[F.lit(p) for p in URL_TRACKING_PARAMS])
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "")
+        & ~F.array_contains(drop, F.lower(F.substring_index(kv, "=", 1))),
+    )
+    clean_query = F.array_join(F.array_sort(params), "&")
+
+    rebuilt = F.concat(
+        F.when(scheme != "", F.concat(scheme, F.lit("://"))).otherwise(F.lit("")),
+        host,
+        path,
+        F.when(clean_query != "", F.concat(F.lit("?"), clean_query)).otherwise(F.lit("")),
+    )
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(rebuilt)

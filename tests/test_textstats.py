@@ -156,3 +156,33 @@ def test_unigram_logprob_ranks_common_above_rare(spark):
     # p(common) = (9+1)/(29+5); p(rare) = (1+1)/(29+5)
     assert got[0]["avg_logprob"] == pytest.approx(math.log(10 / 34), abs=1e-6)
     assert got[9]["avg_logprob"] == pytest.approx(math.log(2 / 34), abs=1e-6)
+
+
+def test_canonical_url(spark):
+    from bigdata_hits_spark.functions.text import canonical_url
+    from pyspark.sql import functions as F
+
+    cases = {
+        # tracking params dropped, survivors sorted, www + fragment gone
+        "HTTPS://WWW.Example.com:443/a/b/?b=2&utm_source=x&a=1#frag":
+            "https://example.com/a/b?a=1&b=2",
+        "http://example.com:80/path/": "http://example.com/path",
+        # param order cannot split a dup group
+        "http://e.com/p?z=1&a=2": "http://e.com/p?a=2&z=1",
+        "http://e.com/p?a=2&z=1": "http://e.com/p?a=2&z=1",
+        # fully-stripped query drops its '?'
+        "http://e.com/p?gclid=abc": "http://e.com/p",
+        # path case preserved; root slash == empty
+        "http://e.com/CaseSensitive": "http://e.com/CaseSensitive",
+        "http://e.com/": "http://e.com",
+        # scheme-less input survives
+        "www.e.com/x?fbclid=1": "e.com/x",
+    }
+    df = spark.createDataFrame([(u,) for u in cases] + [(None,)], ["url"])
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select("url", canonical_url(F.col("url")).alias("canon")).collect()
+    }
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw])
+    assert got[None] is None
