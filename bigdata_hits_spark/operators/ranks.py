@@ -236,3 +236,67 @@ def top_fraction_approx(
         .filter(F.col(score_col) >= F.col("__cut"))
         .drop("__cut")
     )
+
+
+def rank_stats(
+    df: DataFrame,
+    order_by: list[Column],
+    key_cols: list[Column],
+    tiebreak: list[Column] | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Attach the full SQL global-window rank family in one distributed
+    pass: ``row_number``, ``rank``, ``dense_rank``, ``percent_rank``
+    (= (rank-1)/(N-1), 0.0 when N=1) and ``cume_dist``
+    (= rows-at-or-before-the-peer-group / N).
+
+    ``order_by`` is the PEER-level ordering (the SQL window's ORDER BY)
+    and ``key_cols`` its plain (no asc/desc) expressions — together they
+    define the peer groups for rank/dense_rank/cume_dist.  ``tiebreak``
+    extends the ordering for ``row_number`` only (its assignment among
+    peers is partition-dependent otherwise, exactly like a single
+    window's).
+
+    The buckets partition on the PEER-level order alone — load-bearing:
+    partitioning on the tiebroken total order would let a peer group
+    straddle a bucket boundary (peers split by the tiebreak), and the
+    straddling rows' bucket offset would overcount the peers left
+    behind.  Tiebreaks only ever order WITHIN the local windows.
+    Otherwise the :func:`global_rank` machinery: pinned buckets,
+    row-count and distinct-key offsets, one total-N scalar attach; the
+    per-peer-group size for cume_dist is a count over the (bucket, key)
+    window — bucket-local, never global.
+    """
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = _ranged_pinned(df, order_by, num_buckets)
+    off_rows = _bucket_offsets(ranged)
+    off_keys = _bucket_offsets(ranged, key_cols).withColumnsRenamed(
+        {"__off": "__offk", "__n": "__nk"}
+    )
+    total = off_rows.agg(F.sum("__n").alias("__N"))
+    w_keys = Window.partitionBy("__pid").orderBy(*order_by)
+    w_total = Window.partitionBy("__pid").orderBy(*order_by, *(tiebreak or []))
+    w_peers = Window.partitionBy("__pid", *key_cols)
+    n = F.col("__N")
+    rank_g = F.col("__off") + F.rank().over(w_keys)
+    out = (
+        ranged.join(F.broadcast(off_rows.drop("__n")), "__pid")
+        .join(F.broadcast(off_keys.drop("__nk")), "__pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("row_number", F.col("__off") + F.row_number().over(w_total))
+        .withColumn("rank", rank_g)
+        .withColumn("dense_rank", F.col("__offk") + F.dense_rank().over(w_keys))
+        .withColumn(
+            "percent_rank",
+            F.when(n > 1, (rank_g - F.lit(1)) / (n - F.lit(1)).cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "cume_dist",
+            (rank_g + F.count(F.lit(1)).over(w_peers) - F.lit(1)) / n.cast("double"),
+        )
+    )
+    return out.drop("__pid", "__off", "__offk", "__N")

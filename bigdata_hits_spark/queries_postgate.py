@@ -940,3 +940,35 @@ def q_entity_resolution_names(spark, sf_dir):
 
     parts = load_table(spark, sf_dir, "part")
     return resolve_entities(parts, "p_name", max_dist=LEV_MAX_DIST)
+
+
+_WINDOW_STATS_SQL = (
+    "WITH b AS (SELECT o_orderkey, "
+    "CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket FROM orders) "
+    "SELECT o_orderkey, bucket, "
+    "ROUND(PERCENT_RANK() OVER (ORDER BY bucket DESC), 9) AS prank, "
+    "ROUND(CUME_DIST() OVER (ORDER BY bucket DESC), 9) AS cdist FROM b"
+)
+
+
+@register("orders_price_window_stats", _WINDOW_STATS_SQL)
+def q_orders_price_window_stats(spark, sf_dir):
+    """PERCENT_RANK and CUME_DIST over the tie-heavy price bucket —
+    operators/ranks.py rank_stats, which computes the whole global
+    window-rank family in one pass from peer-safe bucket offsets (peers
+    co-located because partitioning uses the peer-level order only).
+    The ratios are exact integer quotients in doubles, identical across
+    engines at 9-digit rounding."""
+    from bigdata_hits_spark.operators.ranks import rank_stats
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bucket"),
+    )
+    stats = rank_stats(orders, [F.desc("bucket")], [F.col("bucket")])
+    return stats.select(
+        "o_orderkey",
+        "bucket",
+        F.round("percent_rank", 9).alias("prank"),
+        F.round("cume_dist", 9).alias("cdist"),
+    )

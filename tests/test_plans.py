@@ -289,6 +289,7 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         "lineitem_metric_stats",
         "orders_price_rank",
         "entity_resolution_names",
+        "orders_price_window_stats",
     ]
     reg = q.queries()
     # unigram attaches its (total, vocab) one-row aggregate via
@@ -297,7 +298,11 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
     # is a constant-fold, not a scale risk.  quality_ntile_gate's total-N
     # attach (operators/ranks.py ntile_exact) is the same shape.  Exactly
     # one is allowed there and zero anywhere else.
-    one_row_attach = {"text_unigram_logprob", "quality_ntile_gate"}
+    one_row_attach = {
+        "text_unigram_logprob",
+        "quality_ntile_gate",
+        "orders_price_window_stats",
+    }
     for name in names:
         plan = _plan(reg[name](spark, sf_dir_oracle))
         assert "CartesianProduct" not in plan, name

@@ -157,3 +157,38 @@ def test_dense_rank_requires_key_cols(spark, scored):
 
     with _pytest.raises(ValueError, match="key_cols"):
         global_rank(scored, [F.desc("score")], method="dense_rank")
+
+
+def test_rank_stats_matches_single_window(spark, scored):
+    from bigdata_hits_spark.operators.ranks import rank_stats
+
+    order = [F.desc("score")]
+    keys = [F.col("score")]
+    got = {
+        r["id"]: (r["row_number"], r["rank"], r["dense_rank"],
+                  round(r["percent_rank"], 12), round(r["cume_dist"], 12))
+        for r in rank_stats(scored, order, keys, tiebreak=[F.asc("id")]).collect()
+    }
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    wk = Window.orderBy(F.desc("score"))
+    want = {
+        r["id"]: (r["rn"], r["rk"], r["dr"], round(r["pr"], 12), round(r["cd"], 12))
+        for r in scored.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wk).alias("rk"),
+            F.dense_rank().over(wk).alias("dr"),
+            F.percent_rank().over(wk).alias("pr"),
+            F.cume_dist().over(wk).alias("cd"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rank_stats_single_row(spark):
+    from bigdata_hits_spark.operators.ranks import rank_stats
+
+    df = spark.createDataFrame([(1, 5.0)], "id long, score double")
+    r = rank_stats(df, [F.asc("score")], [F.col("score")]).collect()[0]
+    assert (r["row_number"], r["rank"], r["dense_rank"]) == (1, 1, 1)
+    assert r["percent_rank"] == 0.0 and r["cume_dist"] == 1.0
