@@ -55,7 +55,13 @@ from bigdata_hits_spark.operators.sampling import (
 )
 from bigdata_hits_spark.operators.profiling import profile_table
 from bigdata_hits_spark.operators.rangejoin import range_join_bins
-from bigdata_hits_spark.operators.ranks import global_rank, ntile_exact, top_fraction
+from bigdata_hits_spark.operators.ranks import (
+    global_rank,
+    ntile_exact,
+    rank_stats,
+    top_fraction,
+    top_fraction_approx,
+)
 from bigdata_hits_spark.operators.events import sliding_event_counts
 from bigdata_hits_spark.operators.textstats import (
     ngram_overlap,
@@ -101,7 +107,9 @@ __all__ = [
     "range_join_bins",
     "global_rank",
     "ntile_exact",
+    "rank_stats",
     "top_fraction",
+    "top_fraction_approx",
     "sliding_event_counts",
     "deterministic_split",
     "pack_documents",
