@@ -4,7 +4,6 @@ boundaries inclusive — while planning no cartesian/BNLJ."""
 
 import pytest
 from pyspark.sql import Row, functions as F
-from pyspark.sql.utils import AnalysisException
 
 from bigdata_hits_spark.operators.rangejoin import range_join_bins
 
