@@ -52,6 +52,7 @@ from bigdata_hits_spark.operators.sampling import (
     pack_documents,
     sample_to_token_budget,
     stratified_sample,
+    weighted_sample,
 )
 from bigdata_hits_spark.operators.profiling import profile_table
 from bigdata_hits_spark.operators.rangejoin import range_join_bins
@@ -115,6 +116,7 @@ __all__ = [
     "pack_documents",
     "sample_to_token_budget",
     "stratified_sample",
+    "weighted_sample",
     "ngram_overlap",
     "repetition_signals",
     "tfidf",

@@ -400,3 +400,50 @@ def mixture_sample(
         .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)))
         .drop("__n_copies", "__rate")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate_scale: float,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each row with
+    probability ``min(1, weight * rate_scale)`` — "sample documents
+    proportional to quality/length" for training-mix construction, where
+    a uniform rate over- or under-represents exactly the rows a weight
+    column exists to distinguish.
+
+    Same discipline as :func:`mixture_sample`: the keep decision hashes
+    (seed, key) through md5 into a uniform in [0, 1) and compares it to
+    the row's threshold — a pure function of the DATA, stable across
+    runs, partitionings, and engines (the md5-derived uniform is a
+    53-bit-exact rational and the threshold an IEEE product, so the
+    comparison is bit-identical everywhere, unlike ln/pow-based
+    priority-sampling keys whose libm last-ulp may differ).  Negative
+    weights are rejected in-plan; NULL weights drop the row (weightless
+    rows have no business in a weighted sample — coalesce upstream to
+    keep them).
+
+    Expected kept rows = sum(min(1, w * rate_scale)); pick
+    ``rate_scale = target_rows / sum(w)`` when no weight saturates.
+    Plan: one narrow map + filter, no shuffle, no actions.
+    """
+    if rate_scale < 0:
+        raise ValueError(f"rate_scale must be >= 0, got {rate_scale}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w = F.col(weight_col).cast("double")
+    threshold = F.when(
+        w < 0, F.raise_error(F.lit("weighted_sample: negative weight"))
+    ).otherwise(F.least(F.lit(1.0), w * F.lit(float(rate_scale))))
+    return df.filter(u < threshold)

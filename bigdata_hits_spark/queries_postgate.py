@@ -972,3 +972,28 @@ def q_orders_price_window_stats(spark, sf_dir):
         F.round("percent_rank", 9).alias("prank"),
         F.round("cume_dist", 9).alias("cdist"),
     )
+
+
+WSAMPLE_SCALE = 1.0 / 500.0
+
+
+def _wsample_sql() -> str:
+    u = duck_hex_to_long("md5('0|' || CAST(doc_id AS VARCHAR))", 8)
+    return (
+        f"SELECT doc_id, n_chars FROM (SELECT doc_id, n_chars, "
+        f"CAST({u} AS DOUBLE) / 4294967296.0 AS u FROM documents) "
+        f"WHERE u < LEAST(1.0, CAST(n_chars AS DOUBLE) * {WSAMPLE_SCALE!r})"
+    )
+
+
+@register("weighted_sample_docs", _wsample_sql())
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted Bernoulli sample (keep probability
+    min(1, n_chars/500)) — operators/sampling.py weighted_sample.  The
+    md5-derived uniform is an exact 32-bit rational and the threshold an
+    IEEE product, so the keep set is bit-identical across engines — the
+    portable alternative to ln/pow priority-sampling keys."""
+    from bigdata_hits_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", WSAMPLE_SCALE).select("doc_id", "n_chars")

@@ -340,3 +340,37 @@ def test_mixture_sample_large_rate_map_join_path(spark, sf_dir):
     b = mixture_sample(docs, "source", big, key_col="doc_id")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert "BroadcastHashJoin" in b._jdf.queryExecution().executedPlan().toString()
+
+
+class TestWeightedSample:
+    def test_expected_fraction_and_determinism(self, spark):
+        from bigdata_hits_spark.operators.sampling import weighted_sample
+
+        n = 4000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 100).cast("double").alias("w")
+        )
+        scale = 1.0 / 100.0
+        kept = weighted_sample(df, "w", scale, key_col="doc_id")
+        got = {r["doc_id"] for r in kept.collect()}
+        # E[kept] = sum(min(1, w/100)) = sum over id of (id%100)/100 = n * 0.495
+        expect = 0.495 * n
+        assert abs(len(got) - expect) < 0.1 * n
+        # pure function of the data: same ids survive any partitioning
+        again = {
+            r["doc_id"]
+            for r in weighted_sample(df.repartition(13), "w", scale, key_col="doc_id").collect()
+        }
+        assert got == again
+        # zero-weight rows can never survive
+        zeros = {i for i in range(0, n, 100)}
+        assert not (got & zeros)
+
+    def test_negative_weight_raises(self, spark):
+        from bigdata_hits_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame([(1, -1.0)], "doc_id long, w double")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="negative weight"):
+            weighted_sample(df, "w", 1.0).collect()
