@@ -50,6 +50,10 @@ Beyond-reference pipeline jobs (no reference twin):
   [embeddings.parquet [semantic_threshold]]`` — quality floor +
   exact/near dedup (+ optional embedding-space dedup) + stat columns,
   written as parquet.
+- ``resolve table.parquet name_col [max_dist]`` — canonical entity per
+  distinct value via edit-distance clusters, written as parquet.
+- ``zorder table.parquet col1,col2 [num_files]`` — rewrite clustered on
+  a Morton curve for multi-column data skipping.
 - ``semantic_dedup docs.parquet embeddings.parquet [threshold]`` —
   embedding near-dup removal alone (sign-LSH candidates + exact cosine
   verify), survivors written as parquet.
@@ -346,6 +350,35 @@ def main(argv: list[str] | None = None) -> None:
         chunk_documents(spark.read.parquet(docs_path), max_tokens, overlap).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "chunk_corpus"))
+    elif job == "resolve":
+        # resolve <table.parquet> <name_col> [max_dist] — canonical form
+        # per distinct value via edit-distance clusters
+        from bigdata_hits_spark.operators.pipeline import resolve_entities
+
+        path = args.take()
+        name_col = args.take()
+        if path is None or name_col is None:
+            raise SystemExit("resolve needs a parquet path and a name column")
+        max_dist = args.take(int, 2)
+        resolve_entities(spark.read.parquet(path), name_col, max_dist=max_dist).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "resolve"))
+    elif job == "zorder":
+        # zorder <table.parquet> <col1,col2[,...]> [num_files] — rewrite
+        # clustered on a Morton curve for multi-column data skipping
+        from bigdata_hits_spark.sources.bucketed import write_zordered
+
+        path = args.take()
+        cols_arg = args.take()
+        if path is None or cols_arg is None:
+            raise SystemExit("zorder needs a parquet path and comma-separated columns")
+        num_files = args.take(int, 32)
+        write_zordered(
+            spark.read.parquet(path),
+            os.path.join(out_dir, "zorder"),
+            cols_arg.split(","),
+            num_files=num_files,
+        )
     elif job == "semantic_dedup":
         # semantic_dedup <docs.parquet> <embeddings.parquet> [threshold]
         from bigdata_hits_spark.operators.similarity import semantic_dedup

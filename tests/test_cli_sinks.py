@@ -250,3 +250,27 @@ def test_cli_bfs(spark, csv_graph, tmp_path):
     }
     # a-b, a-c, b-c, c-a undirected: everything is within 1 hop of a
     assert dist == {("a", 0), ("b", 1), ("c", 1)}
+
+
+def test_cli_resolve_and_zorder(spark, tmp_path):
+    src = str(tmp_path / "vendors.parquet")
+    spark.createDataFrame(
+        [(1, "acme corp", 10.0), (2, "acme c0rp", 20.0), (3, "zeta llc", 30.0)],
+        "id long, vendor string, x double",
+    ).write.parquet(src)
+    out = str(tmp_path / "out_resolve")
+    cli.main(["resolve", src, "vendor", "2", "--out", out])
+    got = {
+        (r["name"], r["canonical"])
+        for r in spark.read.parquet(os.path.join(out, "resolve")).collect()
+    }
+    assert got == {
+        ("acme corp", "acme c0rp"),
+        ("acme c0rp", "acme c0rp"),
+        ("zeta llc", "zeta llc"),
+    }
+
+    zout = str(tmp_path / "out_zorder")
+    cli.main(["zorder", src, "id,x", "2", "--out", zout])
+    back = spark.read.parquet(os.path.join(zout, "zorder"))
+    assert back.count() == 3 and set(back.columns) == {"id", "vendor", "x"}
