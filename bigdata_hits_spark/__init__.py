@@ -55,7 +55,7 @@ from bigdata_hits_spark.operators.sampling import (
     weighted_sample,
 )
 from bigdata_hits_spark.operators.profiling import profile_table
-from bigdata_hits_spark.operators.rangejoin import range_join_bins
+from bigdata_hits_spark.operators.rangejoin import interval_count_sweep, range_join_bins
 from bigdata_hits_spark.operators.ranks import (
     global_rank,
     ntile_exact,
@@ -105,6 +105,7 @@ __all__ = [
     "chunk_documents",
     "mixture_sample",
     "profile_table",
+    "interval_count_sweep",
     "range_join_bins",
     "global_rank",
     "ntile_exact",

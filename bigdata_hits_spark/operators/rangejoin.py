@@ -96,3 +96,101 @@ def range_join_bins(
         .filter(val.between(lo, hi))
         .drop("__bin")
     )
+
+
+def interval_count_sweep(
+    probe: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    count_col: str = "n_intervals",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """For each ``probe`` row, the NUMBER of ``intervals`` rows whose
+    ``[lo, hi]`` (inclusive) contains ``value_col`` — without
+    materializing a single (probe, interval) pair.
+
+    :func:`range_join_bins` is the right tool when the pairs themselves
+    are needed; when only the count is (density/typicality/coverage
+    scoring), pair output is pure waste — candidate volume grows with
+    interval width times probe density, O(n^2)-ish for wide intervals.
+    The classic sweep-line turns counting into order statistics:
+
+        contains(p) = #{lo <= p} - #{hi < p}
+
+    so one sorted pass over the union of (lo, probe, hi) events with two
+    running counters answers every probe at once, O(n log n) total and
+    ZERO dependence on interval width.  Distributed exactly like the
+    rank operators (operators/ranks.py): range-partition the event
+    stream on (value, event-type), per-bucket event counts roll into
+    prefix offsets, bucket-local window sums finish the counters.  Ties
+    resolve by the event-type sort key — lo events sort BEFORE probes at
+    an equal value (<= is inclusive), hi events AFTER (< is strict) —
+    and running SUMS are additive, so unlike rank peer groups nothing
+    breaks when equal values straddle a bucket boundary.  The
+    event-stream evaluation is pinned (same reason as
+    ``ranks._ranged_pinned``).
+
+    Probe rows contained by nothing return 0 (an inner pair join drops
+    them — filter ``count > 0`` for that semantics).  NULL values/bounds
+    and inverted intervals are rejected in-plan like range_join_bins.
+    """
+    from pyspark.sql import Window
+
+    spark = probe.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    lo, hi, val = F.col(lo_col), F.col(hi_col), F.col(value_col)
+    checked_lo = (
+        F.when(lo.isNull() | hi.isNull(), F.raise_error(F.lit("interval_count_sweep: NULL interval bound")))
+        .when(lo > hi, F.raise_error(F.lit("interval_count_sweep: interval with lo > hi")))
+        .otherwise(lo)
+    )
+    checked_val = F.when(
+        val.isNull(), F.raise_error(F.lit("interval_count_sweep: NULL probe value"))
+    ).otherwise(val)
+    probe_cols = probe.columns
+    null_probe = [F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_cols]
+    starts = intervals.select(
+        checked_lo.cast("double").alias("__v"), F.lit(0).alias("__t"), *null_probe
+    )
+    probes = probe.select(
+        checked_val.cast("double").alias("__v"), F.lit(1).alias("__t"), *probe_cols
+    )
+    ends = intervals.select(
+        hi.cast("double").alias("__v"), F.lit(2).alias("__t"), *null_probe
+    )
+    events = (
+        starts.unionByName(probes)
+        .unionByName(ends)
+        .repartitionByRange(num_buckets, F.asc("__v"), F.asc("__t"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = events.groupBy("__pid").agg(
+        F.sum((F.col("__t") == 0).cast("long")).alias("__a"),
+        F.sum((F.col("__t") == 2).cast("long")).alias("__b"),
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__a").over(w_off), F.lit(0)).alias("__a_off"),
+        F.coalesce(F.sum("__b").over(w_off), F.lit(0)).alias("__b_off"),
+    )
+    w_run = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc("__v"), F.asc("__t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        events.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            count_col,
+            (F.col("__a_off") + F.sum((F.col("__t") == 0).cast("long")).over(w_run))
+            - (F.col("__b_off") + F.sum((F.col("__t") == 2).cast("long")).over(w_run)),
+        )
+        .filter(F.col("__t") == 1)
+        .select(*probe_cols, count_col)
+    )
+    return out

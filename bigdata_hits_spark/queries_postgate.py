@@ -997,3 +997,30 @@ def q_weighted_sample_docs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample(docs, "n_chars", WSAMPLE_SCALE).select("doc_id", "n_chars")
+
+
+@register(
+    "orders_band_count_sweep",
+    _RANGE_JOIN_SQL,  # identical answer, counting formulation
+)
+def q_orders_band_count_sweep(spark, sf_dir):
+    """The same per-order band-containment counts as
+    range_join_price_bands, computed by operators/rangejoin.py
+    interval_count_sweep — the sweep-line formulation that never
+    materializes a (probe, interval) pair: contains(p) = #{lo <= p} -
+    #{hi < p} over one range-partitioned event stream, O(n log n) with
+    ZERO dependence on interval width (the pair join's candidate volume
+    grows with width x probe density).  Same oracle, deliberately: two
+    physical strategies pinned to one answer."""
+    from bigdata_hits_spark.operators.rangejoin import interval_count_sweep
+
+    orders = load_table(spark, sf_dir, "orders")
+    avg_p = F.round(F.avg("o_totalprice"))
+    bands = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (avg_p - BAND_W).alias("lo"), (avg_p + BAND_W).alias("hi")
+    )
+    probe = orders.select("o_orderkey", "o_totalprice")
+    counted = interval_count_sweep(
+        probe, bands, "o_totalprice", "lo", "hi", count_col="n_bands"
+    )
+    return counted.filter(F.col("n_bands") > 0).select("o_orderkey", "n_bands")

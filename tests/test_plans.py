@@ -291,6 +291,7 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         "entity_resolution_names",
         "orders_price_window_stats",
         "weighted_sample_docs",
+        "orders_band_count_sweep",
     ]
     reg = q.queries()
     # unigram attaches its (total, vocab) one-row aggregate via

@@ -91,3 +91,60 @@ def test_plan_is_equi_join_not_bnlj(spark, sides):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIntervalCountSweep:
+    def test_matches_brute_force(self, spark, sides):
+        from bigdata_hits_spark.operators.rangejoin import interval_count_sweep
+
+        probe, intervals = sides
+        got = {
+            r["pid"]: r["n_intervals"]
+            for r in interval_count_sweep(probe, intervals, "value", "lo", "hi").collect()
+        }
+        vals = {r["pid"]: r["value"] for r in probe.collect()}
+        ivs = [(r["lo"], r["hi"]) for r in intervals.collect()]
+        want = {
+            p: sum(1 for lo, hi in ivs if lo <= v <= hi) for p, v in vals.items()
+        }
+        assert got == want
+        # a probe outside every interval is kept at 0, not dropped
+        lone = spark.createDataFrame([(99, 1e6)], "pid long, value double")
+        (zero,) = interval_count_sweep(lone, intervals, "value", "lo", "hi").collect()
+        assert (zero["pid"], zero["n_intervals"]) == (99, 0)
+
+    def test_boundary_ties_inclusive(self, spark):
+        from bigdata_hits_spark.operators.rangejoin import interval_count_sweep
+
+        # probes exactly at lo, at hi, and between duplicated bounds
+        probe = spark.createDataFrame(
+            [(0, 5.0), (1, 10.0), (2, 7.5)], "pid long, value double"
+        )
+        intervals = spark.createDataFrame(
+            [(5.0, 10.0), (5.0, 10.0), (10.0, 10.0), (0.0, 5.0)], "lo double, hi double"
+        )
+        got = {
+            r["pid"]: r["n_intervals"]
+            for r in interval_count_sweep(probe, intervals, "value", "lo", "hi").collect()
+        }
+        assert got == {0: 3, 1: 3, 2: 2}
+
+    def test_agrees_with_pair_join_counts(self, spark, sides):
+        from bigdata_hits_spark.operators.rangejoin import (
+            interval_count_sweep,
+            range_join_bins,
+        )
+        from pyspark.sql import functions as F
+
+        probe, intervals = sides
+        sweep = {
+            r["pid"]: r["n_intervals"]
+            for r in interval_count_sweep(probe, intervals, "value", "lo", "hi").collect()
+            if r["n_intervals"] > 0
+        }
+        pairs = {
+            r["pid"]: r["n"]
+            for r in range_join_bins(probe, intervals, "value", "lo", "hi", 10.0)
+            .groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert sweep == pairs
