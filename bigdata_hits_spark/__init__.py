@@ -54,7 +54,7 @@ from bigdata_hits_spark.operators.sampling import (
     stratified_sample,
     weighted_sample,
 )
-from bigdata_hits_spark.operators.profiling import profile_table
+from bigdata_hits_spark.operators.profiling import profile_table, skew_report
 from bigdata_hits_spark.operators.rangejoin import interval_count_sweep, range_join_bins
 from bigdata_hits_spark.operators.ranks import (
     global_rank,
@@ -105,6 +105,7 @@ __all__ = [
     "chunk_documents",
     "mixture_sample",
     "profile_table",
+    "skew_report",
     "interval_count_sweep",
     "range_join_bins",
     "global_rank",

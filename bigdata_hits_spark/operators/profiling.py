@@ -9,7 +9,7 @@ operator is a single wide aggregation whose output is COLUMN-count-sized
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
@@ -55,3 +55,48 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
         for c in df.columns
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def skew_report(df: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
+    """(column, key, cnt, share, rank): the ``k`` heaviest values of each
+    candidate join/group key with their row shares — the diagnosis you
+    run BEFORE choosing a shuffle strategy.  A top key holding >1% of a
+    100 TB table is the hot partition that stalls a plain hash shuffle;
+    this report is what says "salt this key" (cap_per_group's two-phase
+    pattern), "broadcast that side", or "let AQE's skew split handle
+    it".
+
+    One hash-agg per column (map-side combined) + a
+    TakeOrderedAndProject top-k on the aggregate (per-partition heaps,
+    driver merges k rows — NO global sort even when the key is
+    near-unique and the aggregate row-sized); the total-row scalar
+    attaches in-plan via the engine's one-row broadcast, and the rank
+    window runs over the k already-taken rows only.  Keys are
+    stringified so one report frame covers heterogeneous column types;
+    NULL keys report as the literal 'NULL' bucket (a null-heavy join
+    key is the classic skew culprit and must not vanish from the
+    report).
+    """
+    if not cols:
+        raise ValueError("skew_report needs at least one column")
+    total = df.agg(F.count(F.lit(1)).alias("__N"))
+    parts = []
+    for c in cols:
+        counts = (
+            df.groupBy(F.coalesce(F.col(c).cast("string"), F.lit("NULL")).alias("key"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        topk = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k)
+        w = Window.orderBy(F.desc("cnt"), F.asc("key"))  # over <= k rows
+        topk = topk.withColumn("rank", F.row_number().over(w)).withColumn(
+            "column", F.lit(c)
+        )
+        parts.append(topk)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("cnt") / F.col("__N"))
+        .select("column", "key", "cnt", F.round("share", 6).alias("share"), "rank")
+    )

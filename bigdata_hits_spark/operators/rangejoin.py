@@ -138,6 +138,10 @@ def interval_count_sweep(
     """
     from pyspark.sql import Window
 
+    reserved = {"__v", "__t", "__pid", count_col}
+    clash = reserved & set(probe.columns)
+    if clash:
+        raise ValueError(f"probe columns collide with sweep internals: {sorted(clash)}")
     spark = probe.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

@@ -33,3 +33,32 @@ def test_profile_approx_mode_no_expand(spark):
         profile_table(df, exact_distinct=True)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" in exact_plan  # the documented cost of exactness
+
+
+def test_skew_report(spark):
+    from bigdata_hits_spark.operators.profiling import skew_report
+    from pyspark.sql import functions as F
+
+    # hot key 'h' = 50% of rows, nulls 10%, long tail for the rest
+    rows = [("h",)] * 50 + [(None,)] * 10 + [(f"t{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string").withColumn(
+        "other", F.lit("x")
+    )
+    rep = skew_report(df, ["k", "other"], k=3).collect()
+    by_col = {}
+    for r in rep:
+        by_col.setdefault(r["column"], []).append(r)
+    ks = sorted(by_col["k"], key=lambda r: r["rank"])
+    assert [(r["key"], r["cnt"]) for r in ks] == [("h", 50), ("NULL", 10), ("t0", 1)]
+    assert ks[0]["share"] == 0.5
+    (o,) = by_col["other"]
+    assert (o["key"], o["cnt"], o["share"], o["rank"]) == ("x", 100, 1.0, 1)
+
+
+def test_skew_report_plan_no_global_sort(spark):
+    from bigdata_hits_spark.operators.profiling import skew_report
+
+    df = spark.range(1000).selectExpr("id as k")
+    plan = skew_report(df, ["k"], k=5)._jdf.queryExecution().executedPlan().toString()
+    # top-k must be TakeOrderedAndProject, not a range-partitioned sort
+    assert "TakeOrderedAndProject" in plan
