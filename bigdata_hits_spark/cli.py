@@ -50,6 +50,8 @@ Beyond-reference pipeline jobs (no reference twin):
   [embeddings.parquet [semantic_threshold]]`` — quality floor +
   exact/near dedup (+ optional embedding-space dedup) + stat columns,
   written as parquet.
+- ``skew table.parquet col1,col2 [k]`` — top-k key-skew report with
+  row shares, written as parquet.
 - ``resolve table.parquet name_col [max_dist]`` — canonical entity per
   distinct value via edit-distance clusters, written as parquet.
 - ``zorder table.parquet col1,col2 [num_files]`` — rewrite clustered on
@@ -350,6 +352,19 @@ def main(argv: list[str] | None = None) -> None:
         chunk_documents(spark.read.parquet(docs_path), max_tokens, overlap).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "chunk_corpus"))
+    elif job == "skew":
+        # skew <table.parquet> <col1,col2[,...]> [k] — top-k key skew
+        # report with row shares (run before choosing a shuffle strategy)
+        from bigdata_hits_spark.operators.profiling import skew_report
+
+        path = args.take()
+        cols_arg = args.take()
+        if path is None or cols_arg is None:
+            raise SystemExit("skew needs a parquet path and comma-separated columns")
+        k = args.take(int, 20)
+        skew_report(spark.read.parquet(path), cols_arg.split(","), k=k).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "skew"))
     elif job == "resolve":
         # resolve <table.parquet> <name_col> [max_dist] — canonical form
         # per distinct value via edit-distance clusters

@@ -274,3 +274,17 @@ def test_cli_resolve_and_zorder(spark, tmp_path):
     cli.main(["zorder", src, "id,x", "2", "--out", zout])
     back = spark.read.parquet(os.path.join(zout, "zorder"))
     assert back.count() == 3 and set(back.columns) == {"id", "vendor", "x"}
+
+
+def test_cli_skew(spark, tmp_path):
+    src = str(tmp_path / "skewed.parquet")
+    spark.createDataFrame(
+        [("h",)] * 8 + [("a",), ("b",)], "k string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out_skew")
+    cli.main(["skew", src, "k", "2", "--out", out])
+    rep = sorted(
+        (r["rank"], r["key"], r["cnt"])
+        for r in spark.read.parquet(os.path.join(out, "skew")).collect()
+    )
+    assert rep == [(1, "h", 8), (2, "a", 1)]
