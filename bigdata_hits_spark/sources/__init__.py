@@ -7,6 +7,13 @@ from bigdata_hits_spark.sources.readers import (
     read_nodes_csv,
     read_edges_csv,
 )
+from bigdata_hits_spark.sources.bucketed import (
+    read_bucketed,
+    read_time_partitioned,
+    write_bucketed,
+    write_time_partitioned,
+    write_zordered,
+)
 
 __all__ = [
     "NODES_SCHEMA",
@@ -16,4 +23,9 @@ __all__ = [
     "read_neo4j_csv",
     "read_nodes_csv",
     "read_edges_csv",
+    "read_bucketed",
+    "read_time_partitioned",
+    "write_bucketed",
+    "write_time_partitioned",
+    "write_zordered",
 ]
