@@ -61,6 +61,7 @@ from bigdata_hits_spark.operators.ranks import (
     ntile_exact,
     rank_stats,
     top_fraction,
+    top_fraction_by,
     top_fraction_approx,
 )
 from bigdata_hits_spark.operators.events import sliding_event_counts
@@ -112,6 +113,7 @@ __all__ = [
     "ntile_exact",
     "rank_stats",
     "top_fraction",
+    "top_fraction_by",
     "top_fraction_approx",
     "sliding_event_counts",
     "deterministic_split",

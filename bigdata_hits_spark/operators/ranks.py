@@ -300,3 +300,35 @@ def rank_stats(
         )
     )
     return out.drop("__pid", "__off", "__offk", "__N")
+
+
+def top_fraction_by(
+    df: DataFrame,
+    frac: float,
+    group_col: str,
+    order_by: list[Column],
+) -> DataFrame:
+    """Keep the top ``frac`` of rows WITHIN each ``group_col`` value
+    (ceil(n_group * frac) rows per group) — the per-domain quality gate:
+    a global cut (:func:`top_fraction`) lets a high-quality domain crowd
+    out every document of a noisier one, while the per-group cut
+    preserves source diversity by construction.
+
+    Unlike the global operators this needs none of the bucket-offset
+    machinery: the window is PARTITIONED by the group, which is exactly
+    the shape Spark distributes well (hash exchange on the group key,
+    per-group local sort) — single-task funnels only appear when one
+    group dominates, in which case AQE's skew handling or an upstream
+    cap (cap_per_group) applies.  ``order_by`` should include a tiebreak
+    for a deterministic boundary, as everywhere else.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    w_all = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__ng", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("__rn") <= F.ceil(F.col("__ng") * F.lit(float(frac))))
+        .drop("__rn", "__ng")
+    )

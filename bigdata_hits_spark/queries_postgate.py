@@ -1024,3 +1024,42 @@ def q_orders_band_count_sweep(spark, sf_dir):
         probe, bands, "o_totalprice", "lo", "hi", count_col="n_bands"
     )
     return counted.filter(F.col("n_bands") > 0).select("o_orderkey", "n_bands")
+
+
+TOPFRAC_BY = 0.3
+
+
+def _topfrac_by_sql() -> str:
+    from bigdata_hits_spark.queries_text import QUALITY_SQL_EXPR
+
+    return (
+        "WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS w "
+        "FROM documents), "
+        f"q AS (SELECT doc_id, source, {QUALITY_SQL_EXPR} AS quality FROM t), "
+        "r AS (SELECT doc_id, source, quality, "
+        "ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY quality DESC NULLS LAST, doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY source) AS ng FROM q) "
+        f"SELECT doc_id, source, quality FROM r WHERE rn <= CEIL(ng * {TOPFRAC_BY})"
+    )
+
+
+@register("quality_top_frac_by_source", _topfrac_by_sql())
+def q_quality_top_frac_by_source(spark, sf_dir):
+    """Per-source quality gate: the top 30% of documents WITHIN each
+    source (operators/ranks.py top_fraction_by) — the diversity-
+    preserving form of the global cut, where a high-quality source
+    cannot crowd a noisier one out of the mix.  Partitioned window, so
+    the plan is the ordinary hash-exchange-per-group shape; tiebreak on
+    doc_id pins the boundary on both sides."""
+    from bigdata_hits_spark.functions import text as TX
+    from bigdata_hits_spark.operators.ranks import top_fraction_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.round(TX.quality_score(F.col("text")), 7).alias("quality")
+    )
+    kept = top_fraction_by(
+        scored, TOPFRAC_BY, "source", [F.desc_nulls_last("quality"), F.asc("doc_id")]
+    )
+    return kept.select("doc_id", "source", "quality")

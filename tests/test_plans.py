@@ -292,6 +292,7 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         "orders_price_window_stats",
         "weighted_sample_docs",
         "orders_band_count_sweep",
+        "quality_top_frac_by_source",
     ]
     reg = q.queries()
     # unigram attaches its (total, vocab) one-row aggregate via

@@ -192,3 +192,24 @@ def test_rank_stats_single_row(spark):
     r = rank_stats(df, [F.asc("score")], [F.col("score")]).collect()[0]
     assert (r["row_number"], r["rank"], r["dense_rank"]) == (1, 1, 1)
     assert r["percent_rank"] == 0.0 and r["cume_dist"] == 1.0
+
+
+def test_top_fraction_by_group(spark):
+    from bigdata_hits_spark.operators.ranks import top_fraction_by
+
+    rows = [(f"g{i % 3}", i, float(i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, id long, score double")
+    kept = top_fraction_by(df, 0.3, "g", [F.desc("score"), F.asc("id")])
+    got = {}
+    for r in kept.collect():
+        got.setdefault(r["g"], set()).add(r["id"])
+    # per-group expected: ceil(n_g * 0.3) best rows under the same order
+    by_g = {}
+    for g, i, s in rows:
+        by_g.setdefault(g, []).append((s, i))
+    import math
+
+    for g, vals in by_g.items():
+        take = math.ceil(len(vals) * 0.3)
+        want = {i for _, i in sorted(vals, key=lambda t: (-t[0], t[1]))[:take]}
+        assert got[g] == want, g
