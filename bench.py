@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the declared headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``.
 
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+Output contract: per-query detail is written to ``BENCH_detail_last.json``
+and printed as an earlier stdout line; the FINAL stdout line is a compact
+headline record (<500 bytes) so tail capture always parses:
+
+  {"metric": "total_headline_query_sec", "value": N, "unit": "sec",
+   "extra_sec": N, "n_headline": N, "n_extra": N, "sf": F, "detail": ...}
 
 Each query is materialized through the `noop` sink so the full plan
 (including all output columns) executes without disk writes.
@@ -109,16 +113,40 @@ def main() -> None:
     extra = {n: t for n, t in timings.items() if n not in headline_names}
     total = round(sum(t for t in headline.values() if t >= 0), 3)
     extra_sec = round(sum(t for t in extra.values() if t >= 0), 3)
+    # Per-query detail goes to a sidecar file + an EARLIER stdout line;
+    # the FINAL stdout line is a compact (<500 byte) headline record so
+    # the driver's tail capture can never truncate it mid-object
+    # (BENCH_r04.json was parsed:null because the single ~6 KB line with
+    # 90 per-query timings outgrew the tail window).
+    detail = {
+        "metric": "total_headline_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "extra_queries": extra,
+        "extra_sec": extra_sec,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"bench detail write failed: {e}", file=sys.stderr)
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "total_headline_query_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": headline,
-                "extra_queries": extra,
                 "extra_sec": extra_sec,
+                "n_headline": len(headline),
+                "n_extra": len(extra),
                 "sf": sf,
+                "detail": "BENCH_detail_last.json",
             }
         )
     )

@@ -152,14 +152,16 @@ def doc_fingerprint(text: Column) -> Column:
 #: dedup key is the URL AFTER this normalization.
 URL_TRACKING_PARAMS = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "gclid", "fbclid", "ref", "sessionid", "sid", "phpsessid",
+    "gclid", "fbclid", "sessionid", "phpsessid",
 )
 
 #: scheme :// authority path ?query — fragment must be stripped first.
 _URL_PARTS = r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\?([^#]*))?"
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(
+    url: Column, drop_params: tuple[str, ...] = URL_TRACKING_PARAMS
+) -> Column:
     """Deterministic canonical form of a URL for exact-dedup keying —
     the standard web-corpus move that stops tracking noise from
     splitting duplicate pages into distinct keys:
@@ -167,10 +169,14 @@ def canonical_url(url: Column) -> Column:
     - fragment removed; scheme and host lowercased (path case is
       significant and preserved); ``www.`` prefix and default ports
       (``:80`` for http, ``:443`` for https) dropped;
-    - tracking/session query parameters (URL_TRACKING_PARAMS,
-      case-insensitive names) removed, survivors sorted by full
-      ``name=value`` text so parameter order cannot split a dup group,
-      an emptied query dropped entirely;
+    - tracking/session query parameters (``drop_params``, default
+      URL_TRACKING_PARAMS — only unambiguous tracking/session names;
+      content-selecting params like ``ref``/``sid`` that some sites use
+      for branches/story ids are deliberately NOT in the default list,
+      pass them explicitly if your corpus treats them as noise) removed
+      by case-insensitive name, survivors sorted by full ``name=value``
+      text so parameter order cannot split a dup group, an emptied
+      query dropped entirely;
     - trailing path slash dropped (``/a/`` == ``/a``, ``/`` == empty).
 
     Pure Column expressions (one regexp decomposition, then split /
@@ -191,7 +197,7 @@ def canonical_url(url: Column) -> Column:
     )
     path = F.regexp_replace(path, "/+$", "")
 
-    drop = F.array(*[F.lit(p) for p in URL_TRACKING_PARAMS])
+    drop = F.array(*[F.lit(p) for p in drop_params])
     params = F.filter(
         F.split(query, "&"),
         lambda kv: (kv != "")

@@ -40,7 +40,9 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _ceil_div(a: Column, b: Column) -> Column:
-    """ceil(a / b) for positive integer columns, in exact integer math."""
+    """ceil(a / b) for positive integer columns.  Spark's `/` on longs is
+    double division, so this is exact only while a + b - 1 <= 2^53 —
+    far beyond any realistic row count here, but not unconditional."""
     return F.floor((a + b - F.lit(1)) / b).cast("long")
 
 

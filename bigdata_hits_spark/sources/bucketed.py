@@ -136,12 +136,26 @@ def write_zordered(
     cells = 1 << bits
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        mn, mx = float(bounds[f"__mn_{c}"]), float(bounds[f"__mx_{c}"])
+        raw_mn, raw_mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+        if raw_mn is None or raw_mx is None:
+            raise ValueError(
+                f"z-order column {c!r} has no non-NULL values (empty input or "
+                "all-NULL column) — drop it from cols or filter the input"
+            )
+        mn, mx = float(raw_mn), float(raw_mx)
         if mx <= mn:
             mx = mn + 1.0  # constant column: every row in cell 1
-        cell = F.coalesce(
-            F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(cells - 1)),
-            F.lit(0),
+        # width_bucket's overflow bucket for v == max is cells (one past the
+        # top); clamp it into the top cell so maxima do not wrap to share
+        # z-bits with NULLs/minima (bit-interleave reads bits 0..bits-1 only).
+        cell = F.least(
+            F.coalesce(
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(cells - 1)
+                ),
+                F.lit(0),
+            ),
+            F.lit(cells - 1),
         ).cast("long")
         for bit in range(bits):
             z = z + F.shiftleft(

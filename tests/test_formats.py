@@ -109,3 +109,34 @@ def test_write_zordered_rejects_bad_args(spark):
         write_zordered(df, "/tmp/never", ["x"])
     with _pytest.raises(ValueError):
         write_zordered(df, "/tmp/never", ["x", "y", "w"], bits=21)
+    # all-NULL z-column is a clear error, not an opaque TypeError
+    dfn = spark.range(4).selectExpr("id as x", "cast(null as double) as y")
+    with _pytest.raises(ValueError, match="no non-NULL"):
+        write_zordered(dfn, "/tmp/never", ["x", "y"])
+
+
+def test_write_zordered_max_lands_in_top_cell(spark, tmp_path):
+    """Rows at a column's maximum must cluster with other HIGH values,
+    not wrap to share z-bits with NULLs/minima (width_bucket's overflow
+    bucket is one past the top; the writer clamps it)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.sources.bucketed import write_zordered
+
+    # half the rows sit AT the max in both dims, half at the min
+    df = spark.range(8_000).select(
+        F.when(F.col("id") % 2 == 0, 0.0).otherwise(1000.0).alias("x"),
+        F.when(F.col("id") % 2 == 0, 0.0).otherwise(1000.0).alias("y"),
+    )
+    zpath = str(tmp_path / "zmax")
+    write_zordered(df, zpath, ["x", "y"], num_files=8)
+    got = (
+        spark.read.parquet(zpath)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.countDistinct("x").alias("nx"))
+        .collect()
+    )
+    # with the clamp, minima and maxima occupy opposite curve ends — no
+    # file mixes both values (pre-fix, every max row collided into cell 0)
+    assert all(r["nx"] == 1 for r in got), got

@@ -177,6 +177,9 @@ def test_canonical_url(spark):
         "http://e.com/": "http://e.com",
         # scheme-less input survives
         "www.e.com/x?fbclid=1": "e.com/x",
+        # content-selecting params (e.g. GitHub ?ref=<branch>) are NOT
+        # dropped by default — only unambiguous tracking names are
+        "http://e.com/tree?ref=main&sid=42": "http://e.com/tree?ref=main&sid=42",
     }
     df = spark.createDataFrame([(u,) for u in cases] + [(None,)], ["url"])
     got = {
@@ -186,3 +189,9 @@ def test_canonical_url(spark):
     for raw, want in cases.items():
         assert got[raw] == want, (raw, got[raw])
     assert got[None] is None
+
+    # opt-in: a corpus that treats ref/sid as noise passes them explicitly
+    extra = df.filter(F.col("url").contains("tree")).select(
+        canonical_url(F.col("url"), drop_params=("ref", "sid")).alias("canon")
+    )
+    assert extra.first()["canon"] == "http://e.com/tree"
