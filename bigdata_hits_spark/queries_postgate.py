@@ -1063,3 +1063,88 @@ def q_quality_top_frac_by_source(spark, sf_dir):
         scored, TOPFRAC_BY, "source", [F.desc_nulls_last("quality"), F.asc("doc_id")]
     )
     return kept.select("doc_id", "source", "quality")
+
+
+# --- round 5: the sign-LSH scale path under a FULL oracle -----------------
+#
+# The production embedding-dedup plan (lsh_candidate_pairs +
+# verify_cosine_pairs) was previously covered only by recall-floor tests;
+# this entry pins it rows+schema+hash.  The testdata has no true near-dups
+# at dedup-regime thresholds (max pairwise cosine ~0.51), so the query
+# augments the corpus with deterministically perturbed copies — coordinate
+# i scaled by 1.05 (even i) / 0.95 (odd i), identical IEEE double ops on
+# both engines — giving planted pairs at cosine ~0.9988.  The oracle
+# reproduces the ENTIRE path: the integer-parity hyperplane matrix
+# (operators/similarity.py _hyperplane_matrix), sign-bit signatures,
+# banded candidate join, and the rounded-cosine verify.  Banding recall is
+# part of the contract (both sides lose the same pairs), and the ~70k
+# original-vs-original candidates all verify-FAIL, so the verify stage is
+# exercised non-trivially.
+
+LSH_ORACLE_PLANES = 32
+LSH_ORACLE_BANDS = 4
+LSH_ORACLE_T = 0.95
+LSH_PERT_IDS = 250  # vec_id < this gets a perturbed twin at id + 100000
+
+
+def _neardup_lsh_sql() -> str:
+    planes, bands = LSH_ORACLE_PLANES, LSH_ORACLE_BANDS
+    bb = planes // bands
+    mask = (1 << bb) - 1
+    return (
+        "WITH el0 AS (SELECT vec_id, CAST(x AS DOUBLE) AS x, i - 1 AS i0 "
+        "FROM (SELECT vec_id, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings)), "
+        "el AS (SELECT vec_id, x, i0 FROM el0 "
+        "UNION ALL SELECT vec_id + 100000, "
+        "x * (CASE WHEN i0 % 2 = 0 THEN 1.05 ELSE 0.95 END), i0 "
+        f"FROM el0 WHERE vec_id < {LSH_PERT_IDS}), "
+        # hyperplane h(j,i) = +1 iff (i*(2654435761+j) + j*40503) % 2 == 0
+        "dots AS (SELECT vec_id, j, SUM(x * CASE WHEN "
+        "(i0*(2654435761+j) + j*40503) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS d "
+        f"FROM el CROSS JOIN (SELECT unnest(range({planes})) AS j) pl "
+        "GROUP BY vec_id, j), "
+        "sigs AS (SELECT vec_id, SUM(CASE WHEN d > 0 THEN "
+        "(CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig FROM dots GROUP BY vec_id), "
+        f"bands AS (SELECT vec_id, b, (sig >> (b*{bb})) & {mask} AS bs "
+        f"FROM sigs CROSS JOIN (SELECT unnest(range({bands})) AS b) bb), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2 "
+        "FROM bands a JOIN bands c ON a.b = c.b AND a.bs = c.bs "
+        "AND a.vec_id < c.vec_id), "
+        "norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM el GROUP BY vec_id), "
+        "pdots AS (SELECT id1, id2, SUM(a1.x * a2.x) AS dot FROM cand "
+        "JOIN el a1 ON a1.vec_id = id1 "
+        "JOIN el a2 ON a2.vec_id = id2 AND a2.i0 = a1.i0 GROUP BY id1, id2), "
+        "cos AS (SELECT id1, id2, ROUND(dot / (n1.nrm * n2.nrm), 6) AS cosine "
+        "FROM pdots JOIN norms n1 ON n1.vec_id = id1 "
+        "JOIN norms n2 ON n2.vec_id = id2) "
+        "SELECT id1, id2, CAST(cosine AS DOUBLE) AS cosine FROM cos "
+        f"WHERE cosine >= {LSH_ORACLE_T}"
+    )
+
+
+@register("embedding_neardup_lsh", _neardup_lsh_sql())
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Dedup-regime near-dup pairs via the PRODUCTION path: sign-LSH
+    banded candidates + exact cosine verify (the operators/similarity.py
+    near_duplicate_pairs front door at tau >= LSH_SAFE_THRESHOLD).
+    Candidate-bounded equi-join work — the plan that survives 100 TB —
+    now proven exact against a DuckDB twin of the full pipeline."""
+    from bigdata_hits_spark.operators.similarity import near_duplicate_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    pert = emb.filter(F.col("vec_id") < LSH_PERT_IDS).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            * F.when(i % 2 == 0, F.lit(1.05)).otherwise(F.lit(0.95)),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    return near_duplicate_pairs(
+        aug, LSH_ORACLE_T, planes=LSH_ORACLE_PLANES, bands=LSH_ORACLE_BANDS
+    )
