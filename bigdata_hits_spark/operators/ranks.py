@@ -309,6 +309,8 @@ def top_fraction_by(
     frac: float,
     group_col: str,
     order_by: list[Column],
+    skew_safe: bool = False,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Keep the top ``frac`` of rows WITHIN each ``group_col`` value
     (ceil(n_group * frac) rows per group) — the per-domain quality gate:
@@ -316,21 +318,63 @@ def top_fraction_by(
     out every document of a noisier one, while the per-group cut
     preserves source diversity by construction.
 
-    Unlike the global operators this needs none of the bucket-offset
-    machinery: the window is PARTITIONED by the group, which is exactly
-    the shape Spark distributes well (hash exchange on the group key,
-    per-group local sort) — single-task funnels only appear when one
-    group dominates, in which case AQE's skew handling or an upstream
-    cap (cap_per_group) applies.  ``order_by`` should include a tiebreak
-    for a deterministic boundary, as everywhere else.
+    Default plan: a group-partitioned window (hash exchange on the group
+    key, per-group local sort) — the right shape when groups are balanced
+    or numerous.  When ONE group dominates (a 90%-one-source corpus),
+    that window funnels 90% of the rows through a single task; pass
+    ``skew_safe=True`` for the bucketed variant, which range-partitions
+    on (group, *order_by) so a dominant group SPANS buckets, computes
+    per-(group, bucket) prefix offsets (same machinery as
+    :func:`global_rank`, applied per group), and ranks inside
+    (group, bucket) windows whose size is bounded by the bucket — no
+    task ever holds more than ~rows/num_buckets.  The offsets relation
+    broadcast is (n_groups + num_buckets)-row-sized, so the skew-safe
+    path targets the few-but-huge-groups regime; with millions of tiny
+    groups the default window is already skew-free.  ``order_by`` should
+    include a tiebreak for a deterministic boundary, as everywhere else.
     """
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
-    w = Window.partitionBy(group_col).orderBy(*order_by)
-    w_all = Window.partitionBy(group_col)
+    if not skew_safe:
+        w = Window.partitionBy(group_col).orderBy(*order_by)
+        w_all = Window.partitionBy(group_col)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__ng", F.count(F.lit(1)).over(w_all))
+            .filter(F.col("__rn") <= F.ceil(F.col("__ng") * F.lit(float(frac))))
+            .drop("__rn", "__ng")
+        )
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Range-partition on (group, sort key): each group occupies a
+    # CONTIGUOUS pid span and is ordered across it, so local rank +
+    # per-(group, pid) exclusive prefix offset = exact in-group rank.
+    # Pinned for the same reason as global_rank: the offsets branch and
+    # the window branch must see one set of sampled range boundaries.
+    ranged = _ranged_pinned(df, [F.col(group_col).asc(), *order_by], num_buckets)
+    counts = ranged.groupBy(F.col(group_col).alias("__g"), "__pid").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = Window.partitionBy("__g").orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_grp = Window.partitionBy("__g")
+    offsets = counts.select(
+        "__g",
+        F.col("__pid").alias("__opid"),
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__n").over(w_grp).alias("__ng"),
+    )
+    # eqNullSafe: a NULL group is a group like any other (the default
+    # window path keeps it; a plain equi-join would drop it here).
+    joined = ranged.join(
+        F.broadcast(offsets),
+        F.col(group_col).eqNullSafe(F.col("__g")) & (F.col("__pid") == F.col("__opid")),
+    )
+    w_local = Window.partitionBy("__g", "__opid").orderBy(*order_by)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__ng", F.count(F.lit(1)).over(w_all))
+        joined.withColumn("__rn", F.col("__off") + F.row_number().over(w_local))
         .filter(F.col("__rn") <= F.ceil(F.col("__ng") * F.lit(float(frac))))
-        .drop("__rn", "__ng")
+        .drop("__pid", "__g", "__opid", "__off", "__ng", "__rn")
     )

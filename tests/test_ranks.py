@@ -213,3 +213,36 @@ def test_top_fraction_by_group(spark):
         take = math.ceil(len(vals) * 0.3)
         want = {i for _, i in sorted(vals, key=lambda t: (-t[0], t[1]))[:take]}
         assert got[g] == want, g
+
+
+def test_top_fraction_by_skew_safe_matches_window_path(spark):
+    """90%-one-group fixture: the skew-safe bucketed variant must return
+    EXACTLY the default window path's rows (incl. a NULL group), while
+    its plan range-partitions on (group, order) so the dominant group
+    spans buckets instead of funneling through one window task."""
+    from bigdata_hits_spark.operators.ranks import top_fraction_by
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("big"))
+        .when(F.col("id") % 100 == 99, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+        .alias("src"),
+        (F.xxhash64("id") % 1_000_000).cast("double").alias("score"),
+        F.col("id"),
+    )
+    order = [F.desc("score"), F.asc("id")]
+    base = top_fraction_by(df, 0.3, "src", order)
+    safe = top_fraction_by(df, 0.3, "src", order, skew_safe=True, num_buckets=16)
+    key = lambda r: (r["src"] or "", r["id"])
+    assert sorted(safe.collect(), key=key) == sorted(base.collect(), key=key)
+
+    # plan shape on a FRESH instance (before the checkpoint pin has
+    # materialized): every data-path row_number window partitions on
+    # (group, bucket id) — never on the group alone, which is the
+    # single-task funnel this variant exists to avoid
+    fresh = top_fraction_by(df, 0.3, "src", order, skew_safe=True, num_buckets=16)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    rn_windows = [seg for seg in plan.split("Window ")[1:] if "row_number" in seg]
+    assert rn_windows, plan[:2000]
+    assert all("__opid" in seg.splitlines()[0] for seg in rn_windows), plan[:2000]
