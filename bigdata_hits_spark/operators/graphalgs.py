@@ -142,12 +142,22 @@ def triangle_counts(
     )
 
 
+#: Rounds at which rank-encoding the loop pays for itself (interleaved
+#: A/B, scripts/ab_labelprop.py at sf0.1): quiet session k=3 string
+#: 4.53s vs encoded 5.10s (encode cost > 3 rounds of long-key savings),
+#: k=8 string 11.4s vs encoded 8.76s (-23%); under multi-query memory
+#: pressure the encoded plan ties-or-wins even at k=3 (4.79 vs 4.97 min,
+#: 5.87 vs 7.49 worst).  Crossover ~k=4-5.
+_LP_ENCODE_MIN_K = 4
+
+
 def label_propagation(
     edges: DataFrame,
     k: int = 5,
     src: str = "src",
     dst: str = "dst",
     sym: DataFrame | None = None,
+    encode: bool | str = "auto",
 ) -> DataFrame:
     """(id, community) after ``k`` synchronous label-propagation rounds
     over the undirected graph; labels start as the node ids.
@@ -162,19 +172,45 @@ def label_propagation(
     per-round driver scalar exists to force an action), with lineage
     truncated every ``_LP_CHECKPOINT_EVERY`` rounds to bound plan depth
     for large ``k``.
-    """
+
+    ``encode``: run the loop on ORDER-PRESERVING long ids.  The per-round
+    edge-sized shuffles carry (id, community) — 8-byte longs beat
+    variable-length strings there, the same effect that took triangles
+    10.9s -> 3.6s.  xxhash64 is NOT semantics-safe for LP (hashing
+    permutes label order, so frequency ties resolve differently); instead
+    the node ids are ranked once (``global_rank`` over the node dim —
+    node-sized) and the loop runs on the bijection, whose min-of-mode
+    picks exactly the rank of the string-min label; results are
+    identical by construction (equality asserted in tests).  ``"auto"``
+    (default) encodes when ``k >= _LP_ENCODE_MIN_K`` — below that the
+    one-time encode joins outweigh the per-round savings (measurements
+    above)."""
     # Pre-partition the (large) symmetric edge set on the join key ONCE;
     # localCheckpoint pins the partitioning, so each round's equi-join
     # exchanges only the (node-sized) label vector — the same
     # edges-never-move discipline as the ranking loop.
     if sym is None:
         sym = materialize(symmetric_edges(edges, src, dst).repartition("b"))
-    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+    use_encode = encode is True or (encode == "auto" and k >= _LP_ENCODE_MIN_K)
+    if use_encode:
+        from bigdata_hits_spark.operators.ranks import global_rank
+
+        nodes = sym.select(F.col("a").alias("id")).distinct()
+        nmap = materialize(global_rank(nodes, [F.asc("id")], rank_col="nid"))
+        work = materialize(
+            sym.join(nmap.select(F.col("id").alias("a"), F.col("nid").alias("na")), "a")
+            .join(nmap.select(F.col("id").alias("b"), F.col("nid").alias("nb")), "b")
+            .select(F.col("na").alias("a"), F.col("nb").alias("b"))
+            .repartition("b")
+        )
+    else:
+        work = sym
+    labels = work.select(F.col("a").alias("id")).distinct().withColumn(
         "community", F.col("id")
     )
     for i in range(k):
         nbr = (
-            sym.join(labels, sym["b"] == labels["id"])
+            work.join(labels, work["b"] == labels["id"])
             .select(F.col("a").alias("id"), "community")
             .groupBy("id", "community")
             .agg(F.count(F.lit(1)).alias("freq"))
@@ -202,6 +238,16 @@ def label_propagation(
         # downstream of it is a flat LogicalRDD either way.
         if (i + 1) % _LP_CHECKPOINT_EVERY == 0 and (i + 1) < k:
             labels = labels.localCheckpoint(eager=False)
+    if use_encode:
+        dec_id = nmap.select(F.col("nid").alias("id"), F.col("id").alias("__sid"))
+        dec_comm = nmap.select(
+            F.col("nid").alias("community"), F.col("id").alias("__scomm")
+        )
+        labels = (
+            labels.join(dec_id, "id")
+            .join(dec_comm, "community")
+            .select(F.col("__sid").alias("id"), F.col("__scomm").alias("community"))
+        )
     return labels
 
 
