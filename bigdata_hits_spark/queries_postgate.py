@@ -1148,3 +1148,104 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     return near_duplicate_pairs(
         aug, LSH_ORACLE_T, planes=LSH_ORACLE_PLANES, bands=LSH_ORACLE_BANDS
     )
+
+
+# --- round 5: skew_report under an oracle ---------------------------------
+
+SKEW_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority")
+SKEW_K = 20
+
+
+def _skew_report_sql() -> str:
+    branches = []
+    for c in SKEW_COLS:
+        branches.append(
+            f"(SELECT '{c}' AS \"column\", "
+            f"COALESCE(CAST({c} AS VARCHAR), 'NULL') AS key, COUNT(*) AS cnt "
+            f"FROM orders GROUP BY 2 "
+            f"ORDER BY cnt DESC, key LIMIT {SKEW_K})"
+        )
+    return (
+        "WITH tot AS (SELECT COUNT(*) AS n FROM orders), "
+        "u AS (" + " UNION ALL ".join(branches) + "), "
+        "r AS (SELECT \"column\", key, cnt, ROW_NUMBER() OVER ("
+        "PARTITION BY \"column\" ORDER BY cnt DESC, key) AS rank FROM u) "
+        "SELECT \"column\", key, cnt, "
+        "ROUND(CAST(cnt AS DOUBLE) / (SELECT n FROM tot), 6) AS share, rank FROM r"
+    )
+
+
+@register("skew_report", _skew_report_sql())
+def q_skew_report(spark, sf_dir):
+    """Top-20 heaviest values per candidate join/group key on orders
+    (operators/profiling.py skew_report) — deterministic given the
+    (cnt desc, key) tiebreak, so the TakeOrderedAndProject top-k path is
+    fully oracle-checkable (its plan shape stays pinned in
+    tests/test_profiling.py).  o_custkey is near-uniform (rank exercised
+    deep into ties), o_orderstatus/o_orderpriority are genuinely skewed
+    few-value keys — the report's actual use case."""
+    from bigdata_hits_spark.operators.profiling import skew_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    return skew_report(orders, list(SKEW_COLS), k=SKEW_K)
+
+
+# --- round 5: canonical_url under an oracle -------------------------------
+#
+# The Spark side runs the REAL canonicalizer (functions/text.py
+# canonical_url — regex decomposition, host/scheme folding, tracking-param
+# strip, param sort, slash trim) on messy URLs synthesized per doc_id arm;
+# the oracle derives each arm's expected canonical form ANALYTICALLY —
+# an independent derivation, so a regression in any canonicalization rule
+# breaks the hash instead of being faithfully reproduced.
+
+
+def _canon_url_sql() -> str:
+    i = "CAST(doc_id AS VARCHAR)"
+    arms_raw = [
+        f"'https://WWW.Example.com:443/docs/' || {i} || '?utm_source=x&b=2&a=1#frag'",
+        f"'http://Example.com:80/' || source || '/' || {i} || '/'",
+        f"'example.com/a/' || {i} || '?z=9&gclid=abc'",
+        "'https://example.com/p?fbclid=1&sessionid=2'",
+        f"'HTTP://www.Site.org/Case/' || {i}",
+        "'https://site.org/x/?b=2&a=10'",
+    ]
+    arms_canon = [
+        f"'https://example.com/docs/' || {i} || '?a=1&b=2'",
+        f"'http://example.com/' || source || '/' || {i}",
+        f"'example.com/a/' || {i} || '?z=9'",
+        "'https://example.com/p'",
+        f"'http://site.org/Case/' || {i}",
+        "'https://site.org/x?a=10&b=2'",
+    ]
+    case = lambda arms: (
+        "CASE " + " ".join(
+            f"WHEN doc_id % 6 = {n} THEN {a}" for n, a in enumerate(arms)
+        ) + " END"
+    )
+    return (
+        f"SELECT doc_id, {case(arms_raw)} AS url, {case(arms_canon)} AS canon "
+        "FROM documents"
+    )
+
+
+@register("canonical_url_docs", _canon_url_sql())
+def q_canonical_url_docs(spark, sf_dir):
+    from bigdata_hits_spark.functions.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    arms = [
+        F.concat(F.lit("https://WWW.Example.com:443/docs/"), i, F.lit("?utm_source=x&b=2&a=1#frag")),
+        F.concat(F.lit("http://Example.com:80/"), F.col("source"), F.lit("/"), i, F.lit("/")),
+        F.concat(F.lit("example.com/a/"), i, F.lit("?z=9&gclid=abc")),
+        F.lit("https://example.com/p?fbclid=1&sessionid=2"),
+        F.concat(F.lit("HTTP://www.Site.org/Case/"), i),
+        F.lit("https://site.org/x/?b=2&a=10"),
+    ]
+    url = F.when(F.col("doc_id") % 6 == 0, arms[0])
+    for n in range(1, 6):
+        url = url.when(F.col("doc_id") % 6 == n, arms[n])
+    return docs.select(
+        "doc_id", url.alias("url"), canonical_url(url).alias("canon")
+    )
