@@ -849,6 +849,8 @@ _STATS_SQL = (
     "SELECT l_returnflag, COUNT(*) AS n, "
     "ROUND(CAST(stddev_samp(l_quantity) AS DOUBLE), 4) AS sd_qty, "
     "ROUND(CAST(stddev_samp(l_extendedprice) AS DOUBLE), 4) AS sd_price, "
+    "ROUND(CAST(var_samp(l_quantity) AS DOUBLE), 4) AS var_qty, "
+    "ROUND(CAST(var_samp(l_extendedprice) AS DOUBLE), 0) AS var_price, "
     "ROUND(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 6) AS corr_qty_price "
     "FROM lineitem GROUP BY l_returnflag"
 )
@@ -857,19 +859,26 @@ _STATS_SQL = (
 @register("lineitem_metric_stats", _STATS_SQL)
 def q_lineitem_metric_stats(spark, sf_dir):
     """Second-moment statistical aggregates per return flag — sample
-    stddev and Pearson correlation, the distribution-shape profile a
-    feature-engineering pass reads before normalizing columns.  Both
-    engines accumulate numerically stable merged moments (Welford-style
-    M2), so the values agree at these roundings (verified; variance
-    itself is deliberately NOT declared — its ~1e9 magnitude puts
-    cross-engine float-association error too close to a 4-decimal
-    rounding boundary, while sqrt compresses stddev error far below
-    it).  One hash-agg pass, map-side partial moments."""
+    stddev, variance, and Pearson correlation, the distribution-shape
+    profile a feature-engineering pass reads before normalizing columns.
+    Both engines accumulate numerically stable merged moments
+    (Welford-style M2), so the values agree at these roundings.
+
+    Variance rounding is MAGNITUDE-MATCHED (the r4-waived column, now
+    wired): var_qty (~208) rounds at 4 decimals with ~1e9x margin, but
+    var_price (~9e8) cannot — Spark's partial-merge order drifts the
+    value ~5e-7 run to run and cross-engine association error reaches
+    ~1e-2, so it rounds at 0 decimals where the measured boundary margin
+    (0.046) is ~40x the worst drift.  sqrt compresses the same error
+    below 1e-4, which is why the stddevs keep their finer rounding.
+    One hash-agg pass, map-side partial moments."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.var_samp("l_extendedprice"), 0).alias("var_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
     )
 
