@@ -688,3 +688,80 @@ def quantize_embeddings(
 def dequantize_embedding(q: Column, scale: Column) -> Column:
     """array<double> back from an int8-quantized vector."""
     return F.transform(q, lambda v: v.cast("double") * scale)
+
+
+def sparse_cosine_topk(
+    postings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    term_col: str = "term",
+    w_col: str = "tfidf",
+    max_df: int | None = None,
+    round_digits: int = 9,
+) -> DataFrame:
+    """(qid, cid, cosine): top-k cosine neighbors over SPARSE vectors
+    given as (id, term, weight) postings (e.g. ``textstats.tfidf``
+    output) — the inverted-index twin of :func:`cosine_topk` and the
+    lexical complement of the dense-embedding ANN family (BM25/tf-idf
+    retrieval, near-dup triage on keyword profiles).
+
+    Dot products accumulate ONLY over shared terms via a term-keyed
+    equi-join of the query postings against the corpus postings, so the
+    work is sum_t df_q(t)·df_c(t) — never |Q|·|C|·d, and documents with
+    no term in common are never paired (a cosine-0 candidate is never a
+    top-k answer unless fewer than k docs share any term, in which case
+    emitting it would be retrieval noise anyway).
+
+    ``queries`` optionally restricts the query side to an id set (one
+    ``id_col`` column); default ranks every document against the corpus.
+    ``max_df`` drops terms with document frequency above the cap FIRST —
+    stop-term pruning, the standard sparse-retrieval move: a term in
+    half the corpus contributes ~nothing to ranking but df² join rows
+    (the same df-cap discipline as ``dedup.ngram_jaccard_pairs``).  The
+    cap is part of the operator's semantics (cosine over the pruned
+    vocabulary), deterministic, and reproduced by the declared oracle.
+
+    Zero weights are dropped up front (no effect on dot or norm — but
+    tf-idf assigns exactly 0.0 to corpus-universal terms, and carrying
+    them would re-create the hot-term fan-out the cap exists to kill).
+    All joins are term/id equi-joins; the per-query top-k window
+    partitions on qid with candidate counts bounded by the capped
+    posting overlap.
+    """
+    p = postings.select(
+        F.col(id_col).alias("cid"),
+        F.col(term_col).alias("term"),
+        F.col(w_col).cast("double").alias("w"),
+    ).filter(F.col("w") != 0)
+    if max_df is not None:
+        dfc = p.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        p = p.join(
+            dfc.filter(F.col("__df") <= max_df).select("term"), "term", "left_semi"
+        )
+    norms = p.groupBy("cid").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    q = p.select(F.col("cid").alias("qid"), "term", F.col("w").alias("qw"))
+    if queries is not None:
+        q = q.join(
+            queries.select(F.col(id_col).alias("qid")).distinct(), "qid", "left_semi"
+        )
+    dots = (
+        q.join(p, "term")
+        .filter(F.col("qid") != F.col("cid"))
+        .groupBy("qid", "cid")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("dot"))
+    )
+    qn = norms.select(F.col("cid").alias("qid"), F.col("nrm").alias("qnrm"))
+    scored = (
+        dots.join(qn, "qid")
+        .join(norms, "cid")
+        .select(
+            "qid",
+            "cid",
+            F.round(F.col("dot") / (F.col("qnrm") * F.col("nrm")), round_digits).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

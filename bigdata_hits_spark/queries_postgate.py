@@ -1199,6 +1199,31 @@ def q_skew_report(spark, sf_dir):
     return skew_report(orders, list(SKEW_COLS), k=SKEW_K)
 
 
+# --- round 5: salted_join under an oracle ---------------------------------
+
+_SALTED_JOIN_SQL = (
+    "SELECT l_orderkey, l_linenumber, l_suppkey, s_name "
+    "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+)
+
+
+@register("salted_join_lineitem_supplier", _SALTED_JOIN_SQL)
+def q_salted_join(spark, sf_dir):
+    """The skew-mitigation twin of skew_report: salt the probe side,
+    replicate the dim side across salts, join on (key, salt)
+    (operators/relops.py salted_join).  The oracle is the PLAIN join —
+    salting is a physical strategy that must never change the answer,
+    and the nondeterministic per-row salt draw must wash out entirely
+    (the right row exists under every salt value)."""
+    from bigdata_hits_spark.operators.relops import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return salted_join(li, supp, "l_suppkey", "s_suppkey", salts=8).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "s_name"
+    )
+
+
 # --- round 5: canonical_url under an oracle -------------------------------
 #
 # The Spark side runs the REAL canonicalizer (functions/text.py
@@ -1235,6 +1260,62 @@ def _canon_url_sql() -> str:
     return (
         f"SELECT doc_id, {case(arms_raw)} AS url, {case(arms_canon)} AS canon "
         "FROM documents"
+    )
+
+
+# --- round 5: sparse (tf-idf) cosine retrieval ----------------------------
+
+SPARSE_TOPK = 5
+SPARSE_N_QUERIES = 25
+SPARSE_MAX_DF = 50
+
+
+def _sparse_cosine_sql() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, SUM(c) AS n_tokens FROM tc GROUP BY doc_id), "
+        "dfc0 AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term), "
+        "nd AS (SELECT COUNT(*) AS n_docs FROM documents), "
+        "pf AS (SELECT tc.doc_id, tc.term, "
+        "ROUND(tc.c / dl.n_tokens * LN(nd.n_docs / dfc0.df), 7) AS w "
+        "FROM tc JOIN dl ON tc.doc_id = dl.doc_id "
+        "JOIN dfc0 ON tc.term = dfc0.term CROSS JOIN nd), "
+        "p AS (SELECT * FROM pf WHERE w <> 0), "
+        "dfc AS (SELECT term, COUNT(*) AS dfp FROM p GROUP BY term), "
+        "cap AS (SELECT p.doc_id, p.term, p.w FROM p "
+        f"JOIN dfc ON p.term = dfc.term AND dfc.dfp <= {SPARSE_MAX_DF}), "
+        "norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM cap GROUP BY doc_id), "
+        "dots AS (SELECT q.doc_id AS qid, c.doc_id AS cid, SUM(q.w * c.w) AS dot "
+        "FROM cap q JOIN cap c ON q.term = c.term AND q.doc_id <> c.doc_id "
+        f"WHERE q.doc_id < {SPARSE_N_QUERIES} GROUP BY qid, cid), "
+        "cos AS (SELECT qid, cid, ROUND(dot / (nq.nrm * nc.nrm), 9) AS cosine "
+        "FROM dots JOIN norms nq ON nq.doc_id = qid "
+        "JOIN norms nc ON nc.doc_id = cid), "
+        "r AS (SELECT qid, cid, cosine, ROW_NUMBER() OVER ("
+        "PARTITION BY qid ORDER BY cosine DESC, cid) AS rn FROM cos) "
+        "SELECT qid, cid, CAST(cosine AS DOUBLE) AS cosine FROM r "
+        f"WHERE rn <= {SPARSE_TOPK}"
+    )
+
+
+@register("sparse_cosine_topk_docs", _sparse_cosine_sql())
+def q_sparse_cosine_topk_docs(spark, sf_dir):
+    """Lexical retrieval: top-5 tf-idf-cosine neighbors for the first 25
+    documents via the inverted-index posting join
+    (operators/similarity.py sparse_cosine_topk) with the df<=50
+    stop-term cap — the sparse complement to the dense ANN family.  The
+    oracle reproduces postings (the proven text_tfidf twin), zero-weight
+    drop, df cap, shared-term dots, and the ranked cut."""
+    from bigdata_hits_spark.operators.similarity import sparse_cosine_topk
+    from bigdata_hits_spark.operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = textstats.tfidf(docs)
+    queries_df = docs.filter(F.col("doc_id") < SPARSE_N_QUERIES).select("doc_id")
+    return sparse_cosine_topk(
+        postings, queries_df, k=SPARSE_TOPK, w_col="tfidf", max_df=SPARSE_MAX_DF
     )
 
 

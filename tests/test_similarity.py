@@ -284,3 +284,73 @@ def test_lsh_multiprobe_improves_recall(spark, emb):
     # mass, no cluster structure), so the absolute floor is modest; the
     # superset-dominance assertion above is the semantic content.
     assert r_probed >= 0.35, f"multiprobe recall too low: {r_probed}"
+
+
+def test_sparse_cosine_topk_matches_bruteforce(spark):
+    """Posting-join sparse cosine vs a driver-side brute force on a tiny
+    corpus: exact equality of the (qid, cid) ranking and rounded scores
+    for pairs sharing at least one term."""
+    import math
+
+    docs = {
+        1: {"a": 2.0, "b": 1.0},
+        2: {"a": 2.0, "b": 1.0},          # identical profile -> cosine 1
+        3: {"b": 3.0, "c": 4.0},
+        4: {"c": 1.0},
+        5: {"d": 9.0},                     # shares nothing -> never paired
+    }
+    rows = [(i, t, w) for i, tw in docs.items() for t, w in tw.items()]
+    postings = spark.createDataFrame(rows, "doc_id long, term string, w double")
+    got = {
+        (r["qid"], r["cid"]): r["cosine"]
+        for r in SIM.sparse_cosine_topk(postings, k=3, w_col="w").collect()
+    }
+
+    def cos(x, y):
+        shared = set(x) & set(y)
+        if not shared:
+            return None
+        dot = sum(x[t] * y[t] for t in shared)
+        nx = math.sqrt(sum(v * v for v in x.values()))
+        ny = math.sqrt(sum(v * v for v in y.values()))
+        return round(dot / (nx * ny), 9)
+
+    want = {}
+    for q, qa in docs.items():
+        cands = []
+        for c, ca in docs.items():
+            if c == q:
+                continue
+            s = cos(qa, ca)
+            if s is not None:
+                cands.append((-s, c))
+        for rank, (negs, c) in enumerate(sorted(cands)[:3]):
+            want[(q, c)] = -negs
+    assert got == want
+    assert got[(1, 2)] == 1.0
+    assert not any(q == 5 or c == 5 for q, c in got)
+
+
+def test_sparse_cosine_topk_df_cap_and_zero_weights(spark):
+    """max_df prunes hot terms BEFORE pairing (cosine over the pruned
+    vocabulary); zero weights are dropped and never create candidates."""
+    rows = (
+        # 'stop' appears in 4 docs; 'rare' links only 1 and 2
+        [(i, "stop", 1.0) for i in (1, 2, 3, 4)]
+        + [(1, "rare", 2.0), (2, "rare", 2.0)]
+        + [(3, "zero", 0.0), (4, "zero", 0.0)]
+    )
+    postings = spark.createDataFrame(rows, "doc_id long, term string, w double")
+    capped = SIM.sparse_cosine_topk(postings, k=5, w_col="w", max_df=3).collect()
+    pairs = {(r["qid"], r["cid"]) for r in capped}
+    # with 'stop' capped away and 'zero' weightless, only 1<->2 remain
+    assert pairs == {(1, 2), (2, 1)}
+    assert all(r["cosine"] == 1.0 for r in capped)
+
+
+def test_sparse_cosine_topk_queries_filter(spark):
+    rows = [(i, "t", float(i)) for i in (1, 2, 3)]
+    postings = spark.createDataFrame(rows, "doc_id long, term string, w double")
+    qs = spark.createDataFrame([(1,)], "doc_id long")
+    got = SIM.sparse_cosine_topk(postings, qs, k=5, w_col="w").collect()
+    assert {r["qid"] for r in got} == {1} and len(got) == 2
