@@ -74,6 +74,9 @@ Beyond-reference pipeline jobs (no reference twin):
 - ``decontaminate docs.parquet benchmark.parquet [n] [max_frac]`` —
   splits the corpus into decontaminated/ and contaminated/ by benchmark
   n-gram overlap.
+- ``retrieve docs.parquet [k] [max_df] [qid1,qid2,...]`` — top-k
+  tf-idf-cosine neighbors per document via the inverted-index posting
+  join, written as parquet.
 """
 
 from __future__ import annotations
@@ -408,6 +411,28 @@ def main(argv: list[str] | None = None) -> None:
         )
         survivors.write.mode("overwrite").parquet(os.path.join(out_dir, "semantic_dedup"))
         print(f"semantic_dedup: survivors={survivors.count()}")
+    elif job == "retrieve":
+        # retrieve <docs.parquet> [k] [max_df] [qid1,qid2,...] — top-k
+        # tf-idf-cosine neighbors per document via the inverted-index
+        # posting join (lexical retrieval / near-dup triage)
+        from bigdata_hits_spark.operators.similarity import sparse_cosine_topk
+        from bigdata_hits_spark.operators.textstats import tfidf
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("retrieve needs a docs parquet path")
+        k = args.take(int, 10)
+        max_df = args.take(int, 1000)
+        qids_arg = args.take()
+        docs = spark.read.parquet(docs_path)
+        queries_df = None
+        if qids_arg:
+            queries_df = spark.createDataFrame(
+                [(int(q),) for q in qids_arg.split(",")], "doc_id long"
+            )
+        sparse_cosine_topk(
+            tfidf(docs), queries_df, k=k, max_df=max_df
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "retrieve"))
     elif job == "split_corpus":
         # split_corpus <docs.parquet> <key_col> [name=frac,name=frac,...]
         from bigdata_hits_spark.operators.sampling import deterministic_split

@@ -288,3 +288,27 @@ def test_cli_skew(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "skew")).collect()
     )
     assert rep == [(1, "h", 8), (2, "a", 1)]
+
+
+def test_cli_retrieve(spark, tmp_path):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "delta epsilon zeta"),
+            (4, "unrelated words here"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out_retrieve")
+    cli.main(["retrieve", src, "2", "100", "1,3", "--out", out])
+    got = spark.read.parquet(os.path.join(out, "retrieve")).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r["cid"])
+    # doc 1's only shared-term neighbor is its twin doc 2; doc 3 shares
+    # nothing with anyone, so it has no candidates at all
+    assert by_q.get(1) == [2]
+    assert 3 not in by_q
+    assert set(by_q) <= {1}
