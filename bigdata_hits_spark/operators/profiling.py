@@ -57,6 +57,62 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
 
 
+def histogram(df: DataFrame, col: str, bins: int = 20, digits: int = 6) -> DataFrame:
+    """(bucket, lo, hi, cnt): equi-width histogram of a numeric column —
+    the distribution-shape profile behind skew triage, outlier gates,
+    and range-join bin sizing.  Every bucket appears, empty ones with
+    cnt 0; NULLs are excluded (they are `profile_table`'s n_nulls, not a
+    distribution point); values at the maximum clamp into the top bucket
+    (standard closed-top-bucket convention).
+
+    Fully in-plan: one (min, max) aggregate row broadcast-attached (the
+    engine's one-row scalar pattern, no driver round-trip), one hash-agg
+    on the bucket id, and a bounded ``sequence`` explode of the bucket
+    ids off the bounds row so empty buckets materialize without a
+    data-sized join.  A constant column (max <= min) degenerates to one
+    bucket of width 1."""
+    if bins <= 0:
+        raise ValueError(f"histogram needs bins >= 1, got {bins}")
+    x = F.col(col).cast("double")
+    bounds = df.agg(
+        F.min(x).alias("__mn"), F.max(x).alias("__mx")
+    ).select(
+        "__mn",
+        F.when(F.col("__mx") > F.col("__mn"), (F.col("__mx") - F.col("__mn")) / bins)
+        .otherwise(F.lit(1.0))
+        .alias("__w"),
+    )
+    counts = (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.least(
+                F.floor((x - F.col("__mn")) / F.col("__w")).cast("long"),
+                F.lit(bins - 1),
+            ).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(bins - 1).cast("long"))).alias(
+            "bucket"
+        ),
+        "__mn",
+        "__w",
+    )
+    return (
+        grid.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(F.col("__mn") + F.col("bucket") * F.col("__w"), digits).alias("lo"),
+            F.round(F.col("__mn") + (F.col("bucket") + 1) * F.col("__w"), digits).alias(
+                "hi"
+            ),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+
+
 def skew_report(df: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
     """(column, key, cnt, share, rank): the ``k`` heaviest values of each
     candidate join/group key with their row shares — the diagnosis you

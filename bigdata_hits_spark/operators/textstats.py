@@ -127,6 +127,58 @@ def tfidf(
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    digits: int = 7,
+) -> DataFrame:
+    """Per-(document, term) Okapi BM25 weight — the standard lexical
+    retrieval scorer (tf saturation + document-length normalization,
+    the two effects raw tf-idf lacks):
+
+    ``idf = ln((N - df + 0.5) / (df + 0.5) + 1)`` (the Lucene +1 form —
+    always positive, so corpus-universal terms are damped, not zeroed),
+    ``w = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.
+
+    Same plan shape as :func:`tfidf` plus one extra one-row grand
+    aggregate (the corpus-average document length, broadcast-attached):
+    two (doc, term) hash-aggs, a vocabulary-sized df side, full
+    documents never shuffle.  Feed the output to
+    ``similarity.sparse_cosine_topk`` for BM25-weighted retrieval."""
+    terms = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    tf_counts = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
+    doc_len = tf_counts.groupBy(id_col).agg(F.sum("c").alias("n_tokens"))
+    df_counts = tf_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = doc_len.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("n_tokens").alias("avgdl")
+    )
+    tf = F.col("c").cast("double")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("n_tokens") / F.col("avgdl")
+    )
+    return (
+        tf_counts.join(doc_len, id_col)
+        .join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            "term",
+            F.round(idf * tf * F.lit(k1 + 1.0) / norm, digits).alias("bm25"),
+        )
+    )
+
+
 def _ngram_terms(text_col: str, n: int):
     """Array of space-joined adjacent n-grams of the whitespace tokens.
     Guarded so docs shorter than n yield an empty array (``sequence``

@@ -1263,6 +1263,109 @@ def _canon_url_sql() -> str:
     )
 
 
+# --- round 5: equi-width histogram --------------------------------------
+
+HIST_BINS = 20
+
+
+def _histogram_sql() -> str:
+    return (
+        "WITH b AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn, "
+        "MAX(CAST(o_totalprice AS DOUBLE)) AS mx FROM orders), "
+        "w AS (SELECT mn, CASE WHEN mx > mn THEN (mx - mn) / "
+        f"{HIST_BINS} ELSE CAST(1.0 AS DOUBLE) END AS w FROM b), "
+        "c AS (SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - mn) / w) "
+        f"AS BIGINT), {HIST_BINS - 1}) AS bucket, COUNT(*) AS cnt "
+        "FROM orders, w WHERE o_totalprice IS NOT NULL GROUP BY 1), "
+        f"g AS (SELECT unnest(range({HIST_BINS})) AS bucket, mn, w FROM w) "
+        "SELECT g.bucket, ROUND(mn + g.bucket * w, 6) AS lo, "
+        "ROUND(mn + (g.bucket + 1) * w, 6) AS hi, COALESCE(cnt, 0) AS cnt "
+        "FROM g LEFT JOIN c ON g.bucket = c.bucket"
+    )
+
+
+@register("orders_price_histogram", _histogram_sql())
+def q_orders_price_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of order prices
+    (operators/profiling.py histogram): in-plan bounds attach, one
+    bucket hash-agg, empty buckets materialized off the bounds row —
+    the distribution profile behind skew triage and range-join bin
+    sizing."""
+    from bigdata_hits_spark.operators.profiling import histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", bins=HIST_BINS)
+
+
+# --- round 5: gap-filled hourly rollup ------------------------------------
+
+
+def _gapfill_sql() -> str:
+    from bigdata_hits_spark.operators.events import HOUR_NS
+
+    return (
+        f"WITH h AS (SELECT epoch_ns(ts) // {HOUR_NS} AS bucket_hour, event_type, "
+        "COUNT(*) AS n, ROUND(CAST(SUM(value) AS DOUBLE), 6) AS total_value "
+        "FROM events GROUP BY 1, 2), "
+        "s AS (SELECT event_type, MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi "
+        "FROM h GROUP BY event_type), "
+        "g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket_hour FROM s) "
+        "SELECT g.bucket_hour, g.event_type, COALESCE(h.n, 0) AS n, "
+        "COALESCE(h.total_value, CAST(0.0 AS DOUBLE)) AS total_value "
+        "FROM g LEFT JOIN h ON h.event_type = g.event_type "
+        "AND h.bucket_hour = g.bucket_hour"
+    )
+
+
+@register("events_hourly_gapfill", _gapfill_sql())
+def q_events_hourly_gapfill(spark, sf_dir):
+    """Tumbling hourly rollup with quiet hours materialized as zero rows
+    per event type (operators/events.py hourly_counts_gapfilled) — the
+    dense grid time-series consumers need; fan-out is span-hours per
+    type via a bounded sequence explode, never event-sized."""
+    from bigdata_hits_spark.operators.events import hourly_counts_gapfilled
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return hourly_counts_gapfilled(_events_us(spark, sf_dir))
+
+
+# --- round 5: BM25 weights ------------------------------------------------
+
+
+def _bm25_sql() -> str:
+    from bigdata_hits_spark.operators.textstats import BM25_B, BM25_K1
+
+    one_minus_b = 1.0 - BM25_B
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "tc AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, SUM(c) AS n_tokens FROM tc GROUP BY doc_id), "
+        "dfc AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY term), "
+        "t AS (SELECT COUNT(*) AS n_docs, AVG(n_tokens) AS avgdl FROM dl) "
+        "SELECT tc.doc_id, tc.term, "
+        "ROUND(LN((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) "
+        "+ CAST(1.0 AS DOUBLE)) "
+        f"* CAST(tc.c AS DOUBLE) * {BM25_K1 + 1.0} / "
+        f"(CAST(tc.c AS DOUBLE) + {BM25_K1} * (CAST({one_minus_b} AS DOUBLE) "
+        f"+ CAST({BM25_B} AS DOUBLE) * dl.n_tokens / avgdl)), 7) AS bm25 "
+        "FROM tc JOIN dl ON tc.doc_id = dl.doc_id "
+        "JOIN dfc ON tc.term = dfc.term CROSS JOIN t"
+    )
+
+
+@register("text_bm25", _bm25_sql())
+def q_text_bm25(spark, sf_dir):
+    """Per-(doc, term) Okapi BM25 weights (operators/textstats.py
+    bm25_weights — Lucene +1 idf, tf saturation, length normalization);
+    tf-idf's retrieval-grade successor, feedable straight into
+    sparse_cosine_topk."""
+    from bigdata_hits_spark.operators.textstats import bm25_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_weights(docs)
+
+
 # --- round 5: sparse (tf-idf) cosine retrieval ----------------------------
 
 SPARSE_TOPK = 5

@@ -62,3 +62,28 @@ def test_skew_report_plan_no_global_sort(spark):
     plan = skew_report(df, ["k"], k=5)._jdf.queryExecution().executedPlan().toString()
     # top-k must be TakeOrderedAndProject, not a range-partitioned sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_histogram_buckets_and_empty_bins(spark):
+    from bigdata_hits_spark.operators.profiling import histogram
+
+    # values 0..9 plus an outlier at 100: with 10 bins over [0, 100],
+    # bin 0 holds 0..9, bin 9 holds the max (clamped), bins 1..8 empty
+    df = spark.createDataFrame([(float(v),) for v in range(10)] + [(100.0,), (None,)], "x double")
+    got = {r["bucket"]: (r["lo"], r["hi"], r["cnt"]) for r in histogram(df, "x", bins=10).collect()}
+    assert len(got) == 10
+    assert got[0] == (0.0, 10.0, 10)
+    assert got[9] == (90.0, 100.0, 1)
+    for b in range(1, 9):
+        assert got[b][2] == 0, b
+    # NULL excluded from every bucket
+    assert sum(v[2] for v in got.values()) == 11
+
+
+def test_histogram_constant_column(spark):
+    from bigdata_hits_spark.operators.profiling import histogram
+
+    df = spark.createDataFrame([(5.0,)] * 4, "x double")
+    got = histogram(df, "x", bins=3).collect()
+    by_b = {r["bucket"]: r["cnt"] for r in got}
+    assert by_b == {0: 4, 1: 0, 2: 0}

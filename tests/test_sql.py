@@ -72,3 +72,22 @@ def test_sql_over_reference_graph_csv(spark):
     # 20 distinct labels per the committed golden output
     # (/root/reference/outputs/node_topics.txt/part-00000).
     assert got.n_labels == 20
+
+
+def test_hourly_gapfill_dense_grid(spark):
+    from bigdata_hits_spark.operators.events import HOUR_NS, hourly_counts_gapfilled
+
+    rows = [
+        # type 'a': events in hours 10 and 13 -> 11 and 12 must appear as 0
+        (1, "a", 10 * HOUR_NS + 5, 1.0),
+        (2, "a", 13 * HOUR_NS + 5, 2.0),
+        # type 'b': single hour -> exactly one row
+        (3, "b", 11 * HOUR_NS, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts_ns long, value double")
+    got = {(r["event_type"], r["bucket_hour"]): (r["n"], r["total_value"])
+           for r in hourly_counts_gapfilled(df).collect()}
+    assert got[("a", 10)] == (1, 1.0) and got[("a", 13)] == (1, 2.0)
+    assert got[("a", 11)] == (0, 0.0) and got[("a", 12)] == (0, 0.0)
+    assert got[("b", 11)] == (1, 4.0)
+    assert len(got) == 5

@@ -195,3 +195,27 @@ def test_canonical_url(spark):
         canonical_url(F.col("url"), drop_params=("ref", "sid")).alias("canon")
     )
     assert extra.first()["canon"] == "http://e.com/tree"
+
+
+def test_bm25_weights_hand_check(spark):
+    import math
+
+    from bigdata_hits_spark.operators.textstats import bm25_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "c c c c c")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["term"]): r["bm25"] for r in bm25_weights(docs).collect()}
+    # N=3, avgdl = (3+2+5)/3; term 'a': df=2; doc 1: tf=2, dl=3
+    n, avgdl, k1, b = 3, 10 / 3, 1.2, 0.75
+    idf_a = math.log((n - 2 + 0.5) / (2 + 0.5) + 1)
+    w = idf_a * 2 * (k1 + 1) / (2 + k1 * (1 - b + b * 3 / avgdl))
+    assert got[(1, "a")] == pytest.approx(w, abs=1e-6)
+    # rarer term outranks a common one at equal tf/dl: df('b')=1 < df('a')=2
+    assert got[(1, "b")] > 0 and got[(1, "b")] < got[(1, "a")] * 10
+    idf_b = math.log((n - 1 + 0.5) / (1 + 0.5) + 1)
+    assert idf_b > idf_a
+    # tf saturation: 5 occurrences of 'c' score < 5x one occurrence's weight
+    one_c = got[(2, "c")]
+    five_c = got[(3, "c")]
+    assert five_c < 5 * one_c
