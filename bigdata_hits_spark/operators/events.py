@@ -61,6 +61,87 @@ def hourly_counts_gapfilled(events: DataFrame) -> DataFrame:
     )
 
 
+DAY_NS = 86_400_000_000_000
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ns",
+) -> DataFrame:
+    """(user_id, t_1..t_k, n_steps): ordered funnel completion — ``t_i``
+    is the EARLIEST timestamp of step ``i`` occurring strictly after
+    ``t_{i-1}`` (the classic product-analytics conversion question:
+    of the users who viewed, who then clicked, who then purchased — in
+    that order).  One row per user who performed step 1; ``n_steps`` is
+    the furthest step reached.  No session/window bound — compose with
+    ``sessionize`` upstream to ask the within-session variant.
+
+    Plan: k user-keyed aggregates chained by k-1 equi-joins on the
+    user id.  Each step's events are filtered BEFORE joining (the step
+    predicate prunes the fact scan), the running ``reached`` relation
+    is user-sized, and nothing event-sized ever joins against anything
+    event-sized — work is one filtered pass over the facts per step.
+    """
+    if not steps:
+        raise ValueError("funnel_steps needs at least one step")
+    e = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+    )
+    reached = (
+        e.filter(F.col("__t") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("__ts").alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        nxt = (
+            e.filter(F.col("__t") == step)
+            .join(reached.select("user_id", prev), "user_id")
+            .filter(F.col("__ts") > F.col(prev))
+            .groupBy("user_id")
+            .agg(F.min("__ts").alias(f"t_{i}"))
+        )
+        reached = reached.join(nxt, "user_id", "left")
+    n_steps = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        n_steps = n_steps + F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
+    return reached.withColumn("n_steps", n_steps)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    grain_ns: int = DAY_NS,
+) -> DataFrame:
+    """(cohort_day, day_offset, n_users): the classic retention triangle —
+    users bucketed by their FIRST active day (epoch-day index), counted
+    on each later active day as an offset from it.  ``n_users`` at
+    offset 0 is the cohort size; dividing later offsets by it yields
+    the retention curve.
+
+    Plan: one distinct over (user, day) — the only event-sized shuffle,
+    keyed and map-side combined — then user-sized aggregates and a
+    user-keyed join; the output is (cohorts x offsets)-sized."""
+    days = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"{ts_col} div {grain_ns}").alias("day"),
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 #: Default slide for sliding windows: 15 min (4 overlapping windows/hour).
 SLIDE_NS = HOUR_NS // 4
 

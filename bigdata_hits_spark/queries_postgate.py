@@ -1329,6 +1329,68 @@ def q_events_hourly_gapfill(spark, sf_dir):
     return hourly_counts_gapfilled(_events_us(spark, sf_dir))
 
 
+# --- round 5: funnel + cohort retention -----------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _funnel_sql() -> str:
+    a, b, c = FUNNEL_STEPS
+    return (
+        "WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events), "
+        f"s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM e WHERE event_type = '{a}' "
+        "GROUP BY user_id), "
+        "s2 AS (SELECT e.user_id, MIN(ts) AS t_2 FROM e "
+        f"JOIN s1 ON e.user_id = s1.user_id WHERE event_type = '{b}' AND ts > t_1 "
+        "GROUP BY e.user_id), "
+        "s3 AS (SELECT e.user_id, MIN(ts) AS t_3 FROM e "
+        f"JOIN s2 ON e.user_id = s2.user_id WHERE event_type = '{c}' AND ts > t_2 "
+        "GROUP BY e.user_id) "
+        "SELECT s1.user_id, t_1, t_2, t_3, "
+        "1 + (CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END) AS n_steps "
+        "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id "
+        "LEFT JOIN s3 ON s1.user_id = s3.user_id"
+    )
+
+
+@register("events_funnel", _funnel_sql())
+def q_events_funnel(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel per user
+    (operators/events.py funnel_steps): each step's first timestamp
+    strictly after the previous step's, k user-keyed aggregates chained
+    by user-id joins — nothing event-sized joins anything event-sized."""
+    from bigdata_hits_spark.operators.events import funnel_steps
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return funnel_steps(_events_us(spark, sf_dir), list(FUNNEL_STEPS))
+
+
+def _cohort_sql() -> str:
+    from bigdata_hits_spark.operators.events import DAY_NS
+
+    return (
+        f"WITH d AS (SELECT DISTINCT user_id, epoch_ns(ts) // {DAY_NS} AS day "
+        "FROM events), "
+        "f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id) "
+        "SELECT cohort_day, d.day - f.cohort_day AS day_offset, "
+        "COUNT(DISTINCT d.user_id) AS n_users "
+        "FROM d JOIN f ON d.user_id = f.user_id GROUP BY 1, 2"
+    )
+
+
+@register("events_cohort_retention", _cohort_sql())
+def q_events_cohort_retention(spark, sf_dir):
+    """Daily cohort-retention triangle (operators/events.py
+    cohort_retention): users bucketed by first active day, counted per
+    later-active-day offset; one event-sized distinct, then user-sized
+    work only."""
+    from bigdata_hits_spark.operators.events import cohort_retention
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return cohort_retention(_events_us(spark, sf_dir))
+
+
 # --- round 5: BM25 weights ------------------------------------------------
 
 

@@ -54,11 +54,16 @@ def get_spark(app_name: str = "bigdata-hits-spark", master: str | None = None) -
     # (a bare ``get_spark()`` lands on Spark's implicit local[*]); an
     # EXPLICIT cluster master (spark://, yarn, k8s) skips it — a bare
     # Python client launching the driver JVM through this builder would
-    # otherwise demand a 24g heap on a possibly small driver host.
+    # otherwise demand a 48g heap on a possibly small driver host.
     # SPARK_GRAFT_DRIVER_MEM overrides unconditionally (explicit choice).
+    # Sizing history: 24g held to ~90 warm queries per session, but at
+    # ~100 the accumulated pinned relations (localCheckpoint blocks,
+    # memoized graph edges) pushed eviction + GC pauses INTO query
+    # windows — single-variable A/B at the round-5 surface: bench
+    # headline 70.7s @24g vs 64.8s @48g, base_hits_k8 6.6s -> 4.1s.
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if driver_mem is None and (master is None or master.startswith("local")):
-        driver_mem = "24g"
+        driver_mem = "48g"
     if driver_mem:
         builder = builder.config("spark.driver.memory", driver_mem)
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")

@@ -91,3 +91,43 @@ def test_hourly_gapfill_dense_grid(spark):
     assert got[("a", 11)] == (0, 0.0) and got[("a", 12)] == (0, 0.0)
     assert got[("b", 11)] == (1, 4.0)
     assert len(got) == 5
+
+
+def test_funnel_steps_ordering_is_strict(spark):
+    from bigdata_hits_spark.operators.events import funnel_steps
+
+    rows = [
+        # u1 completes all three in order
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2 clicked BEFORE viewing: click must not count; re-click later does
+        (2, "click", 50), (2, "view", 100),
+        # u3 only views
+        (3, "view", 10),
+        # u4 never views: excluded entirely despite a purchase
+        (4, "purchase", 999),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_ns long")
+    got = {r["user_id"]: r for r in
+           funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["t_1"], got[1]["t_2"], got[1]["t_3"], got[1]["n_steps"]) == (100, 200, 300, 3)
+    assert got[2]["n_steps"] == 1 and got[2]["t_2"] is None
+    assert got[3]["n_steps"] == 1
+
+
+def test_cohort_retention_triangle(spark):
+    from bigdata_hits_spark.operators.events import cohort_retention
+
+    D = 10  # tiny grain for readability
+    rows = [
+        # u1 first on day 0, returns day 2 (twice -> still one user-day)
+        (1, 0 * D), (1, 2 * D), (1, 2 * D + 1),
+        # u2 first on day 0 only
+        (2, 0 * D + 3),
+        # u3 first on day 1, returns day 2
+        (3, 1 * D), (3, 2 * D),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ns long")
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in cohort_retention(df, grain_ns=D).collect()}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
