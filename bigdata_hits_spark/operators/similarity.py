@@ -739,6 +739,11 @@ def sparse_cosine_topk(
         p = p.join(
             dfc.filter(F.col("__df") <= max_df).select("term"), "term", "left_semi"
         )
+    # Pin the (filtered, capped) postings to ONE evaluation: norms, the
+    # query side, and the dot join all branch from it, and an upstream
+    # weighting pipeline (tfidf/bm25 — explode + two aggs) would
+    # otherwise be re-planned and re-executed once per branch.
+    p = p.localCheckpoint(eager=False)
     norms = p.groupBy("cid").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     q = p.select(F.col("cid").alias("qid"), "term", F.col("w").alias("qw"))
     if queries is not None:

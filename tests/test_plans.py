@@ -311,3 +311,39 @@ def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
         assert "CartesianProduct" not in plan, name
         allowed = 1 if name in one_row_attach else 0
         assert plan.count("BroadcastNestedLoopJoin") <= allowed, name
+
+
+def test_round5_declared_queries_plan_clean(spark, sf_dir_oracle):
+    """Round-5 batch: no cartesian products, no broadcast-nested-loop
+    joins in any declared plan — same pin as the round-4 batch."""
+    from bigdata_hits_spark import queries as q
+
+    names = [
+        "embedding_neardup_lsh",
+        "skew_report",
+        "canonical_url_docs",
+        "sparse_cosine_topk_docs",
+        "salted_join_lineitem_supplier",
+        "orders_price_histogram",
+        "events_hourly_gapfill",
+        "text_bm25",
+        "events_funnel",
+        "events_cohort_retention",
+    ]
+    # histogram attaches its one-row (min, width) bounds via
+    # crossJoin(broadcast(...)) — the engine's standard scalar attach;
+    # bm25's one-row (n_docs, avgdl), skew_report's one-row total, and
+    # the tfidf n_docs attach inside sparse retrieval's (pinned, single)
+    # postings evaluation are the same shape.
+    one_row_attach = {
+        "orders_price_histogram",
+        "text_bm25",
+        "skew_report",
+        "sparse_cosine_topk_docs",
+    }
+    reg = q.queries()
+    for name in names:
+        plan = _plan(reg[name](spark, sf_dir_oracle))
+        assert "CartesianProduct" not in plan, name
+        allowed = 1 if name in one_row_attach else 0
+        assert plan.count("BroadcastNestedLoopJoin") <= allowed, name
