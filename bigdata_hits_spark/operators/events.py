@@ -46,7 +46,9 @@ def hourly_counts_gapfilled(events: DataFrame) -> DataFrame:
     hour span, and one (type, hour) equi-join of grid against counts —
     fan-out is the time span in hours per type, never event-sized, and
     event rows shuffle exactly once (the rollup's own agg exchange)."""
-    counts = hourly_event_counts(events)
+    # Pin: the rollup feeds both the span aggregate and the grid join —
+    # unpinned, the event-sized hash-agg would plan and run twice.
+    counts = hourly_event_counts(events).localCheckpoint(eager=False)
     spans = counts.groupBy("event_type").agg(
         F.min("bucket_hour").alias("__lo"), F.max("bucket_hour").alias("__hi")
     )
@@ -128,10 +130,12 @@ def cohort_retention(
     Plan: one distinct over (user, day) — the only event-sized shuffle,
     keyed and map-side combined — then user-sized aggregates and a
     user-keyed join; the output is (cohorts x offsets)-sized."""
+    # Pin: the (user, day) distinct feeds both the first-day aggregate
+    # and the retention join — unpinned it would shuffle events twice.
     days = events.select(
         F.col(user_col).alias("user_id"),
         F.expr(f"{ts_col} div {grain_ns}").alias("day"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
         days.join(first, "user_id")

@@ -1329,6 +1329,57 @@ def q_events_hourly_gapfill(spark, sf_dir):
     return hourly_counts_gapfilled(_events_us(spark, sf_dir))
 
 
+# --- round 5: alternate physical strategies pinned to the same oracles ----
+
+
+@register("quality_top_frac_skew_safe", _topfrac_by_sql())
+def q_quality_top_frac_skew_safe(spark, sf_dir):
+    """The SKEW-SAFE bucketed variant of the per-source quality gate
+    (operators/ranks.py top_fraction_by skew_safe=True: range-partition
+    on (group, order), per-(group, bucket) prefix offsets, bounded
+    window tasks) declared against the SAME oracle as
+    quality_top_frac_by_source — two physical strategies pinned to one
+    answer, the same discipline as the range-join/sweep pair."""
+    from bigdata_hits_spark.functions import text as TX
+    from bigdata_hits_spark.operators.ranks import top_fraction_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", F.round(TX.quality_score(F.col("text")), 7).alias("quality")
+    )
+    kept = top_fraction_by(
+        scored,
+        TOPFRAC_BY,
+        "source",
+        [F.desc_nulls_last("quality"), F.asc("doc_id")],
+        skew_safe=True,
+    )
+    return kept.select("doc_id", "source", "quality")
+
+
+LP_ENCODED_K = 6
+
+
+def _lp_k6_sql() -> str:
+    from bigdata_hits_spark.queries_graph import _label_propagation_sql
+
+    return _label_propagation_sql(LP_ENCODED_K)
+
+
+@register("graph_label_propagation_k6", _lp_k6_sql())
+def q_graph_label_propagation_k6(spark, sf_dir):
+    """Label propagation at k=6 — above the encode='auto' threshold, so
+    this declared row runs the RANK-ENCODED long-id loop
+    (operators/graphalgs.py, round-5 A/B promotion) and proves it exact
+    against the same unrolled window-mode CTE oracle family as the k=3
+    string-path row."""
+    from bigdata_hits_spark.operators.graphalgs import label_propagation
+    from bigdata_hits_spark.queries_graph import _sym
+
+    g = derived.g_pp(spark, sf_dir)
+    return label_propagation(g.edges, k=LP_ENCODED_K, sym=_sym(g))
+
+
 # --- round 5: funnel + cohort retention -----------------------------------
 
 FUNNEL_STEPS = ("view", "click", "purchase")
