@@ -106,6 +106,75 @@ def bernoulli_sample(df: DataFrame, fraction: float, seed: int) -> DataFrame:
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """(status, *key_cols, *compare_cols): dataset-versioning diff of two
+    snapshots of the same table — ``inserted`` (key only in new),
+    ``deleted`` (key only in old), ``changed`` (key in both, any compare
+    column differs, NULL-safe).  Unchanged rows are omitted, so the
+    output is change-sized, not table-sized — the audit/QA primitive
+    behind "what did this pipeline rerun actually touch".
+
+    Value columns carry the NEW side for inserted/changed rows and the
+    OLD side for deleted ones — selected by status, not coalesce, so a
+    change TO NULL shows NULL rather than leaking the old value.
+
+    ``compare_cols`` defaults to every non-key column the two snapshots
+    share.  Plan: ONE full-outer equi-join on the keys (shuffle keyed,
+    AQE/skew eligible) + column comparisons inside the projection; no
+    second pass, nothing collected."""
+    if not key_cols:
+        raise ValueError("snapshot_diff needs at least one key column")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in set(key_cols)
+        ]
+    o = old.select(
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"__ok_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__nk_{key_cols[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+    status = (
+        F.when(~in_old, F.lit("inserted"))
+        .when(~in_new, F.lit("deleted"))
+        .when(~same, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(
+            "status",
+            *[
+                F.coalesce(F.col(f"__nk_{c}"), F.col(f"__ok_{c}")).alias(c)
+                for c in key_cols
+            ],
+            *[
+                F.when(F.col("status") == "deleted", F.col(f"__ov_{c}"))
+                .otherwise(F.col(f"__nv_{c}"))
+                .alias(c)
+                for c in compare_cols
+            ],
+        )
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -1329,6 +1329,65 @@ def q_events_hourly_gapfill(spark, sf_dir):
     return hourly_counts_gapfilled(_events_us(spark, sf_dir))
 
 
+# --- round 5: snapshot diff (dataset-versioning CDC) ----------------------
+#
+# The "new" snapshot is derived from orders deterministically in BOTH
+# engines: keys % 97 == 0 deleted, % 101 == 0 price-bumped (+1.0),
+# % 103 == 0 cloned at key + 10_000_000 (inserted).
+
+
+def _snapshot_diff_sql() -> str:
+    return (
+        "WITH newsnap AS ("
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0 "
+        "ELSE o_totalprice END AS o_totalprice, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 97 <> 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus "
+        "FROM orders WHERE o_orderkey % 103 = 0), "
+        "o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders), "
+        "j AS (SELECT o.o_orderkey AS ok, n.o_orderkey AS nk, "
+        "o.o_totalprice AS op, n.o_totalprice AS np, "
+        "o.o_orderstatus AS os, n.o_orderstatus AS ns "
+        "FROM o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey), "
+        "d AS (SELECT CASE WHEN ok IS NULL THEN 'inserted' "
+        "WHEN nk IS NULL THEN 'deleted' "
+        "WHEN NOT (op IS NOT DISTINCT FROM np AND os IS NOT DISTINCT FROM ns) "
+        "THEN 'changed' END AS status, * FROM j) "
+        "SELECT status, COALESCE(nk, ok) AS o_orderkey, "
+        "CASE WHEN status = 'deleted' THEN op ELSE np END AS o_totalprice, "
+        "CASE WHEN status = 'deleted' THEN os ELSE ns END AS o_orderstatus "
+        "FROM d WHERE status IS NOT NULL"
+    )
+
+
+@register("orders_snapshot_diff", _snapshot_diff_sql())
+def q_orders_snapshot_diff(spark, sf_dir):
+    """Dataset-versioning diff (operators/relops.py snapshot_diff): one
+    full-outer key join classifies rows inserted / deleted / changed
+    (NULL-safe value compare) between the orders table and a
+    deterministically perturbed new snapshot; output is change-sized."""
+    from bigdata_hits_spark.operators.relops import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    added = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    return snapshot_diff(orders, kept.unionByName(added), ["o_orderkey"])
+
+
 # --- round 5: alternate physical strategies pinned to the same oracles ----
 
 

@@ -67,3 +67,26 @@ def test_bernoulli_sample_seeded_deterministic(spark):
 def test_grand_norm_l2(spark):
     df = spark.createDataFrame([(3.0,), (4.0,)], ["x"])
     assert relops.grand_norm(df, "x", "l2").first()["norm"] == pytest.approx(5.0)
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    from bigdata_hits_spark.operators.relops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, v string, x double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 changed (v), 3 deleted, 4 changed TO NULL x, 5 inserted
+        [(1, "a", 1.0), (2, "B", 2.0), (4, None, None), (5, "e", 5.0)],
+        "k long, v string, x double",
+    )
+    got = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2]["status"] == "changed" and got[2]["v"] == "B"
+    assert got[3]["status"] == "deleted" and got[3]["v"] == "c"
+    # a change TO NULL reports NULL, not the old value
+    assert got[4]["status"] == "changed" and got[4]["x"] is None
+    assert got[5]["status"] == "inserted" and got[5]["v"] == "e"
+    # identical snapshots diff to nothing
+    assert snapshot_diff(old, old, ["k"]).count() == 0
