@@ -77,6 +77,8 @@ Beyond-reference pipeline jobs (no reference twin):
 - ``retrieve docs.parquet [k] [max_df] [qid1,qid2,...]`` — top-k
   tf-idf-cosine neighbors per document via the inverted-index posting
   join, written as parquet.
+- ``diff old.parquet new.parquet key1,key2`` — dataset-versioning CDC:
+  inserted/deleted/changed rows between snapshots, written as parquet.
 """
 
 from __future__ import annotations
@@ -411,6 +413,22 @@ def main(argv: list[str] | None = None) -> None:
         )
         survivors.write.mode("overwrite").parquet(os.path.join(out_dir, "semantic_dedup"))
         print(f"semantic_dedup: survivors={survivors.count()}")
+    elif job == "diff":
+        # diff <old.parquet> <new.parquet> <key1,key2[,...]> — dataset-
+        # versioning CDC: inserted/deleted/changed rows between snapshots
+        from bigdata_hits_spark.operators.relops import snapshot_diff
+
+        old_path = args.take()
+        new_path = args.take()
+        keys_arg = args.take()
+        if old_path is None or new_path is None or keys_arg is None:
+            raise SystemExit("diff needs old and new parquet paths and key columns")
+        out = snapshot_diff(
+            spark.read.parquet(old_path),
+            spark.read.parquet(new_path),
+            keys_arg.split(","),
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, "diff"))
     elif job == "retrieve":
         # retrieve <docs.parquet> [k] [max_df] [qid1,qid2,...] — top-k
         # tf-idf-cosine neighbors per document via the inverted-index

@@ -312,3 +312,15 @@ def test_cli_retrieve(spark, tmp_path):
     assert by_q.get(1) == [2]
     assert 3 not in by_q
     assert set(by_q) <= {1}
+
+
+def test_cli_diff(spark, tmp_path):
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(old)
+    spark.createDataFrame([(1, "a"), (3, "c")], "k long, v string").write.parquet(new)
+    out = str(tmp_path / "out_diff")
+    cli.main(["diff", old, new, "k", "--out", out])
+    got = {(r["status"], r["k"]) for r in
+           spark.read.parquet(os.path.join(out, "diff")).collect()}
+    assert got == {("deleted", 2), ("inserted", 3)}
