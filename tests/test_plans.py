@@ -329,6 +329,9 @@ def test_round5_declared_queries_plan_clean(spark, sf_dir_oracle):
         "text_bm25",
         "events_funnel",
         "events_cohort_retention",
+        "orders_snapshot_diff",
+        "quality_top_frac_skew_safe",
+        "graph_label_propagation_k6",
     ]
     # histogram attaches its one-row (min, width) bounds via
     # crossJoin(broadcast(...)) — the engine's standard scalar attach;
