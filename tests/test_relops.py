@@ -90,3 +90,47 @@ def test_snapshot_diff_classifies_all_three(spark):
     assert got[5]["status"] == "inserted" and got[5]["v"] == "e"
     # identical snapshots diff to nothing
     assert snapshot_diff(old, old, ["k"]).count() == 0
+
+
+def test_snapshot_diff_reconstructs_new_snapshot(spark):
+    """Apply-the-diff invariant on a randomized pair of snapshots:
+    (old minus deleted/changed keys) + changed + inserted == new,
+    exactly — so the diff is a complete, minimal change set."""
+    import random
+
+    rng = random.Random(42)
+    old_rows = [
+        (k, rng.choice(["a", "b", None]), rng.choice([1.0, 2.0, None]))
+        for k in range(200)
+    ]
+    new_rows = []
+    for k, v, x in old_rows:
+        r = rng.random()
+        if r < 0.2:
+            continue  # deleted
+        if r < 0.5:
+            new_rows.append((k, rng.choice(["a", "b", "z", None]), x))  # maybe changed
+        else:
+            new_rows.append((k, v, x))  # unchanged
+    new_rows += [(k, "ins", 9.0) for k in range(300, 320)]
+    from bigdata_hits_spark.operators.relops import snapshot_diff
+
+    schema = "k long, v string, x double"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = snapshot_diff(old, new, ["k"]).collect()
+
+    old_map = {k: (v, x) for k, v, x in old_rows}
+    rebuilt = dict(old_map)
+    for r in diff:
+        if r["status"] == "deleted":
+            assert old_map[r["k"]] == (r["v"], r["x"])  # reports old values
+            del rebuilt[r["k"]]
+        else:
+            rebuilt[r["k"]] = (r["v"], r["x"])
+    assert rebuilt == {k: (v, x) for k, v, x in new_rows}
+    # minimality: no diff row for a key whose values are identical
+    new_map = {k: (v, x) for k, v, x in new_rows}
+    for r in diff:
+        if r["status"] == "changed":
+            assert old_map[r["k"]] != new_map[r["k"]], r
