@@ -112,9 +112,17 @@ class _Args:
         self.argv = argv
         self.pos = 0
 
-    def take(self, cast=str, default=None):
+    def take(self, cast=str, default=None, usage: str | None = None):
         if self.pos < len(self.argv):
-            value = cast(self.argv[self.pos])
+            try:
+                value = cast(self.argv[self.pos])
+            except ValueError:
+                # e.g. `retrieve docs.parquet 1,3` — qids given where the
+                # optional int positionals were expected; a usage message
+                # beats an int() traceback.
+                want = getattr(cast, "__name__", str(cast))
+                msg = f"bad operand {self.argv[self.pos]!r} (expected {want})"
+                raise SystemExit(f"{msg}\nusage: {usage}" if usage else msg)
             self.pos += 1
             return value
         return default
@@ -439,8 +447,9 @@ def main(argv: list[str] | None = None) -> None:
         docs_path = args.take()
         if docs_path is None:
             raise SystemExit("retrieve needs a docs parquet path")
-        k = args.take(int, 10)
-        max_df = args.take(int, 1000)
+        usage = "retrieve <docs.parquet> [k] [max_df] [qid1,qid2,...]"
+        k = args.take(int, 10, usage=usage)
+        max_df = args.take(int, 1000, usage=usage)
         qids_arg = args.take()
         docs = spark.read.parquet(docs_path)
         queries_df = None

@@ -304,6 +304,14 @@ def rank_stats(
     return out.drop("__pid", "__off", "__offk", "__N")
 
 
+#: Ceiling on the skew-safe offsets broadcast, in rows.  The relation is
+#: ~(n_groups + num_buckets) rows of (group, pid, off, ng); 10M rows is
+#: a few hundred MB broadcast — past that the caller is in the
+#: many-small-groups regime where the DEFAULT window plan is already
+#: skew-free and skew_safe is the wrong tool.
+TOP_FRACTION_MAX_OFFSET_ROWS = 10_000_000
+
+
 def top_fraction_by(
     df: DataFrame,
     frac: float,
@@ -311,6 +319,7 @@ def top_fraction_by(
     order_by: list[Column],
     skew_safe: bool = False,
     num_buckets: int | None = None,
+    max_offset_rows: int | None = TOP_FRACTION_MAX_OFFSET_ROWS,
 ) -> DataFrame:
     """Keep the top ``frac`` of rows WITHIN each ``group_col`` value
     (ceil(n_group * frac) rows per group) — the per-domain quality gate:
@@ -330,8 +339,14 @@ def top_fraction_by(
     task ever holds more than ~rows/num_buckets.  The offsets relation
     broadcast is (n_groups + num_buckets)-row-sized, so the skew-safe
     path targets the few-but-huge-groups regime; with millions of tiny
-    groups the default window is already skew-free.  ``order_by`` should
-    include a tiebreak for a deterministic boundary, as everywhere else.
+    groups the default window is already skew-free.  That regime bound
+    is ENFORCED: the offsets row count is checked (one cheap aggregate
+    over the already-pinned ranged relation) against
+    ``max_offset_rows`` before the broadcast, failing fast with a
+    pointer back to the default plan instead of silently building a
+    multi-GB broadcast (pass ``max_offset_rows=None`` to skip the
+    check).  ``order_by`` should include a tiebreak for a deterministic
+    boundary, as everywhere else.
     """
     if not 0.0 < frac <= 1.0:
         raise ValueError(f"frac must be in (0, 1], got {frac}")
@@ -356,6 +371,19 @@ def top_fraction_by(
     counts = ranged.groupBy(F.col(group_col).alias("__g"), "__pid").agg(
         F.count(F.lit(1)).alias("__n")
     )
+    if max_offset_rows is not None:
+        # One aggregate job over the pinned ranged relation (no source
+        # rescan); `counts` has the same row count as the offsets
+        # broadcast built below.
+        n_offsets = counts.count()
+        if n_offsets > max_offset_rows:
+            raise ValueError(
+                f"top_fraction_by(skew_safe=True): offsets relation has "
+                f"{n_offsets} rows (> max_offset_rows={max_offset_rows}); "
+                "this is the many-small-groups regime — use the default "
+                "window plan (skew_safe=False), or raise max_offset_rows "
+                "if the broadcast is genuinely intended"
+            )
     w_off = Window.partitionBy("__g").orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -126,7 +126,15 @@ def snapshot_diff(
     ``compare_cols`` defaults to every non-key column the two snapshots
     share.  Plan: ONE full-outer equi-join on the keys (shuffle keyed,
     AQE/skew eligible) + column comparisons inside the projection; no
-    second pass, nothing collected."""
+    second pass, nothing collected.
+
+    Keys must be UNIQUE within each snapshot: a duplicated key fans out
+    through the full-outer join (every old copy pairs with every new
+    copy) and the resulting rows classify arbitrarily.  The join is
+    NULL-safe, so a legitimately-NULL key is a key value like any other
+    — side presence is tracked by literal marker columns (the
+    ``F.lit(True)`` pattern), not key-IS-NOT-NULL, so NULL-keyed rows
+    classify correctly too."""
     if not key_cols:
         raise ValueError("snapshot_diff needs at least one key column")
     if compare_cols is None:
@@ -134,10 +142,12 @@ def snapshot_diff(
             c for c in old.columns if c in set(new.columns) and c not in set(key_cols)
         ]
     o = old.select(
+        F.lit(True).alias("__in_old"),
         *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
         *[F.col(c).alias(f"__ov_{c}") for c in compare_cols],
     )
     n = new.select(
+        F.lit(True).alias("__in_new"),
         *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
         *[F.col(c).alias(f"__nv_{c}") for c in compare_cols],
     )
@@ -146,8 +156,8 @@ def snapshot_diff(
         eq = F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}"))
         cond = eq if cond is None else cond & eq
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"__ok_{key_cols[0]}").isNotNull()
-    in_new = F.col(f"__nk_{key_cols[0]}").isNotNull()
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))

@@ -103,17 +103,25 @@ def tfidf(
 
     Scale: two hash aggregations over ``(doc_id, term)`` keys plus one
     grand count; the document-frequency side is term-keyed (vocabulary-
-    sized, orders of magnitude smaller than the corpus) and broadcast.
-    Full documents never shuffle.
+    sized, orders of magnitude smaller than the corpus).  Full documents
+    never shuffle.
     """
     terms = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
     tf_counts = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
     doc_len = tf_counts.groupBy(id_col).agg(F.sum("c").alias("n_tokens"))
     df_counts = tf_counts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Regime split (the LSH_SAFE_THRESHOLD discipline): df_counts is
+    # vocabulary-sized — tiny at bench scale, but a 100 TB web corpus's
+    # distinct-term relation (typo/URL/numeric noise) can reach tens of
+    # GB, where a hard broadcast hint is a driver/executor OOM.  No hint:
+    # the join stays a term-keyed equi-join either way, and AQE converts
+    # it to a broadcast join at runtime exactly when the built side is
+    # actually small.  The one-row grand aggregates keep their explicit
+    # broadcast attach — those are O(1) by construction.
     return (
         tf_counts.join(doc_len, id_col)
-        .join(F.broadcast(df_counts), "term")
+        .join(df_counts, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             id_col,
@@ -149,9 +157,10 @@ def bm25_weights(
 
     Same plan shape as :func:`tfidf` plus one extra one-row grand
     aggregate (the corpus-average document length, broadcast-attached):
-    two (doc, term) hash-aggs, a vocabulary-sized df side, full
-    documents never shuffle.  Feed the output to
-    ``similarity.sparse_cosine_topk`` for BM25-weighted retrieval."""
+    two (doc, term) hash-aggs, a vocabulary-sized df side (unhinted —
+    see the regime comment in :func:`tfidf`; AQE broadcasts it when it
+    is actually small), full documents never shuffle.  Feed the output
+    to ``similarity.sparse_cosine_topk`` for BM25-weighted retrieval."""
     terms = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
     tf_counts = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("c"))
     doc_len = tf_counts.groupBy(id_col).agg(F.sum("c").alias("n_tokens"))
@@ -169,7 +178,7 @@ def bm25_weights(
     )
     return (
         tf_counts.join(doc_len, id_col)
-        .join(F.broadcast(df_counts), "term")
+        .join(df_counts, "term")
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,

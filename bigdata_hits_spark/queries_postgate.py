@@ -1138,7 +1138,17 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     banded candidates + exact cosine verify (the operators/similarity.py
     near_duplicate_pairs front door at tau >= LSH_SAFE_THRESHOLD).
     Candidate-bounded equi-join work — the plan that survives 100 TB —
-    now proven exact against a DuckDB twin of the full pipeline."""
+    proven exact against a DuckDB twin of the full pipeline.
+
+    Known fragility: the oracle recomputes the sign bits via DuckDB
+    float sums whose accumulation order differs from the numpy matmul
+    on the Spark side, so a hyperplane dot product near 0 could flip a
+    bit between engines.  The current testdata clears it by a wide
+    margin, and tests/test_similarity.py
+    test_lsh_oracle_fixture_dot_margin guards the fixture (min |dot|
+    across the augmented corpus must exceed an epsilon) so a future
+    testdata refresh fails THERE, loudly, not as a mystery hash
+    mismatch in the driver gate."""
     from bigdata_hits_spark.operators.similarity import near_duplicate_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -134,3 +134,27 @@ def test_snapshot_diff_reconstructs_new_snapshot(spark):
     for r in diff:
         if r["status"] == "changed":
             assert old_map[r["k"]] != new_map[r["k"]], r
+
+
+def test_snapshot_diff_null_key_rows_classify(spark):
+    """A legitimately-NULL key is a key value like any other: presence is
+    tracked by literal marker columns, so a NULL-keyed row present in
+    both sides with a changed value classifies `changed` (not a phantom
+    insert/delete), and NULL-keyed one-sided rows classify
+    inserted/deleted correctly."""
+    from bigdata_hits_spark.operators.relops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "a"), (1, "x"), (2, "gone")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "b"), (1, "x"), (3, "fresh")], "k int, v string"
+    )
+    got = {r["k"]: (r["status"], r["v"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got[None] == ("changed", "b")
+    assert got[2] == ("deleted", "gone")
+    assert got[3] == ("inserted", "fresh")
+    assert 1 not in got
+    # NULL-keyed unchanged rows are omitted like any other unchanged row
+    same = spark.createDataFrame([(None, "a")], "k int, v string")
+    assert snapshot_diff(same, same, ["k"]).count() == 0

@@ -354,3 +354,43 @@ def test_sparse_cosine_topk_queries_filter(spark):
     qs = spark.createDataFrame([(1,)], "doc_id long")
     got = SIM.sparse_cosine_topk(postings, qs, k=5, w_col="w").collect()
     assert {r["qid"] for r in got} == {1} and len(got) == 2
+
+
+def test_lsh_oracle_fixture_dot_margin(sf_dir_oracle):
+    """Fixture guard for the embedding_neardup_lsh oracle: its DuckDB
+    twin recomputes the sign bits via float sums whose accumulation
+    order differs from the Spark side's numpy matmul, so a hyperplane
+    dot product near 0 could flip a sign bit between engines.  Assert
+    the augmented corpus (base + perturbed twins, exactly as the
+    declared query builds it) keeps every |dot| above an epsilon, so a
+    testdata refresh that lands near a hyperplane fails HERE with a
+    clear message instead of as a driver-gate hash mismatch."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from bigdata_hits_spark.queries_postgate import (
+        LSH_ORACLE_PLANES,
+        LSH_PERT_IDS,
+    )
+
+    tbl = pq.read_table(os.path.join(sf_dir_oracle, "embeddings.parquet"))
+    ids = tbl.column("vec_id").to_numpy()
+    vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    pert_mask = ids < LSH_PERT_IDS
+    dim = vecs.shape[1]
+    scale = np.where(np.arange(dim) % 2 == 0, 1.05, 0.95)
+    aug = np.vstack([vecs, vecs[pert_mask] * scale])
+
+    i = np.arange(dim)[:, None]
+    j = np.arange(LSH_ORACLE_PLANES)[None, :]
+    planes = np.where((i * (2654435761 + j) + j * 40503) % 2 == 0, 1.0, -1.0)
+    dots = aug @ planes
+    margin = np.abs(dots).min()
+    assert margin > 1e-6, (
+        f"min |hyperplane dot| = {margin:.3e}: a vector in the refreshed "
+        "testdata lies within float-accumulation distance of a sign-LSH "
+        "hyperplane; the embedding_neardup_lsh oracle would be "
+        "engine-order fragile — regenerate or re-seed the fixture"
+    )
