@@ -72,47 +72,92 @@ def funnel_steps(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts_ns",
+    extra_key_cols: list[str] | None = None,
 ) -> DataFrame:
     """(user_id, t_1..t_k, n_steps): ordered funnel completion — ``t_i``
     is the EARLIEST timestamp of step ``i`` occurring strictly after
     ``t_{i-1}`` (the classic product-analytics conversion question:
     of the users who viewed, who then clicked, who then purchased — in
     that order).  One row per user who performed step 1; ``n_steps`` is
-    the furthest step reached.  No session/window bound — compose with
-    ``sessionize`` upstream to ask the within-session variant.
+    the furthest step reached.  No session/window bound by default —
+    :func:`funnel_steps_sessioned` is the within-session variant
+    (``extra_key_cols`` widens the funnel key, e.g. to
+    (user, session_idx), and rides the same plan).
 
-    Plan: k user-keyed aggregates chained by k-1 equi-joins on the
-    user id.  Each step's events are filtered BEFORE joining (the step
-    predicate prunes the fact scan), the running ``reached`` relation
-    is user-sized, and nothing event-sized ever joins against anything
-    event-sized — work is one filtered pass over the facts per step.
+    Plan: k key-grouped aggregates chained by k-1 equi-joins on the
+    funnel key.  Each step's events are filtered BEFORE joining (the
+    step predicate prunes the fact scan), the running ``reached``
+    relation is key-sized, and nothing event-sized ever joins against
+    anything event-sized — work is one filtered pass over the facts per
+    step.
     """
     if not steps:
         raise ValueError("funnel_steps needs at least one step")
+    keys = ["user_id", *(extra_key_cols or [])]
     e = events.select(
         F.col(user_col).alias("user_id"),
+        *(extra_key_cols or []),
         F.col(type_col).alias("__t"),
         F.col(ts_col).alias("__ts"),
     )
     reached = (
         e.filter(F.col("__t") == steps[0])
-        .groupBy("user_id")
+        .groupBy(*keys)
         .agg(F.min("__ts").alias("t_1"))
     )
     for i, step in enumerate(steps[1:], start=2):
         prev = f"t_{i - 1}"
         nxt = (
             e.filter(F.col("__t") == step)
-            .join(reached.select("user_id", prev), "user_id")
+            .join(reached.select(*keys, prev), keys)
             .filter(F.col("__ts") > F.col(prev))
-            .groupBy("user_id")
+            .groupBy(*keys)
             .agg(F.min("__ts").alias(f"t_{i}"))
         )
-        reached = reached.join(nxt, "user_id", "left")
+        reached = reached.join(nxt, keys, "left")
     n_steps = F.lit(1)
     for i in range(2, len(steps) + 1):
         n_steps = n_steps + F.when(F.col(f"t_{i}").isNotNull(), 1).otherwise(0)
     return reached.withColumn("n_steps", n_steps)
+
+
+def assign_sessions(events: DataFrame, gap_ns: int = SESSION_GAP_NS) -> DataFrame:
+    """Every event row with its gap-based ``session_idx`` appended — the
+    per-EVENT assignment underlying :func:`sessionize` (which returns
+    per-session aggregates instead).  Same window chain (lag -> new-
+    session flag -> running sum), so the two agree by construction; one
+    shuffle on user_id, both window specs share it."""
+    order = [F.asc("ts_ns"), F.asc("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_s = (
+        F.when(
+            F.lag("ts_ns").over(w_lag).isNull()
+            | ((F.col("ts_ns") - F.lag("ts_ns").over(w_lag)) > gap_ns),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    return events.withColumn("session_idx", F.sum(new_s).over(w_run))
+
+
+def funnel_steps_sessioned(
+    events: DataFrame,
+    steps: list[str],
+    gap_ns: int = SESSION_GAP_NS,
+) -> DataFrame:
+    """(user_id, session_idx, t_1..t_k, n_steps): the funnel required to
+    complete WITHIN one gap-based session — the within-session
+    conversion variant :func:`funnel_steps` points at.  One row per
+    (user, session) whose session contains step 1.  Plan: the
+    sessionize window pass assigns ``session_idx`` per event, then the
+    funnel runs keyed on (user_id, session_idx) — still k key-grouped
+    aggregates chained by key joins, nothing event-sized joining
+    event-sized."""
+    assigned = assign_sessions(
+        events.select("user_id", "event_id", "ts_ns", "event_type"), gap_ns
+    )
+    return funnel_steps(assigned, steps, extra_key_cols=["session_idx"])
 
 
 def cohort_retention(

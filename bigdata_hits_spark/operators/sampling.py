@@ -22,7 +22,7 @@ token-window chunking, and per-source mixture rates with upsampling
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 #: Granularity of the hash-split buckets: fractions are rounded to 1/10000.
 _SPLIT_BUCKETS = 10_000
@@ -140,6 +140,7 @@ def sample_to_token_budget(
     token_col: str,
     group_col: str | None = None,
     seed: int = 0,
+    order_key: Column | None = None,
 ) -> DataFrame:
     """Keep a deterministic pseudo-random subset whose ``token_col`` sum
     stays within ``budget`` (per ``group_col`` value when given, else
@@ -163,8 +164,17 @@ def sample_to_token_budget(
     prefix offsets (a 256-row window — trivially single-task), and each
     bucket's running sum adds its offset.  Survivors are IDENTICAL to
     the single-window form; the per-task load is ~1/256 of the data.
+
+    ``order_key`` replaces the xxhash64 permutation with a caller-chosen
+    deterministic long Column (must be collision-free over the input for
+    a well-defined boundary).  The md5-derived key the declared oracle
+    row uses (queries_postgate.py sample_token_budget) is the portable
+    choice — DuckDB cannot reproduce xxhash64, but reproduces the md5
+    prefix parse bit-for-bit.  The bucket split (high byte of the key)
+    stays order-preserving for any long key; a key spanning fewer high
+    bytes just lands in fewer buckets (coarser parallelism, same rows).
     """
-    order_hash = F.xxhash64(*df.columns, F.lit(seed))
+    order_hash = F.xxhash64(*df.columns, F.lit(seed)) if order_key is None else order_key
     running_in = lambda w: F.sum(F.col(token_col)).over(  # noqa: E731
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

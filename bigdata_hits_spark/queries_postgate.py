@@ -1624,3 +1624,214 @@ def q_canonical_url_docs(spark, sf_dir):
     return docs.select(
         "doc_id", url.alias("url"), canonical_url(url).alias("canon")
     )
+
+
+# --- round 6: the composed corpus cleaner under one end-to-end oracle -----
+
+#: clean_corpus arguments for the declared row.  The near-dup threshold is
+#: the SAME 0.2 the dedup gate rows use, so the sf0.01 corpus actually
+#: forms clusters and the survivor election is exercised (at the library
+#: default 0.5 the fixture has no near-dup pairs and stage 3 is a no-op).
+CLEAN_MIN_QUALITY = 0.4
+CLEAN_NEAR_T = 0.2
+
+
+def _clean_corpus_sql() -> str:
+    """DuckDB twin of operators/pipeline.py clean_corpus with the default
+    stages on: quality floor -> exact dedup -> MinHash+LSH near-dup pairs
+    -> connected-components survivor election -> per-doc stat columns.
+    Composed from the already-proven stage oracles (queries_text quality/
+    lang/fingerprint expressions, queries_dedup shingle/minhash/verify
+    chain, the dedup_components recursive closure), re-rooted on the
+    upstream stage's survivor set instead of the raw table."""
+    from bigdata_hits_spark.functions import text as TX
+    from bigdata_hits_spark.oracles import duck_token_hash
+    from bigdata_hits_spark.queries_text import QUALITY_RAW_SQL_EXPR, _sql_in
+
+    x = duck_hex_to_long("md5(shingle)", 8)
+    values = ", ".join(f"({j}, {a}, {b})" for j, a, b in DD.MINHASH_PARAMS)
+    score_cols = ", ".join(
+        f"len(list_filter(w, x -> x IN ({_sql_in(TX.STOPWORDS[lang])}))) "
+        f"/ (CASE WHEN len(w) > 0 THEN len(w) ELSE 1 END) AS s_{lang}"
+        for lang in TX.LANG_ORDER
+    )
+    lang_case = (
+        "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
+    )
+    return (
+        "WITH RECURSIVE "
+        "d0 AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), "
+        # 1. quality floor — UNROUNDED, as the Spark filter computes it
+        # (tests/test_pipeline.py guards the fixture's boundary margin).
+        f"q AS (SELECT doc_id, text, w, {QUALITY_RAW_SQL_EXPR} AS quality FROM d0), "
+        f"qf AS (SELECT * FROM q WHERE quality >= {CLEAN_MIN_QUALITY}), "
+        # 2. exact dedup: min doc_id per body hash among quality survivors
+        "keep AS (SELECT MIN(doc_id) AS doc_id FROM qf GROUP BY md5(text)), "
+        "ex AS (SELECT qf.* FROM qf JOIN keep ON qf.doc_id = keep.doc_id), "
+        # 3. MinHash+LSH near-dup pairs over the exact-dedup survivors —
+        # the queries_dedup chain re-rooted on ex
+        "shl AS (SELECT doc_id, list_distinct(list_transform("
+        "range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END), "
+        "i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS shs FROM ex), "
+        "sh AS (SELECT doc_id AS id, unnest(shs) AS shingle FROM shl), "
+        f"tok AS (SELECT id, {x} % {DD.MINHASH_P} AS x FROM sh), "
+        f"params(j, a, b) AS (VALUES {values}), "
+        f"mh AS (SELECT id, j, MIN((a * x + b) % {DD.MINHASH_P}) AS v "
+        "FROM tok CROSS JOIN params GROUP BY id, j), "
+        f"bands AS (SELECT id, j // {DD.ROWS_PER_BAND} AS band_id, "
+        "string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS sig "
+        f"FROM mh GROUP BY id, j // {DD.ROWS_PER_BAND}), "
+        "cand AS (SELECT DISTINCT b1.id AS id1, b2.id AS id2 FROM bands b1 "
+        "JOIN bands b2 ON b1.band_id = b2.band_id AND b1.sig = b2.sig AND b1.id < b2.id), "
+        "inter AS (SELECT c.id1, c.id2, COUNT(*) AS n_inter FROM cand c "
+        "JOIN sh s1 ON s1.id = c.id1 "
+        "JOIN sh s2 ON s2.id = c.id2 AND s2.shingle = s1.shingle "
+        "GROUP BY c.id1, c.id2), "
+        "sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id), "
+        "jac AS (SELECT i.id1, i.id2, "
+        "ROUND(CAST(i.n_inter / (z1.n + z2.n - i.n_inter) AS DOUBLE), 7) AS jaccard "
+        "FROM inter i JOIN sizes z1 ON z1.id = i.id1 JOIN sizes z2 ON z2.id = i.id2), "
+        f"dup AS (SELECT id1, id2 FROM jac WHERE jaccard >= {CLEAN_NEAR_T}), "
+        # 4. transitive closure + survivor election (dedup_components
+        # pattern): drop every non-minimum member of each cluster
+        "e AS (SELECT id1 AS src, id2 AS dst FROM dup "
+        "UNION SELECT id2, id1 FROM dup), "
+        "reach AS (SELECT src AS id, src AS comp FROM e "
+        "UNION SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id), "
+        "comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id), "
+        "drops AS (SELECT id FROM comp WHERE id <> component), "
+        "surv AS (SELECT ex.* FROM ex LEFT JOIN drops ON ex.doc_id = drops.id "
+        "WHERE drops.id IS NULL), "
+        # 5. per-doc stat columns for survivors (text-oracle expressions)
+        f"ls AS (SELECT doc_id, {score_cols} FROM surv), "
+        "fpe AS (SELECT doc_id, w, unnest(range(len(w))) AS i FROM surv), "
+        f"fph AS (SELECT doc_id, {duck_token_hash('w[i + 1]')} * (i + 1) AS term FROM fpe), "
+        f"fp AS (SELECT doc_id, CAST(SUM(term) % {TX.FINGERPRINT_MOD} AS BIGINT) AS fingerprint "
+        "FROM fph GROUP BY doc_id) "
+        "SELECT s.doc_id, ROUND(s.quality, 7) AS quality, "
+        "len(s.w) AS n_tokens, "
+        f"len(regexp_extract_all(s.text, '{TX.BPE_SPLIT_PATTERN}')) AS n_bpe_tokens, "
+        f"{lang_case} AS lang_pred, fp.fingerprint AS fingerprint "
+        "FROM surv s JOIN ls ON ls.doc_id = s.doc_id "
+        "JOIN fp ON fp.doc_id = s.doc_id"
+    )
+
+
+@register("clean_corpus_docs", _clean_corpus_sql())
+def q_clean_corpus_docs(spark, sf_dir):
+    """The composed corpus cleaner END TO END under one oracle — the
+    single function a training-data user actually calls
+    (operators/pipeline.py clean_corpus), with the default stages on:
+    quality floor (>= 0.4, unrounded as the operator filters it), exact
+    dedup (min-id per body hash), MinHash+LSH near-dup pairs at the
+    dedup-gate threshold 0.2, connected-components survivor election,
+    and the per-doc stat columns (quality/token counts/lang/fingerprint)
+    appended for survivors.  Stage ordering and the inter-stage column
+    contracts are exactly what the oracle's CTE chain reproduces.
+
+    Honestly excluded arms (library defaults, off): the line-level
+    boilerplate strip (``boilerplate_min_df``), the unigram-LM floor
+    (``min_unigram_logprob``), and the embedding/semantic stage
+    (``vectors``) — each is individually oracle-backed
+    (strip_boilerplate, text_unigram_logprob, dedup_semantic); this row
+    proves the default composition whole."""
+    from bigdata_hits_spark.operators.pipeline import clean_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = clean_corpus(
+        docs, min_quality=CLEAN_MIN_QUALITY, near_dup_threshold=CLEAN_NEAR_T
+    )
+    return cleaned.select(
+        "doc_id",
+        F.round("quality", 7).alias("quality"),
+        "n_tokens",
+        "n_bpe_tokens",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+#: Character budget for the declared token-budget cut: ~2/3 of the sf0.01
+#: corpus's n_chars total, so the boundary lands mid-permutation and the
+#: kept set is a real prefix (not all or nothing) at every tested scale.
+TOKEN_BUDGET = 100_000
+
+
+def _token_budget_sql() -> str:
+    key = duck_hex_to_long("md5(CAST(doc_id AS VARCHAR))", 15)
+    return (
+        f"WITH h AS (SELECT doc_id, n_chars, {key} AS hk FROM documents), "
+        "c AS (SELECT doc_id, n_chars, SUM(n_chars) OVER ("
+        "ORDER BY hk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h) "
+        f"SELECT doc_id, n_chars FROM c WHERE cum <= {TOKEN_BUDGET}"
+    )
+
+
+@register("sample_token_budget", _token_budget_sql())
+def q_sample_token_budget(spark, sf_dir):
+    """The global token-budget cut (operators/sampling.py
+    sample_to_token_budget) under a full oracle: keep the prefix of a
+    fixed pseudo-random permutation whose running n_chars total stays
+    within TOKEN_BUDGET.  The Spark side runs the distributed two-phase
+    bucketed prefix-sum (per-bucket totals -> exclusive offsets -> local
+    running sums); the oracle is the single window the engine refuses to
+    plan — survivors are identical by construction.  The permutation key
+    is the portable md5-prefix long (order_key=) rather than the
+    xxhash64 default, so both engines order identically; keys are
+    md5(doc_id)-derived and collision-free on the fixture.  Sequence
+    PACKING (pack_documents) honestly stays library-only: its greedy
+    per-partition first-fit is partition-shape-dependent by design and
+    has no SQL twin (property-tested in tests/test_sampling.py)."""
+    from bigdata_hits_spark.operators.sampling import sample_to_token_budget
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return sample_to_token_budget(
+        docs, TOKEN_BUDGET, "n_chars", order_key=key
+    ).select("doc_id", "n_chars")
+
+
+def _funnel_sessioned_sql() -> str:
+    from bigdata_hits_spark.operators.events import SESSION_GAP_NS
+
+    a, b, c = FUNNEL_STEPS
+    return (
+        "WITH o AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events), "
+        "l AS (SELECT user_id, event_type, ts_ns, event_id, "
+        "LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS prev FROM o), "
+        "a AS (SELECT user_id, event_type, ts_ns, "
+        f"CAST(SUM(CASE WHEN prev IS NULL OR ts_ns - prev > {SESSION_GAP_NS} "
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+        "ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM l), "
+        f"s1 AS (SELECT user_id, session_idx, MIN(ts_ns) AS t_1 FROM a "
+        f"WHERE event_type = '{a}' GROUP BY user_id, session_idx), "
+        "s2 AS (SELECT a.user_id, a.session_idx, MIN(a.ts_ns) AS t_2 FROM a "
+        "JOIN s1 ON a.user_id = s1.user_id AND a.session_idx = s1.session_idx "
+        f"WHERE a.event_type = '{b}' AND a.ts_ns > s1.t_1 GROUP BY a.user_id, a.session_idx), "
+        "s3 AS (SELECT a.user_id, a.session_idx, MIN(a.ts_ns) AS t_3 FROM a "
+        "JOIN s2 ON a.user_id = s2.user_id AND a.session_idx = s2.session_idx "
+        f"WHERE a.event_type = '{c}' AND a.ts_ns > s2.t_2 GROUP BY a.user_id, a.session_idx) "
+        "SELECT s1.user_id, s1.session_idx, t_1, t_2, t_3, "
+        "1 + (CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END) AS n_steps "
+        "FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id AND s1.session_idx = s2.session_idx "
+        "LEFT JOIN s3 ON s1.user_id = s3.user_id AND s1.session_idx = s3.session_idx"
+    )
+
+
+@register("events_funnel_sessioned", _funnel_sessioned_sql())
+def q_events_funnel_sessioned(spark, sf_dir):
+    """The WITHIN-SESSION funnel — funnel_steps composed with the
+    sessionize assignment (operators/events.py funnel_steps_sessioned):
+    view -> click -> purchase must complete inside one 30-min-gap
+    session, one row per (user, session) containing a view.  The oracle
+    chains the events_sessionize window CTE into the events_funnel step
+    CTEs keyed by (user_id, session_idx)."""
+    from bigdata_hits_spark.operators.events import funnel_steps_sessioned
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return funnel_steps_sessioned(_events_us(spark, sf_dir), list(FUNNEL_STEPS))

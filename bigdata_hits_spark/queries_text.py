@@ -48,16 +48,21 @@ def q_text_token_count(spark, sf_dir):
 
 
 #: DuckDB twin of functions/text.py quality_score over (text, w) columns,
-#: rounded to 7 — shared with the quality NTILE gate in queries_postgate.
-QUALITY_SQL_EXPR = (
-    "ROUND(CAST("
+#: UNROUNDED — the form threshold filters use (Spark filters the raw
+#: double; see the clean-corpus composite in queries_postgate).
+QUALITY_RAW_SQL_EXPR = (
+    "CAST("
     "0.5 * LEAST(1.0, len(w) / 100.0) "
     f"+ 0.3 * (1.0 - len(list_filter(w, x -> x IN ({_sql_in(TX.STOPWORDS['en'])}))) "
     "/ (CASE WHEN len(w) > 0 THEN len(w) ELSE 1 END)) "
     "+ 0.2 * LEAST(1.0, ((length(text) - (len(w) - 1)) "
     "/ (CASE WHEN len(w) > 0 THEN len(w) ELSE 1 END)) / 8.0) "
-    "AS DOUBLE), 7)"
+    "AS DOUBLE)"
 )
+
+#: Rounded-to-7 form for value compares — shared with the quality NTILE
+#: gate in queries_postgate.
+QUALITY_SQL_EXPR = f"ROUND({QUALITY_RAW_SQL_EXPR}, 7)"
 
 
 @register(

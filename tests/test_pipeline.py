@@ -131,3 +131,26 @@ def test_resolve_entities_transitive_clusters(spark):
         "acme c0rpx": "acme c0rp",
         "zeta llc": "zeta llc",
     }
+
+
+def test_clean_corpus_oracle_quality_margin(spark, sf_dir, sf_dir_oracle):
+    """Fixture guard for the clean_corpus_docs declared row: the quality
+    floor filters the UNROUNDED double on both engines, whose last-ulp
+    arithmetic may differ — safe only while no document's quality sits
+    within float-accumulation distance of the threshold.  Assert the
+    margin at both test scales so a testdata refresh fails HERE with a
+    clear message, not as a driver-gate hash mismatch (the
+    test_lsh_oracle_fixture_dot_margin pattern)."""
+    from bigdata_hits_spark.functions.text import quality_score
+    from bigdata_hits_spark.queries_postgate import CLEAN_MIN_QUALITY
+
+    for d in (sf_dir, sf_dir_oracle):
+        docs = load_table(spark, d, "documents")
+        margin = docs.select(
+            F.min(F.abs(quality_score(F.col("text")) - F.lit(CLEAN_MIN_QUALITY))).alias("m")
+        ).first()["m"]
+        assert margin > 1e-9, (
+            f"{d}: a document's quality is within {margin:.2e} of the "
+            f"{CLEAN_MIN_QUALITY} floor; the clean_corpus_docs oracle would "
+            "be engine-ulp fragile — adjust CLEAN_MIN_QUALITY or the fixture"
+        )

@@ -259,94 +259,68 @@ def test_time_partitioned_scan_prunes(spark, sf_dir_oracle, tmp_path):
     assert q.count() == expect > 0
 
 
-def test_round4_declared_queries_plan_clean(spark, sf_dir_oracle):
-    """No round-4 query may plan a cartesian product or a
-    broadcast-nested-loop join — the scale guarantee stated in each
-    docstring, pinned here for the whole batch."""
+#: Broadcast-nested-loop allowance per declared query — every entry is a
+#: documented, deliberately-bounded build side; everything NOT listed is
+#: held to zero, so a future query that plans an accidental BNLJ (or any
+#: cartesian product anywhere) fails this file by default.
+#:
+#: Categories:
+#: - one-row scalar attach (crossJoin(broadcast(<1-row aggregate>)) —
+#:   plans/iterate.py normalized, ranks.py ntile_exact, profiling bounds,
+#:   bm25/tfidf n_docs, skew_report total): a BNLJ whose build side is
+#:   one row is a constant-fold, not a scale risk.  The ranking families
+#:   carry one per score-normalization (salsa normalizes hub AND auth
+#:   sides -> 2).
+#: - fixed tiny probe set (ann_cosine_topk's 5 pinned query vectors
+#:   against the corpus — the exact-baseline design, fan-out 5n).
+#: - embedding_neardup_pairs: the DELIBERATE all-pairs exact baseline
+#:   (exact=True-gated, similarity.py) — the one declared perf-weak row.
+_BNLJ_ALLOWED = {
+    # scalar attaches in the relational/stat surface
+    "grand_agg_l2": 1,
+    "scalar_normalize": 1,
+    "text_unigram_logprob": 1,
+    "quality_ntile_gate": 1,
+    "orders_price_window_stats": 1,
+    "skew_report": 1,
+    "orders_price_histogram": 1,
+    "text_bm25": 1,
+    "text_tfidf": 1,
+    "sparse_cosine_topk_docs": 1,
+    # per-iteration norm attach in the ranking families
+    "base_hits_k3": 1,
+    "weighted_hits_k3": 1,
+    "teleport_hits_k3": 1,
+    "topic_specific_hits_k3": 1,
+    "topic_exclusive_hits_k3": 1,
+    "query_dependent_hits_k3": 1,
+    "salsa_mutual_k3": 1,
+    "teleport_salsa_k3": 1,
+    "topic_specific_salsa_k3": 1,
+    "base_salsa": 2,
+    "weighted_salsa": 2,
+    "query_dependent_salsa": 2,
+    # fixed tiny probe set / deliberate exact baseline
+    "ann_cosine_topk": 1,
+    "embedding_neardup_pairs": 1,
+}
+
+
+def test_all_declared_queries_plan_clean(spark, sf_dir_oracle):
+    """EVERY declared query — current and future, auto-derived from the
+    registry instead of a per-round name list — must plan zero cartesian
+    products and no broadcast-nested-loop joins beyond its documented
+    allowance (_BNLJ_ALLOWED; default 0).  This is the scale guarantee
+    each docstring states, pinned for the whole surface at once."""
     from bigdata_hits_spark import queries as q
 
-    names = [
-        "chunk_documents",
-        "mixture_sample",
-        "profile_orders",
-        "events_sliding_agg",
-        "text_unigram_logprob",
-        "strip_boilerplate",
-        "repeated_span_coverage",
-        "remove_repeated_spans",
-        "rollup_orders_revenue",
-        "pivot_orders_priority",
-        "unpivot_lineitem_metrics",
-        "events_asof_tolerance",
-        "quality_ntile_gate",
-        "cube_orders_revenue",
-        "orders_moving_avg",
-        "range_join_price_bands",
-        "dedup_levenshtein_names",
-        "median_price_per_brand",
-        "graph_bfs_distance",
-        "events_json_props",
-        "lineitem_metric_stats",
-        "orders_price_rank",
-        "entity_resolution_names",
-        "orders_price_window_stats",
-        "weighted_sample_docs",
-        "orders_band_count_sweep",
-        "quality_top_frac_by_source",
-    ]
     reg = q.queries()
-    # unigram attaches its (total, vocab) one-row aggregate via
-    # crossJoin(broadcast(...)) — the engine's standard scalar-attach
-    # (plans/iterate.py normalized); a BNLJ whose build side is one row
-    # is a constant-fold, not a scale risk.  quality_ntile_gate's total-N
-    # attach (operators/ranks.py ntile_exact) is the same shape.  Exactly
-    # one is allowed there and zero anywhere else.
-    one_row_attach = {
-        "text_unigram_logprob",
-        "quality_ntile_gate",
-        "orders_price_window_stats",
-    }
-    for name in names:
-        plan = _plan(reg[name](spark, sf_dir_oracle))
-        assert "CartesianProduct" not in plan, name
-        allowed = 1 if name in one_row_attach else 0
-        assert plan.count("BroadcastNestedLoopJoin") <= allowed, name
-
-
-def test_round5_declared_queries_plan_clean(spark, sf_dir_oracle):
-    """Round-5 batch: no cartesian products, no broadcast-nested-loop
-    joins in any declared plan — same pin as the round-4 batch."""
-    from bigdata_hits_spark import queries as q
-
-    names = [
-        "embedding_neardup_lsh",
-        "skew_report",
-        "canonical_url_docs",
-        "sparse_cosine_topk_docs",
-        "salted_join_lineitem_supplier",
-        "orders_price_histogram",
-        "events_hourly_gapfill",
-        "text_bm25",
-        "events_funnel",
-        "events_cohort_retention",
-        "orders_snapshot_diff",
-        "quality_top_frac_skew_safe",
-        "graph_label_propagation_k6",
-    ]
-    # histogram attaches its one-row (min, width) bounds via
-    # crossJoin(broadcast(...)) — the engine's standard scalar attach;
-    # bm25's one-row (n_docs, avgdl), skew_report's one-row total, and
-    # the tfidf n_docs attach inside sparse retrieval's (pinned, single)
-    # postings evaluation are the same shape.
-    one_row_attach = {
-        "orders_price_histogram",
-        "text_bm25",
-        "skew_report",
-        "sparse_cosine_topk_docs",
-    }
-    reg = q.queries()
-    for name in names:
-        plan = _plan(reg[name](spark, sf_dir_oracle))
-        assert "CartesianProduct" not in plan, name
-        allowed = 1 if name in one_row_attach else 0
-        assert plan.count("BroadcastNestedLoopJoin") <= allowed, name
+    failures = []
+    for name, fn in reg.items():
+        plan = _plan(fn(spark, sf_dir_oracle))
+        cp = plan.count("CartesianProduct")
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        allowed = _BNLJ_ALLOWED.get(name, 0)
+        if cp or bnlj > allowed:
+            failures.append(f"{name}: cartesian={cp} bnlj={bnlj} allowed={allowed}")
+    assert not failures, "\n".join(failures)

@@ -374,3 +374,32 @@ class TestWeightedSample:
 
         with _pytest.raises(Exception, match="negative weight"):
             weighted_sample(df, "w", 1.0).collect()
+
+
+def test_sample_to_token_budget_custom_order_key(spark, sf_dir):
+    """order_key= swaps the permutation: survivors equal the prefix of
+    the md5-key order (cross-checked against a driver-side cumsum), and
+    the bucketed plan still matches the single-window form's rows."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    budget = 100_000
+    from bigdata_hits_spark.operators.sampling import sample_to_token_budget
+
+    got = {
+        r["doc_id"]
+        for r in sample_to_token_budget(docs, budget, "n_chars", order_key=key).collect()
+    }
+    rows = docs.collect()
+    order = sorted(
+        rows, key=lambda r: int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:15], 16)
+    )
+    cum, want = 0, set()
+    for r in order:
+        cum += r["n_chars"]
+        if cum <= budget:
+            want.add(r["doc_id"])
+    assert got == want and 0 < len(got) < len(rows)

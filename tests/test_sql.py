@@ -131,3 +131,34 @@ def test_cohort_retention_triangle(spark):
     got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
            for r in cohort_retention(df, grain_ns=D).collect()}
     assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_funnel_steps_sessioned_requires_same_session(spark):
+    """Within-session funnel: a conversion straddling a session gap does
+    NOT count; each (user, session) with a step-1 event gets its own
+    row; ordering inside the session stays strict."""
+    from bigdata_hits_spark.operators.events import funnel_steps_sessioned
+
+    gap = 1_000
+    rows = [
+        # u1 session 1: full in-session conversion
+        (1, 1, "view", 100), (1, 2, "click", 200), (1, 3, "purchase", 300),
+        # u1 session 2 (after the gap): view only
+        (1, 4, "view", 10_000),
+        # u2: views, then clicks in a LATER session — no conversion
+        (2, 5, "view", 100), (2, 6, "click", 50_000),
+        # u3: click before view inside one session — strict order holds
+        (3, 7, "click", 100), (3, 8, "view", 200), (3, 9, "click", 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_ns long"
+    )
+    got = {
+        (r["user_id"], r["session_idx"]): r
+        for r in funnel_steps_sessioned(df, ["view", "click", "purchase"], gap_ns=gap).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1), (3, 1)}
+    assert got[(1, 1)]["n_steps"] == 3
+    assert got[(1, 2)]["n_steps"] == 1
+    assert got[(2, 1)]["n_steps"] == 1 and got[(2, 1)]["t_2"] is None
+    assert got[(3, 1)]["n_steps"] == 2 and got[(3, 1)]["t_2"] == 300
