@@ -79,6 +79,11 @@ Beyond-reference pipeline jobs (no reference twin):
   join, written as parquet.
 - ``diff old.parquet new.parquet key1,key2`` — dataset-versioning CDC:
   inserted/deleted/changed rows between snapshots, written as parquet.
+- ``funnel events.parquet step1,step2[,...] [gap_s]`` — ordered
+  conversion funnel per user; with ``gap_s``, conversion must complete
+  within one gap-based session.
+- ``sample_budget docs.parquet budget token_col [group_col]`` —
+  deterministic token-budget cut (prefix of a fixed permutation).
 """
 
 from __future__ import annotations
@@ -437,6 +442,47 @@ def main(argv: list[str] | None = None) -> None:
             keys_arg.split(","),
         )
         out.write.mode("overwrite").parquet(os.path.join(out_dir, "diff"))
+    elif job == "funnel":
+        # funnel <events.parquet> <step1,step2[,...]> [gap_s] — ordered
+        # conversion funnel over (user_id, event_type, ts_ns[, event_id])
+        # rows; with gap_s the funnel must complete within one gap-based
+        # session (events.py funnel_steps_sessioned; needs event_id for
+        # the deterministic in-session order)
+        from bigdata_hits_spark.operators.events import (
+            funnel_steps,
+            funnel_steps_sessioned,
+        )
+
+        events_path = args.take()
+        steps_arg = args.take()
+        if events_path is None or steps_arg is None:
+            raise SystemExit("funnel needs an events parquet path and a step list")
+        usage = "funnel <events.parquet> <step1,step2[,...]> [gap_s]"
+        gap_s = args.take(int, None, usage=usage)
+        events = spark.read.parquet(events_path)
+        steps = steps_arg.split(",")
+        if gap_s is None:
+            out = funnel_steps(events, steps)
+        else:
+            out = funnel_steps_sessioned(events, steps, gap_ns=gap_s * 1_000_000_000)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, "funnel"))
+    elif job == "sample_budget":
+        # sample_budget <docs.parquet> <budget> <token_col> [group_col] —
+        # deterministic prefix-of-permutation cut whose token sum stays
+        # within budget (globally, or per group_col value)
+        from bigdata_hits_spark.operators.sampling import sample_to_token_budget
+
+        docs_path = args.take()
+        usage = "sample_budget <docs.parquet> <budget> <token_col> [group_col]"
+        budget = args.take(int, None, usage=usage)
+        token_col = args.take()
+        if docs_path is None or budget is None or token_col is None:
+            raise SystemExit(usage)
+        group_col = args.take()
+        out = sample_to_token_budget(
+            spark.read.parquet(docs_path), budget, token_col, group_col=group_col
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, "sample_budget"))
     elif job == "retrieve":
         # retrieve <docs.parquet> [k] [max_df] [qid1,qid2,...] — top-k
         # tf-idf-cosine neighbors per document via the inverted-index

@@ -147,7 +147,10 @@ def triangle_counts(
 #: 4.53s vs encoded 5.10s (encode cost > 3 rounds of long-key savings),
 #: k=8 string 11.4s vs encoded 8.76s (-23%); under multi-query memory
 #: pressure the encoded plan ties-or-wins even at k=3 (4.79 vs 4.97 min,
-#: 5.87 vs 7.49 worst).  Crossover ~k=4-5.
+#: 5.87 vs 7.49 worst).  Crossover ~k=4-5.  (Measured under the
+#: pre-round-6 two-stage round body; the fused deterministic-mode body
+#: — scripts/ab_lp_mode.py — improved BOTH regimes by ~28%, leaving the
+#: crossover shape unchanged.)
 _LP_ENCODE_MIN_K = 4
 
 
@@ -209,26 +212,22 @@ def label_propagation(
         "community", F.col("id")
     )
     for i in range(k):
-        nbr = (
+        # min-of-mode as ONE deterministic-mode aggregate: Spark's
+        # mode(col, deterministic=true) returns the LOWEST value among
+        # the most-frequent — exactly the loop's tiebreak — as a single
+        # ObjectHashAggregate (per-id count-map buffer, partial-merge
+        # capable).  This fuses the former two-stage body
+        # (groupBy(id, community) count -> per-id min(-freq, community)
+        # struct), replacing two hash-agg exchanges per round with one
+        # id-keyed exchange.  Interleaved A/B at sf0.1
+        # (scripts/ab_lp_mode.py, results asserted equal first):
+        # k=3 string 6.05s -> 4.37s, k=6 rank-encoded 8.37s -> 5.91s
+        # (~-28% both regimes; fused won every quiet-pass cell).
+        labels = (
             work.join(labels, work["b"] == labels["id"])
             .select(F.col("a").alias("id"), "community")
-            .groupBy("id", "community")
-            .agg(F.count(F.lit(1)).alias("freq"))
-        )
-        # min-of-mode as a struct-min aggregate (struct ordering: highest
-        # freq via negation, then smallest label) — partial-aggregatable,
-        # unlike a sort-based row_number window.
-        labels = (
-            nbr.groupBy("id")
-            .agg(
-                F.min(
-                    F.struct(
-                        (F.lit(0) - F.col("freq")).alias("neg_freq"),
-                        F.col("community").alias("community"),
-                    )
-                ).alias("best")
-            )
-            .select("id", F.col("best.community").alias("community"))
+            .groupBy("id")
+            .agg(F.mode("community", True).alias("community"))
         )
         # Unlike the ranking loop there is NO per-round driver scalar, so
         # rounds compose into one lazy plan and the whole propagation runs

@@ -324,3 +324,39 @@ def test_cli_diff(spark, tmp_path):
     got = {(r["status"], r["k"]) for r in
            spark.read.parquet(os.path.join(out, "diff")).collect()}
     assert got == {("deleted", 2), ("inserted", 3)}
+
+
+def test_cli_funnel_and_sample_budget(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            (1, 1, "view", 100), (1, 2, "click", 200),
+            (2, 3, "view", 100), (2, 4, "click", 2_000_000_000),
+        ],
+        "user_id long, event_id long, event_type string, ts_ns long",
+    )
+    src = str(tmp_path / "events.parquet")
+    events.write.parquet(src)
+    out = str(tmp_path / "out_funnel")
+    cli.main(["funnel", src, "view,click", "--out", out])
+    plain = {r["user_id"]: r["n_steps"] for r in
+             spark.read.parquet(os.path.join(out, "funnel")).collect()}
+    assert plain == {1: 2, 2: 2}
+    out2 = str(tmp_path / "out_funnel_sess")
+    cli.main(["funnel", src, "view,click", "1", "--out", out2])  # 1 s gap
+    sess = {r["user_id"]: r["n_steps"] for r in
+            spark.read.parquet(os.path.join(out2, "funnel")).collect()}
+    assert sess == {1: 2, 2: 1}  # u2's click is in a later session
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, n long"
+    )
+    dsrc = str(tmp_path / "docs.parquet")
+    docs.write.parquet(dsrc)
+    out3 = str(tmp_path / "out_budget")
+    cli.main(["sample_budget", dsrc, "500", "n", "--out", out3])
+    kept = spark.read.parquet(os.path.join(out3, "sample_budget"))
+    assert kept.count() == 50  # 500 / 10 tokens each
+
+    # bad numeric operand dies with a usage message, not a traceback
+    with pytest.raises(SystemExit, match="usage"):
+        cli.main(["funnel", src, "view,click", "1,2", "--out", out])
