@@ -770,3 +770,64 @@ def sparse_cosine_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+RRF_K0 = 60
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    qid_col: str = "qid",
+    cid_col: str = "cid",
+    score_col: str = "score",
+    k: int | None = None,
+    k0: int = RRF_K0,
+    digits: int = 7,
+) -> DataFrame:
+    """(qid, cid, rrf): reciprocal-rank fusion of N per-query rankings —
+    the standard way to combine heterogeneous retrievers (sparse BM25 +
+    dense ANN, multiple embedding spaces) without score calibration
+    (Cormack/Clarke/Buettcher, SIGIR'09): each list contributes
+    ``1/(k0 + rank)`` for a candidate, summed across lists, so a
+    candidate ranked well ANYWHERE surfaces while absent lists simply
+    contribute nothing.
+
+    Ranks are per-(list, qid) ``row_number`` over (score desc, cid asc)
+    — the deterministic tiebreak used retrieval-wide here — so fusion is
+    reproducible across engines/partitionings.  ``k`` optionally keeps
+    the top-k fused candidates per query (same window discipline as
+    :func:`sparse_cosine_topk`).
+
+    Scale: per-list windows partition on qid (per-query candidate lists
+    are k-bounded by construction upstream), the union is
+    candidates-sized, and the fusion is one (qid, cid) hash-agg — no
+    joins between rankings, no all-pairs anything.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = []
+    for df in rankings:
+        w = Window.partitionBy(qid_col).orderBy(
+            F.desc(score_col), F.asc(cid_col)
+        )
+        parts.append(
+            df.select(
+                F.col(qid_col).alias("qid"),
+                F.col(cid_col).alias("cid"),
+                (F.lit(1.0) / (F.lit(k0) + F.row_number().over(w))).alias("__c"),
+            )
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy("qid", "cid").agg(
+        F.round(F.sum("__c"), digits).alias("rrf")
+    )
+    if k is not None:
+        w_out = Window.partitionBy("qid").orderBy(F.desc("rrf"), F.asc("cid"))
+        fused = (
+            fused.withColumn("__rn", F.row_number().over(w_out))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return fused

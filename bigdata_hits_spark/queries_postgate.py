@@ -1835,3 +1835,49 @@ def q_events_funnel_sessioned(spark, sf_dir):
     from bigdata_hits_spark.queries_events import _events_us
 
     return funnel_steps_sessioned(_events_us(spark, sf_dir), list(FUNNEL_STEPS))
+
+
+RRF_DEMO_K = 5
+
+
+def _rrf_sql() -> str:
+    from bigdata_hits_spark.operators.similarity import RRF_K0
+
+    return (
+        "WITH r1 AS (SELECT o_custkey AS qid, o_orderkey AS cid, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC) AS r FROM orders), "
+        "r2 AS (SELECT o_custkey AS qid, o_orderkey AS cid, "
+        "ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate DESC, o_orderkey ASC) AS r FROM orders), "
+        f"u AS (SELECT qid, cid, 1.0 / ({RRF_K0} + r) AS c FROM r1 "
+        f"UNION ALL SELECT qid, cid, 1.0 / ({RRF_K0} + r) AS c FROM r2), "
+        "f AS (SELECT qid, cid, ROUND(SUM(c), 7) AS rrf FROM u GROUP BY qid, cid) "
+        "SELECT qid, cid, rrf FROM f "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, cid ASC) <= {RRF_DEMO_K}"
+    )
+
+
+@register("rrf_fuse_orders", _rrf_sql())
+def q_rrf_fuse_orders(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/similarity.py rrf_fuse) under a
+    full oracle: two per-customer order rankings — by total price and by
+    order date — fused via 1/(k0 + rank) sums, top-RRF_DEMO_K per
+    customer.  The demo rankings are relational (exact ranks on both
+    engines), but the operator is the retrieval-fusion step: feed it
+    sparse_cosine_topk + ann lists to combine lexical and dense
+    retrieval without score calibration."""
+    from bigdata_hits_spark.operators.similarity import rrf_fuse
+
+    orders = load_table(spark, sf_dir, "orders")
+    by_price = orders.select(
+        F.col("o_custkey").alias("qid"),
+        F.col("o_orderkey").alias("cid"),
+        F.col("o_totalprice").alias("score"),
+    )
+    by_date = orders.select(
+        F.col("o_custkey").alias("qid"),
+        F.col("o_orderkey").alias("cid"),
+        F.col("o_orderdate").alias("score"),
+    )
+    return rrf_fuse([by_price, by_date], k=RRF_DEMO_K)

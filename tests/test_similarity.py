@@ -394,3 +394,32 @@ def test_lsh_oracle_fixture_dot_margin(sf_dir_oracle):
         "hyperplane; the embedding_neardup_lsh oracle would be "
         "engine-order fragile — regenerate or re-seed the fixture"
     )
+
+
+def test_rrf_fuse_math_and_topk(spark):
+    """RRF = sum of 1/(k0+rank) across lists; candidates absent from a
+    list contribute nothing there; per-query top-k keeps the best fused
+    scores with the cid tiebreak."""
+    r1 = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)], "qid long, cid long, score double"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 11, 5.0), (1, 13, 4.0)], "qid long, cid long, score double"
+    )
+    got = {r["cid"]: r["rrf"] for r in SIM.rrf_fuse([r1, r2], k0=60).collect()}
+    assert got[11] == round(1 / 62 + 1 / 61, 7)  # rank 2 in r1, rank 1 in r2
+    assert got[10] == round(1 / 61, 7)
+    assert got[12] == round(1 / 63, 7)
+    assert got[13] == round(1 / 62, 7)
+    top2 = {r["cid"] for r in SIM.rrf_fuse([r1, r2], k=2, k0=60).collect()}
+    assert top2 == {11, 10}  # 11 fused highest, then 10 (1/61 > 1/62 ties none)
+
+
+def test_rrf_fuse_rank_ties_break_on_cid(spark):
+    """Equal scores rank by cid asc — the deterministic retrieval-wide
+    tiebreak — so fusion is reproducible across partitionings."""
+    r1 = spark.createDataFrame(
+        [(1, 20, 1.0), (1, 10, 1.0)], "qid long, cid long, score double"
+    )
+    got = {r["cid"]: r["rrf"] for r in SIM.rrf_fuse([r1], k0=60).collect()}
+    assert got[10] == round(1 / 61, 7) and got[20] == round(1 / 62, 7)
