@@ -1,0 +1,202 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+This is the centroid-TRAINING step that the IVF ANN index assumes
+(``operators/similarity.py ivf_centroids`` runs exactly one refinement
+pass over sampled seeds); a real 100 TB pipeline trains the coarse
+quantizer properly — k centroids, a few Lloyd iterations — then hands
+the centroid matrix to IVF for bucketed search, or uses the cluster ids
+directly for corpus partitioning / topic bucketing / stratified mixing.
+
+Scale design (the part that matters at 1000 executors):
+
+- **Assignment is a pure projection.**  The k centroids are literals
+  inlined into ONE ``array_min(array(struct(dist_j, j), ...))``
+  expression — no shuffle, no UDF, no join; whole-stage codegen over the
+  scan.  Distances accumulate via a sequential ``aggregate`` fold
+  (deterministic left-to-right order) and are rounded to ``digits`` so
+  the argmin is engine-portable.
+- **Recompute is one map-side-combined hash-agg per iteration.**
+  ``posexplode`` fans each row to ``dim`` (cluster, i, x) triples, but
+  partial aggregation collapses them to k*dim partials per task before
+  the exchange — the shuffle moves O(k * dim * partitions) rows, never
+  O(rows * dim).
+- **Driver state is O(k * dim) doubles per iteration** (the collected
+  means) — the same bounded-scalar discipline as the ranking families'
+  per-iteration norm.  Nothing row-sized is ever collected.
+- **Lineage stays O(1) deep**: each iteration's assignment expression
+  references literal centroids, not the previous iteration's DataFrame,
+  so there is no growing plan to checkpoint.
+
+The literal-expression argmin budgets k * dim terms of generated code;
+past ``KMEANS_MAX_EXPR_TERMS`` (codegen-hostile territory) it refuses
+and points at the Arrow-batched matmul path (``similarity._assign_udf``)
+that IVF already uses for its big-k regime.
+
+Determinism / oracle portability: seeds are the vectors of the k
+smallest ids; every distance and every centroid mean is rounded to
+``digits`` decimals on BOTH engines, so cross-engine float-sum-order
+differences (~1e-12) vanish at the round — the same discipline as the
+rounded-cosine verify in operators/similarity.py, guarded the same way
+(tests assert the fixture clears the rounding boundaries and the
+best-vs-second-best gap by wide margins).
+
+The reference engine (JustAToaster/BigData_HITS) has no clustering
+surface; this module belongs to the training-data-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Rounding applied to distances and centroid means — 6 decimals keeps
+#: the values engine-portable (float-sum-order diffs are ~1e-12) while
+#: staying far above double noise for unit-scale embeddings.
+KMEANS_DIGITS = 6
+
+#: Ceiling on k * dim for the literal-expression assignment path.  Each
+#: term is a handful of generated-code ops; past ~20k terms the
+#: projection stops fitting whole-stage codegen budgets and the
+#: Arrow-batched matmul assignment (similarity._assign_udf, the IVF
+#: path) is the right tool.
+KMEANS_MAX_EXPR_TERMS = 20_000
+
+
+@dataclass
+class KMeansResult:
+    """``assignments`` is (id, cluster, dist) — dist is the rounded
+    squared L2 distance to the winning centroid.  ``centroids`` maps
+    cluster id -> centroid vector (clusters that lost every point keep
+    their id but drop from the map, so ids are stable across
+    iterations)."""
+
+    assignments: DataFrame
+    centroids: dict[int, list[float]]
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _sq_dist(vec: Column, centroid: list[float], digits: int) -> Column:
+    """Rounded squared-L2 distance to a LITERAL centroid — a sequential
+    left-to-right fold, so the accumulation order is deterministic."""
+    lits = F.array(*[F.lit(float(c)) for c in centroid])
+    sq = F.zip_with(vec, lits, lambda a, b: (a - b) * (a - b))
+    return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), digits)
+
+
+def _choice(vec: Column, centroids: dict[int, list[float]], digits: int) -> Column:
+    """struct(dist, cluster) of the nearest centroid: ``array_min`` over
+    structs is lexicographic, so ties break to the smallest cluster id —
+    the retrieval-wide deterministic tiebreak."""
+    return F.array_min(
+        F.array(
+            *[
+                F.named_struct(
+                    F.lit("dist"), _sq_dist(vec, c, digits),
+                    F.lit("cluster"), F.lit(int(j)),
+                )
+                for j, c in sorted(centroids.items())
+            ]
+        )
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = KMEANS_DIGITS,
+) -> DataFrame:
+    """(id, cluster, dist): nearest-centroid assignment as a PURE
+    projection — centroid literals inlined, no shuffle, no UDF.  This is
+    also the serving-side primitive: route new documents to a trained
+    partitioning without touching the training corpus."""
+    if not centroids:
+        raise ValueError("assign_clusters needs at least one centroid")
+    dims = {len(c) for c in centroids.values()}
+    if len(dims) != 1:
+        raise ValueError(f"centroid dimensions disagree: {sorted(dims)}")
+    n_terms = len(centroids) * dims.pop()
+    if n_terms > KMEANS_MAX_EXPR_TERMS:
+        raise ValueError(
+            f"assign_clusters: k*dim = {n_terms} literal terms exceeds "
+            f"KMEANS_MAX_EXPR_TERMS={KMEANS_MAX_EXPR_TERMS}; at this k use "
+            "the Arrow-batched matmul assignment (operators/similarity.py "
+            "_assign_udf, the IVF path) instead of codegen literals"
+        )
+    ch = _choice(_as_double(vec_col), centroids, digits)
+    return df.select(
+        F.col(id_col),
+        ch["cluster"].alias("cluster"),
+        ch["dist"].alias("dist"),
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    digits: int = KMEANS_DIGITS,
+    seed_ids: list | None = None,
+) -> KMeansResult:
+    """Lloyd's k-means: ``iters`` assignment steps with a centroid
+    update between consecutive ones (so ``iters=1`` is plain
+    nearest-seed assignment).  Seeds are the vectors of the k smallest
+    ids (or ``seed_ids``, in the given order) — deterministic by
+    construction; for quality-sensitive init at scale, pass the output
+    of a k-means||-style sampler as ``seed_ids``.
+
+    A cluster that loses every point keeps its id but drops out (its
+    centroid is undefined); remaining ids never renumber.
+
+    Cost per iteration: one scan of the pinned (id, vec) projection +
+    one map-side-combined hash-agg collecting k*dim rounded means to the
+    driver.  The final assignment is returned LAZY (a projection over
+    the pinned points), so callers compose it without forcing a job.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    # Pin the projected points: scanned once per iteration plus the
+    # final assignment — unpinned, each scan would replan the source.
+    pts = df.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).localCheckpoint(eager=False)
+    if seed_ids is None:
+        seed_rows = pts.orderBy("__id").limit(k).collect()
+        if len(seed_rows) < k:
+            raise ValueError(f"k={k} but corpus has only {len(seed_rows)} rows")
+        centroids = {j: list(r["__v"]) for j, r in enumerate(seed_rows)}
+    else:
+        if len(seed_ids) != k:
+            raise ValueError(f"seed_ids has {len(seed_ids)} ids, expected k={k}")
+        rows = {r["__id"]: list(r["__v"]) for r in pts.filter(F.col("__id").isin(list(seed_ids))).collect()}
+        missing = [s for s in seed_ids if s not in rows]
+        if missing:
+            raise ValueError(f"seed ids not found in corpus: {missing}")
+        centroids = {j: rows[s] for j, s in enumerate(seed_ids)}
+    for _ in range(iters - 1):
+        ch = _choice(F.col("__v"), centroids, digits)
+        means = (
+            pts.select(ch["cluster"].alias("__c"), F.posexplode("__v").alias("__i", "__x"))
+            .groupBy("__c", "__i")
+            .agg(F.round(F.avg("__x"), digits).alias("__m"))
+            .collect()
+        )
+        updated: dict[int, list[float]] = {}
+        for r in means:
+            updated.setdefault(r["__c"], [0.0] * len(next(iter(centroids.values()))))[
+                r["__i"]
+            ] = r["__m"]
+        centroids = updated
+    out = assign_clusters(pts, centroids, id_col="__id", vec_col="__v", digits=digits)
+    return KMeansResult(
+        assignments=out.withColumnRenamed("__id", id_col), centroids=centroids
+    )

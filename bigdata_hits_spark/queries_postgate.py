@@ -1881,3 +1881,71 @@ def q_rrf_fuse_orders(spark, sf_dir):
         F.col("o_orderdate").alias("score"),
     )
     return rrf_fuse([by_price, by_date], k=RRF_DEMO_K)
+
+
+# --- round 6: distributed k-means under a full unrolled-CTE oracle --------
+#
+# The centroid-training step the IVF index assumes (operators/
+# clustering.py): Lloyd's iterations with literal-centroid projection
+# assignment and one map-side-combined hash-agg recompute per round.
+# The oracle unrolls the SAME trajectory as CTE rounds: seeds = vectors
+# of the k smallest vec_ids, squared-L2 distances ROUNDed to 6, argmin
+# with the smallest-cluster tiebreak, centroid means ROUNDed to 6 —
+# every cross-engine float value passes through a shared round, the
+# rounded-cosine discipline.  tests/test_clustering.py guards the
+# fixture: best-vs-second-best distance gaps and distance/mean values
+# must clear the rounding boundaries by wide margins, so a testdata
+# refresh that lands near a boundary fails THERE, loudly.
+
+KMEANS_Q_K = 4
+KMEANS_Q_ITERS = 3
+
+
+def _kmeans_sql(k: int = KMEANS_Q_K, iters: int = KMEANS_Q_ITERS) -> str:
+    ctes = [
+        "el AS MATERIALIZED (SELECT vec_id, CAST(x AS DOUBLE) AS x, i - 1 AS i0 "
+        "FROM (SELECT vec_id, unnest(embedding) AS x, "
+        "generate_subscripts(embedding, 1) AS i FROM embeddings))",
+        f"seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c "
+        f"FROM (SELECT DISTINCT vec_id FROM el ORDER BY vec_id LIMIT {k}))",
+        "c0 AS MATERIALIZED (SELECT s.c, e.i0, e.x AS cx "
+        "FROM seeds s JOIN el e ON e.vec_id = s.vec_id)",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT e.vec_id, c.c, "
+            "ROUND(SUM((e.x - c.cx) * (e.x - c.cx)), 6) AS dist "
+            f"FROM el e JOIN {prev} c ON c.i0 = e.i0 GROUP BY e.vec_id, c.c)"
+        )
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT vec_id, c, dist FROM "
+            "(SELECT vec_id, c, dist, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d{t}) WHERE rn = 1)"
+        )
+        if t < iters:
+            ctes.append(
+                f"c{t} AS MATERIALIZED (SELECT a.c, e.i0, ROUND(AVG(e.x), 6) AS cx "
+                f"FROM a{t} a JOIN el e ON e.vec_id = a.vec_id GROUP BY a.c, e.i0)"
+            )
+            prev = f"c{t}"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT vec_id, c AS cluster, dist FROM a{iters}"
+    )
+
+
+@register("kmeans_embeddings", _kmeans_sql())
+def q_kmeans_embeddings(spark, sf_dir):
+    """Lloyd's k-means on the embeddings corpus (operators/clustering.py
+    kmeans): KMEANS_Q_ITERS assignment steps, centroid updates between
+    them, seeds = the KMEANS_Q_K smallest vec_ids.  Output is the final
+    (vec_id, cluster, dist) assignment — dist the rounded squared-L2 to
+    the winning centroid — proven against a DuckDB twin that unrolls the
+    identical trajectory as CTE rounds.  Assignment is a shuffle-free
+    literal-centroid projection; each update is one map-side-combined
+    hash-agg collecting k*dim rounded means (O(1) driver state)."""
+    from bigdata_hits_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans(emb, KMEANS_Q_K, iters=KMEANS_Q_ITERS).assignments
