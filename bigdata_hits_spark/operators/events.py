@@ -262,3 +262,74 @@ def sessionize(events: DataFrame, gap_ns: int = SESSION_GAP_NS) -> DataFrame:
         F.expr("min(ts_ns) div 1000000000").alias("start_s"),
         F.expr("max(ts_ns) div 1000000000").alias("end_s"),
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ns",
+    id_col: str = "event_id",
+    digits: int = 6,
+) -> DataFrame:
+    """(prev_type, next_type, n, p): first-order Markov transition
+    matrix of per-user event sequences — the behavior-modeling /
+    next-event-prediction primitive ("after a view, 31% of next actions
+    are clicks").  ``p`` is the row-normalized probability
+    n / sum(n over prev_type), rounded.
+
+    Each user's first event has no predecessor and contributes no pair.
+    Ordering is (ts, event_id) — the deterministic event-stream
+    tiebreak used by sessionize and the funnels.
+
+    Plan: one user-keyed window (the same single shuffle shape as
+    sessionize — skew bounded by the busiest user), a hash-agg down to
+    |types|^2 rows, and a tiny window over that result for the row
+    normalization — nothing event-sized ever joins anything."""
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"),
+        F.col(type_col).alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(w_row), digits)
+    )
+
+
+def hourly_anomalies(
+    events: DataFrame, z_threshold: float = 2.0, digits: int = 6
+) -> DataFrame:
+    """(event_type, bucket_hour, n, z): hours whose event count is a
+    z-score outlier for that type — |z| >= ``z_threshold`` against the
+    type's mean/stddev over its GAP-FILLED hourly grid (quiet hours
+    count as zero; computing moments over only the busy hours would
+    understate variance and miss every dropout-style anomaly).  The
+    monitoring primitive behind "did ingestion stall / spike this
+    hour".
+
+    z is rounded before the threshold compare, so the cut is
+    engine-portable; a constant series (stddev 0) has no outliers by
+    definition and is excluded by an explicit ``sigma > 0`` filter
+    (ANSI mode would otherwise throw on the division).
+
+    Plan: the gap-filled rollup (events shuffle once, grid fan-out is
+    span-bounded) pinned so its moment aggregate and the final join
+    share one evaluation; the per-type moments relation is
+    type-count-sized and joins broadcast-small against the grid."""
+    grid = hourly_counts_gapfilled(events).localCheckpoint(eager=False)
+    stats = grid.groupBy("event_type").agg(
+        F.avg("n").alias("__mu"), F.stddev("n").alias("__sigma")
+    )
+    return (
+        grid.join(stats, "event_type")
+        .filter(F.col("__sigma") > 0)
+        .withColumn(
+            "z", F.round((F.col("n") - F.col("__mu")) / F.col("__sigma"), digits)
+        )
+        .filter(F.abs(F.col("z")) >= F.lit(float(z_threshold)))
+        .select("event_type", "bucket_hour", "n", "z")
+    )

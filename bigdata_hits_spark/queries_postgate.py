@@ -1949,3 +1949,69 @@ def q_kmeans_embeddings(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans(emb, KMEANS_Q_K, iters=KMEANS_Q_ITERS).assignments
+
+
+# --- round 6: event-sequence analytics ------------------------------------
+
+
+def _transitions_sql() -> str:
+    return (
+        "WITH seq AS (SELECT user_id, event_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY epoch_ns(ts), event_id) AS prev_type FROM events), "
+        "c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n "
+        "FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2) "
+        "SELECT prev_type, next_type, n, "
+        "ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p "
+        "FROM c"
+    )
+
+
+@register("events_transition_matrix", _transitions_sql())
+def q_events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix of per-user event sequences
+    (operators/events.py transition_counts): (prev_type, next_type, n,
+    row-normalized p) over the (ts, event_id)-ordered stream — the
+    next-event-prediction / behavior-modeling primitive.  One user-keyed
+    window shuffle, then |types|^2-sized aggregates."""
+    from bigdata_hits_spark.operators.events import transition_counts
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return transition_counts(_events_us(spark, sf_dir))
+
+
+ANOMALY_Z = 2.0
+
+
+def _anomaly_sql() -> str:
+    from bigdata_hits_spark.operators.events import HOUR_NS
+
+    return (
+        f"WITH h AS (SELECT epoch_ns(ts) // {HOUR_NS} AS bucket_hour, "
+        "event_type, COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        "s AS (SELECT event_type, MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi "
+        "FROM h GROUP BY event_type), "
+        "g AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket_hour FROM s), "
+        "grid AS (SELECT g.bucket_hour, g.event_type, COALESCE(h.n, 0) AS n "
+        "FROM g LEFT JOIN h ON h.event_type = g.event_type "
+        "AND h.bucket_hour = g.bucket_hour), "
+        "st AS (SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sigma "
+        "FROM grid GROUP BY event_type) "
+        "SELECT grid.event_type, bucket_hour, n, "
+        "ROUND((n - mu) / sigma, 6) AS z "
+        "FROM grid JOIN st ON st.event_type = grid.event_type "
+        f"WHERE sigma > 0 AND ABS(ROUND((n - mu) / sigma, 6)) >= {ANOMALY_Z}"
+    )
+
+
+@register("events_hourly_anomaly", _anomaly_sql())
+def q_events_hourly_anomaly(spark, sf_dir):
+    """Hourly ingestion anomalies (operators/events.py
+    hourly_anomalies): hours whose count is a |z| >= ANOMALY_Z outlier
+    for its event type, moments taken over the GAP-FILLED grid so quiet
+    hours depress the mean instead of vanishing.  z rounds before the
+    threshold compare — the engine-portable cut."""
+    from bigdata_hits_spark.operators.events import hourly_anomalies
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return hourly_anomalies(_events_us(spark, sf_dir), z_threshold=ANOMALY_Z)

@@ -1,0 +1,91 @@
+"""Unit tests for the round-6 event-sequence operators: Markov
+transition counts and z-score hourly anomalies (operators/events.py)."""
+
+import statistics
+
+from pyspark.sql import functions as F
+
+from bigdata_hits_spark.operators.events import (
+    HOUR_NS,
+    hourly_anomalies,
+    transition_counts,
+)
+
+
+def _ev(spark, rows):
+    """rows: (event_id, ts_ns, user_id, event_type, value)"""
+    return spark.createDataFrame(
+        rows, "event_id long, ts_ns long, user_id long, event_type string, value double"
+    )
+
+
+def test_transition_counts_pairs_and_row_normalization(spark):
+    rows = [
+        # user 1: A -> B -> A
+        (1, 100, 1, "A", 0.0),
+        (2, 200, 1, "B", 0.0),
+        (3, 300, 1, "A", 0.0),
+        # user 2: A -> B  (first events never contribute a pair)
+        (4, 100, 2, "A", 0.0),
+        (5, 200, 2, "B", 0.0),
+        # user 3: same-ts tie broken by event_id => C -> D
+        (6, 500, 3, "C", 0.0),
+        (7, 500, 3, "D", 0.0),
+    ]
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in transition_counts(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        ("A", "B"): (2, 1.0),
+        ("B", "A"): (1, 1.0),
+        ("C", "D"): (1, 1.0),
+    }
+
+
+def test_transition_counts_p_splits_rows(spark):
+    rows = [
+        (1, 100, 1, "A", 0.0),
+        (2, 200, 1, "B", 0.0),
+        (3, 100, 2, "A", 0.0),
+        (4, 200, 2, "C", 0.0),
+        (5, 100, 3, "A", 0.0),
+        (6, 200, 3, "C", 0.0),
+    ]
+    got = {
+        (r["prev_type"], r["next_type"]): r["p"]
+        for r in transition_counts(_ev(spark, rows)).collect()
+    }
+    assert got == {("A", "B"): round(1 / 3, 6), ("A", "C"): round(2 / 3, 6)}
+
+
+def test_hourly_anomalies_flags_spike_against_gapfilled_moments(spark):
+    """One event in hours 0..9 of type x, except: hour 3 is EMPTY (the
+    gap-filled grid must supply its zero) and hour 5 has a 12-event
+    spike.  Only the spike clears |z| >= 2, and its z matches the
+    sample-stddev moments over the dense grid."""
+    rows = []
+    eid = 0
+    for h in range(10):
+        if h == 3:
+            continue
+        burst = 12 if h == 5 else 1
+        for _ in range(burst):
+            rows.append((eid, h * HOUR_NS + eid, 1, "x", 0.0))
+            eid += 1
+    counts = [1, 1, 1, 0, 1, 12, 1, 1, 1, 1]
+    mu = statistics.mean(counts)
+    sigma = statistics.stdev(counts)
+    expect_z = round((12 - mu) / sigma, 6)
+    assert abs((0 - mu) / sigma) < 2  # the gap itself is not an outlier here
+    out = hourly_anomalies(_ev(spark, rows), z_threshold=2.0).collect()
+    assert [(r["event_type"], r["bucket_hour"], r["n"], r["z"]) for r in out] == [
+        ("x", 5, 12, expect_z)
+    ]
+
+
+def test_hourly_anomalies_constant_series_yields_nothing(spark):
+    """stddev 0 => NULL z => excluded by the threshold compare, not a
+    divide-by-zero."""
+    rows = [(h, h * HOUR_NS, 1, "x", 0.0) for h in range(6)]
+    assert hourly_anomalies(_ev(spark, rows), z_threshold=0.0).count() == 0
