@@ -84,6 +84,9 @@ Beyond-reference pipeline jobs (no reference twin):
   within one gap-based session.
 - ``sample_budget docs.parquet budget token_col [group_col]`` —
   deterministic token-budget cut (prefix of a fixed permutation).
+- ``cluster embeddings.parquet k [iters] [id_col] [vec_col]`` —
+  distributed Lloyd's k-means; (id, cluster, dist) assignments written
+  as parquet.
 """
 
 from __future__ import annotations
@@ -506,6 +509,26 @@ def main(argv: list[str] | None = None) -> None:
         sparse_cosine_topk(
             tfidf(docs), queries_df, k=k, max_df=max_df
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "retrieve"))
+    elif job == "cluster":
+        # cluster <embeddings.parquet> <k> [iters] [id_col] [vec_col] —
+        # distributed Lloyd's k-means (operators/clustering.py): the
+        # IVF-centroid-training / corpus-partitioning step.
+        from bigdata_hits_spark.operators.clustering import kmeans
+
+        src = args.take()
+        usage = "cluster <embeddings.parquet> <k> [iters] [id_col] [vec_col]"
+        k = args.take(int, None, usage=usage)
+        if src is None or k is None:
+            raise SystemExit(usage)
+        iters = args.take(int, 3, usage=usage)
+        id_col = args.take(str, "vec_id")
+        vec_col = args.take(str, "embedding")
+        res = kmeans(
+            spark.read.parquet(src), k, id_col=id_col, vec_col=vec_col, iters=iters
+        )
+        res.assignments.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "cluster")
+        )
     elif job == "split_corpus":
         # split_corpus <docs.parquet> <key_col> [name=frac,name=frac,...]
         from bigdata_hits_spark.operators.sampling import deterministic_split

@@ -360,3 +360,25 @@ def test_cli_funnel_and_sample_budget(spark, tmp_path):
     # bad numeric operand dies with a usage message, not a traceback
     with pytest.raises(SystemExit, match="usage"):
         cli.main(["funnel", src, "view,click", "1,2", "--out", out])
+
+
+def test_cli_cluster(spark, tmp_path):
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [
+            (0, [0.0, 0.1]),
+            (1, [10.0, 10.0]),
+            (2, [0.1, 0.0]),
+            (3, [9.9, 10.1]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(src)
+    out = str(tmp_path / "out_cluster")
+    cli.main(["cluster", src, "2", "3", "--out", out])
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(os.path.join(out, "cluster")).collect()
+    }
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+    with pytest.raises(SystemExit, match="usage"):
+        cli.main(["cluster", src, "not_a_number", "--out", out])
