@@ -200,3 +200,124 @@ def kmeans(
     return KMeansResult(
         assignments=out.withColumnRenamed("__id", id_col), centroids=centroids
     )
+
+
+def kmeans_parallel_seeds(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 4,
+    oversample: int | None = None,
+    seed: int = 0,
+    digits: int = KMEANS_DIGITS,
+) -> list:
+    """k-means|| seeding (Bahmani et al., VLDB'12) made DETERMINISTIC:
+    returns k corpus ids to pass as ``kmeans(seed_ids=...)``.  First-k-id
+    seeding is oracle-friendly but quality-blind — on a corpus whose
+    smallest ids share a source, every seed lands in one region and
+    Lloyd's converges to a lopsided partition.  k-means|| fixes init
+    quality with O(rounds) passes instead of k-means++'s k sequential
+    ones.
+
+    Per round: distances to the current candidate set are a literal
+    projection (same machinery as assignment), the total cost phi is ONE
+    collected scalar, and each point self-selects with probability
+    min(1, oversample * d^2 / phi) — the coin is the repo's portable
+    md5-derived uniform of (seed, round, id), a pure function of the
+    data, so the candidate set is identical across partitionings, runs,
+    and engines.  Expected draw is ``oversample`` (default 2k) rows per
+    round; a defensive ``limit(8 * oversample)`` on the smallest-id
+    order bounds the collect even on adversarial distance
+    concentrations.
+
+    Final reduction: candidates are weighted by how many points they
+    attract (one candidate-bounded agg), then k of them are chosen
+    driver-side by weighted farthest-first traversal (greedy max of
+    weight * d^2 to the chosen set; ties to the smallest id) — the
+    deterministic stand-in for weighted k-means++'s random recluster.
+
+    Everything collected is candidate-sized (~rounds * oversample rows),
+    never corpus-sized."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    l = int(oversample) if oversample is not None else 2 * k
+    if l < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    pts = df.select(
+        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
+    ).localCheckpoint(eager=False)
+    first = pts.orderBy("__id").limit(1).collect()
+    if not first:
+        raise ValueError("kmeans_parallel_seeds: empty corpus")
+    cand: dict = {first[0]["__id"]: list(first[0]["__v"])}
+
+    def _u(r: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(seed), F.lit(r), F.col("__id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(1 << 32))
+        )
+
+    for r in range(rounds):
+        dist = _choice(
+            F.col("__v"), dict(enumerate(cand.values())), digits
+        )["dist"]
+        phi = pts.agg(F.sum(dist)).first()[0]
+        if not phi:  # every point IS a candidate already
+            break
+        p = F.least(F.lit(1.0), F.lit(float(l)) * dist / F.lit(float(phi)))
+        drawn = (
+            pts.filter(~F.col("__id").isin(list(cand)))
+            .filter(_u(r) < p)
+            .orderBy("__id")
+            .limit(8 * l)
+            .collect()
+        )
+        for row in drawn:
+            cand[row["__id"]] = list(row["__v"])
+    ids = sorted(cand)
+    if len(ids) < k:
+        raise ValueError(
+            f"kmeans_parallel_seeds drew only {len(ids)} candidates for k={k}; "
+            "raise rounds or oversample (or the corpus has fewer than k rows)"
+        )
+    if len(ids) == k:
+        return ids
+    # weight candidates by attraction (candidate-bounded agg) ...
+    idx_vecs = dict(enumerate(cand[i] for i in ids))
+    ch = _choice(F.col("__v"), idx_vecs, digits)
+    weights_rows = (
+        pts.select(ch["cluster"].alias("__c"))
+        .groupBy("__c")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .collect()
+    )
+    w = {ids[r["__c"]]: r["__w"] for r in weights_rows}
+    # ... then weighted farthest-first down to k, driver-side
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    start = max(ids, key=lambda i: (w.get(i, 0), -i))
+    chosen = [start]
+    while len(chosen) < k:
+        best = max(
+            (i for i in ids if i not in chosen),
+            key=lambda i: (
+                w.get(i, 0) * min(sq(cand[i], cand[c]) for c in chosen),
+                -i,
+            ),
+        )
+        chosen.append(best)
+    return sorted(chosen)

@@ -135,3 +135,46 @@ def test_kmeans_oracle_fixture_margins(sf_dir_oracle):
             C = _round6(means)
     assert min_gap > 1e-4, f"best-vs-second distance gap {min_gap} too small"
     assert min_boundary > 1e-12, f"value within {min_boundary} of a round-6 boundary"
+
+
+def test_kmeans_parallel_seeds_deterministic_and_composable(spark, sf_dir_oracle):
+    """The md5-coin candidate draw is a pure function of the data: the
+    seed ids are identical under a different partitioning, there are
+    exactly k of them, and they feed kmeans(seed_ids=...) directly."""
+    from bigdata_hits_spark.operators.clustering import kmeans_parallel_seeds
+    from bigdata_hits_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir_oracle, "embeddings")
+    ids = kmeans_parallel_seeds(emb, k=10)
+    assert len(ids) == len(set(ids)) == 10
+    assert ids == kmeans_parallel_seeds(emb.repartition(7), k=10)
+    res = kmeans(emb, k=10, iters=2, seed_ids=ids)
+    assert res.assignments.count() == emb.count()
+
+
+def test_kmeans_parallel_seeds_beat_first_k_inertia(spark, sf_dir_oracle):
+    """The point of || seeding: on the 10-blob embeddings corpus,
+    first-10-id seeds land wherever the ids happen to sit while ||
+    seeds spread over the blobs — strictly lower final inertia."""
+    from bigdata_hits_spark.operators.clustering import kmeans_parallel_seeds
+    from bigdata_hits_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir_oracle, "embeddings")
+
+    def inertia(seed_ids):
+        res = kmeans(emb, k=10, iters=3, seed_ids=seed_ids)
+        return res.assignments.agg(F.sum("dist")).first()[0]
+
+    first_k = [r["vec_id"] for r in emb.orderBy("vec_id").limit(10).collect()]
+    assert inertia(kmeans_parallel_seeds(emb, k=10)) < inertia(first_k)
+
+
+def test_kmeans_parallel_seeds_small_corpus_raises(spark):
+    from bigdata_hits_spark.operators.clustering import kmeans_parallel_seeds
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="fewer than k rows"):
+        kmeans_parallel_seeds(df, k=5)
