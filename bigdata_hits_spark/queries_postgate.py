@@ -2015,3 +2015,64 @@ def q_events_hourly_anomaly(spark, sf_dir):
     from bigdata_hits_spark.queries_events import _events_us
 
     return hourly_anomalies(_events_us(spark, sf_dir), z_threshold=ANOMALY_Z)
+
+
+# --- round 6: declarative data-quality validation -------------------------
+
+VALIDATE_PRICE_HI = 200_000.0
+
+
+def _validate_sql() -> str:
+    return (
+        "WITH checks AS ("
+        "SELECT 'not_null' AS rule, 'o_custkey' AS \"column\", "
+        "CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS violations, COUNT(*) AS total FROM orders "
+        "UNION ALL SELECT 'unique', 'o_orderkey', "
+        "COUNT(*) - COUNT(DISTINCT o_orderkey), COUNT(*) FROM orders "
+        "UNION ALL SELECT 'accepted_values', 'o_orderstatus', "
+        "CAST(SUM(CASE WHEN o_orderstatus IS NULL "
+        "OR o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END) AS BIGINT), "
+        "COUNT(*) FROM orders "
+        "UNION ALL SELECT 'in_range', 'o_totalprice', "
+        "CAST(SUM(CASE WHEN o_totalprice IS NULL "
+        f"OR o_totalprice BETWEEN 0 AND {VALIDATE_PRICE_HI} THEN 0 ELSE 1 END) "
+        "AS BIGINT), COUNT(*) FROM orders "
+        "UNION ALL SELECT 'matches', 'o_orderpriority', "
+        "CAST(SUM(CASE WHEN o_orderpriority IS NULL "
+        "OR regexp_matches(o_orderpriority, '^[1-5]-') THEN 0 ELSE 1 END) "
+        "AS BIGINT), COUNT(*) FROM orders "
+        "UNION ALL SELECT 'foreign_key', 'o_custkey', "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders o "
+        "LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c "
+        "ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL), "
+        "COUNT(*) FROM orders) "
+        "SELECT rule, \"column\", violations, total, violations = 0 AS passed "
+        "FROM checks"
+    )
+
+
+@register("validate_orders", _validate_sql())
+def q_validate_orders(spark, sf_dir):
+    """Deequ-style validation suite over orders (operators/validate.py
+    check_table): five row-level rules compiled into ONE wide aggregate
+    (stack-pivoted in-plan to rule rows) plus one key-only FK pass
+    against customer — (rule, column, violations, total, passed).  The
+    in_range bound is set below the price maximum so the suite
+    exercises a FAILING rule, not just zeros."""
+    from bigdata_hits_spark.operators import validate as V
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return V.check_table(
+        orders,
+        [
+            V.not_null("o_custkey"),
+            V.unique("o_orderkey"),
+            V.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            V.in_range("o_totalprice", 0.0, VALIDATE_PRICE_HI),
+            V.matches("o_orderpriority", "^[1-5]-"),
+            V.foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
