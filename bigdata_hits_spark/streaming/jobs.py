@@ -264,6 +264,63 @@ def sessionize_stream(
     )
 
 
+_TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_type", T.StringType()),
+        T.StructField("last_ts", T.LongType()),
+    ]
+)
+
+_TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+    ]
+)
+
+
+def transition_pairs_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch Markov matrix (operators/events.py
+    transition_counts), split at its natural streaming seam: this
+    operator emits the per-user (prev_type, next_type) PAIRS
+    incrementally (append mode — a pair, once its successor event
+    arrives, is final), and the |types|^2-sized counting/normalization
+    is the consumer's trivial rollup over the sink.
+
+    State per user is (last event type, last ts) — two fields, the
+    minimum for sequence continuation across micro-batches.  In-order
+    delivery per user is assumed within and across batches, the same
+    single-pass trade sessionize_stream documents.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        last_type, last_ts = state.get if state.exists else (None, None)
+        prevs, nexts = [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_ns", "event_id"])
+            for t in pdf["event_type"]:
+                if last_type is not None:
+                    prevs.append(last_type)
+                    nexts.append(t)
+                last_type = t
+            if len(pdf):
+                last_ts = int(pdf["ts_ns"].iloc[-1])
+        state.update((last_type, last_ts))
+        if prevs:
+            yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
+
+    src = events.select("user_id", "event_id", "ts_ns", "event_type")
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_TRANSITION_SCHEMA,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event ids: at-least-once sources re-deliver,
     ``dropDuplicatesWithinWatermark`` makes the pipe effectively-once with

@@ -13,6 +13,7 @@ from bigdata_hits_spark.streaming.jobs import (
     read_events_stream,
     run_to_memory,
     sessionize_stream,
+    transition_pairs_stream,
 )
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -313,5 +314,31 @@ def test_stream_sliding_equals_batch(spark, sf_dir, events_dir):
         )
 
     a, b = canon(batch), canon(streamed)
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_transition_pairs_stream_equals_batch(spark, sf_dir, events_dir):
+    """The stateful pair emitter over a finite stream reproduces the
+    batch Markov matrix: counting the appended pairs gives exactly
+    transition_counts' n per (prev_type, next_type)."""
+    from bigdata_hits_spark.operators.events import transition_counts
+
+    batch = (
+        transition_counts(load_table(spark, sf_dir, "events"))
+        .select("prev_type", "next_type", "n")
+        .toPandas()
+    )
+    stream_df = transition_pairs_stream(read_events_stream(spark, events_dir))
+    run_to_memory(stream_df, "t_transitions", output_mode="append")
+    streamed = (
+        spark.sql(
+            "SELECT prev_type, next_type, COUNT(*) AS n FROM t_transitions "
+            "GROUP BY 1, 2"
+        ).toPandas()
+    )
+    key = ["prev_type", "next_type"]
+    a = batch.sort_values(key).reset_index(drop=True)
+    b = streamed.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
