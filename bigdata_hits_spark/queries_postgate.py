@@ -2017,6 +2017,26 @@ def q_events_hourly_anomaly(spark, sf_dir):
     return hourly_anomalies(_events_us(spark, sf_dir), z_threshold=ANOMALY_Z)
 
 
+@register("kmeans_parallel_embeddings", None)  # seeding quality path: the
+# md5-coin draw is portable in principle, but the ||-round trajectory
+# (per-round cost scalars feeding sampling probabilities) would need a
+# scalar-coupled unrolled CTE; deliberately rows-only, like the ANN
+# approximate paths.  Quality and determinism are pinned in
+# tests/test_clustering.py (inertia beats first-k; partitioning-stable).
+def q_kmeans_parallel_embeddings(spark, sf_dir):
+    """Lloyd's k-means seeded by deterministic k-means||
+    (operators/clustering.py kmeans_parallel_seeds) — the quality init
+    for real corpora where the smallest ids share a source."""
+    from bigdata_hits_spark.operators.clustering import (
+        kmeans,
+        kmeans_parallel_seeds,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = kmeans_parallel_seeds(emb, KMEANS_Q_K)
+    return kmeans(emb, KMEANS_Q_K, iters=KMEANS_Q_ITERS, seed_ids=seeds).assignments
+
+
 # --- round 6: declarative data-quality validation -------------------------
 
 VALIDATE_PRICE_HI = 200_000.0
