@@ -56,6 +56,9 @@ Beyond-reference pipeline jobs (no reference twin):
   distinct value via edit-distance clusters, written as parquet.
 - ``zorder table.parquet col1,col2 [num_files]`` — rewrite clustered on
   a Morton curve for multi-column data skipping.
+- ``compact table.parquet [target_mb] [sort_col1,col2]`` — rewrite a
+  small-files directory into ~target_mb files, optionally sorted
+  (clustering compaction).
 - ``semantic_dedup docs.parquet embeddings.parquet [threshold]`` —
   embedding near-dup removal alone (sign-LSH candidates + exact cosine
   verify), survivors written as parquet.
@@ -414,6 +417,25 @@ def main(argv: list[str] | None = None) -> None:
             os.path.join(out_dir, "zorder"),
             cols_arg.split(","),
             num_files=num_files,
+        )
+    elif job == "compact":
+        # compact <table.parquet> [target_mb] [sort_col1,col2] — rewrite
+        # a small-files directory into ~target_mb files (optionally
+        # sorted/clustered); writes to <out>/compact
+        from bigdata_hits_spark.sources.bucketed import compact_parquet
+
+        path = args.take()
+        usage = "compact <table.parquet> [target_mb] [sort_col1,col2]"
+        if path is None:
+            raise SystemExit(usage)
+        target_mb = args.take(int, 256, usage=usage)
+        sort_arg = args.take()
+        compact_parquet(
+            spark,
+            path,
+            os.path.join(out_dir, "compact"),
+            target_mb=target_mb,
+            sort_by=sort_arg.split(",") if sort_arg else None,
         )
     elif job == "semantic_dedup":
         # semantic_dedup <docs.parquet> <embeddings.parquet> [threshold]

@@ -170,3 +170,51 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb`` files — the
+    small-files compaction pass every streaming/incremental ingest
+    needs: micro-batches and per-task writers leave thousands of tiny
+    files whose open/footer overhead dominates scan time and whose
+    row-group stats are too fragmented to skip anything.
+
+    The output file count is sized from the directory's COMPRESSED
+    on-disk bytes (one Hadoop FileSystem metadata call — no data read),
+    so output files land near ``target_mb`` regardless of row width.
+    With ``sort_by``, rows are range-partitioned and sorted on those
+    columns instead of round-robin packed, so the compaction doubles as
+    a clustering pass (footer min/max become selective — the
+    single-column cousin of :func:`write_zordered`).
+
+    Reads once, writes once; returns the number of files planned.
+    ``dst`` must differ from ``src`` (overwriting the directory being
+    scanned is undefined) — swap directories atomically afterwards with
+    a rename, the standard compaction dance.
+    """
+    import math
+    import os
+
+    if os.path.abspath(src) == os.path.abspath(dst):
+        raise ValueError("compact_parquet: dst must differ from src")
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if sort_by:
+        out = df.repartitionByRange(n, *[F.col(c) for c in sort_by]).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dst)
+    return n

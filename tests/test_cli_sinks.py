@@ -382,3 +382,27 @@ def test_cli_cluster(spark, tmp_path):
     assert got == {0: 0, 2: 0, 1: 1, 3: 1}
     with pytest.raises(SystemExit, match="usage"):
         cli.main(["cluster", src, "not_a_number", "--out", out])
+
+
+def test_cli_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "frag.parquet")
+    spark.range(20000).selectExpr("id", "id % 7 AS g").repartition(64).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small >= 32
+    out = str(tmp_path / "out_compact")
+    cli.main(["compact", src, "256", "g,id", "--out", out])
+    dst = os.path.join(out, "compact")
+    n_big = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_big < n_small
+    back = spark.read.parquet(dst)
+    assert back.count() == 20000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(20000))
+
+
+def test_compact_refuses_inplace(spark, tmp_path):
+    from bigdata_hits_spark.sources.bucketed import compact_parquet
+
+    src = str(tmp_path / "t.parquet")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="differ"):
+        compact_parquet(spark, src, src)
