@@ -274,7 +274,11 @@ def kmeans_parallel_seeds(
         dist = _choice(
             F.col("__v"), dict(enumerate(cand.values())), digits
         )["dist"]
-        phi = pts.agg(F.sum(dist)).first()[0]
+        # Rounded like every cross-boundary scalar: phi's float-sum order
+        # depends on partitioning, and the sampling probabilities below
+        # must not — at the round, the residual noise (~1e-12 relative)
+        # vanishes except at measure-zero boundary coincidences.
+        phi = pts.agg(F.round(F.sum(dist), digits)).first()[0]
         if not phi:  # every point IS a candidate already
             break
         p = F.least(F.lit(1.0), F.lit(float(l)) * dist / F.lit(float(phi)))
