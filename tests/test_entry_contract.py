@@ -21,6 +21,7 @@ def test_every_oracle_key_is_a_declared_query():
         "sketch_price_quantiles",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "kmeans_parallel_embeddings",
     }, rows_only
 
 
