@@ -406,3 +406,89 @@ def top_fraction_by(
         .filter(F.col("__rn") <= F.ceil(F.col("__ng") * F.lit(float(frac))))
         .drop("__pid", "__g", "__opid", "__off", "__ng", "__rn")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    digits: int = 6,
+) -> DataFrame:
+    """All input columns + ``<col>_w``: the metric clamped into its
+    [lo, hi] EXACT percentile band, optionally per group — the standard
+    heavy-tail treatment before averaging/regressing over web-scale
+    metrics (a handful of crawl outliers otherwise own the mean).
+
+    Plan: one percentile aggregate (group-count-sized, or one row
+    global), joined/attached back, then a pure clamp projection.  The
+    exact percentile buffers each group's values in the aggregate state
+    (the median_price_per_brand trade-off); swap percentile_approx in
+    for unbounded groups at corpus scale.
+
+    Bounds and output are rounded to ``digits`` so the clamp is
+    engine-portable (interpolated percentiles match only to the rounded
+    digit)."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    bounds_aggs = [
+        F.round(F.percentile(col, F.lit(float(lo))), digits).alias("__lo"),
+        F.round(F.percentile(col, F.lit(float(hi))), digits).alias("__hi"),
+    ]
+    clamped = F.round(
+        F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")), digits
+    ).alias(f"{col}_w")
+    if group_col is None:
+        bounds = df.agg(*bounds_aggs)
+        out = df.crossJoin(F.broadcast(bounds))  # one-row scalar attach
+    else:
+        bounds = df.groupBy(group_col).agg(*bounds_aggs)
+        out = df.join(bounds, group_col)
+    return out.select(*df.columns, clamped)
+
+
+#: Iglewicz–Hoaglin consistency constant: 0.6745 * (x - median) / MAD
+#: estimates the z-score a NORMAL sample would have (MAD of a normal is
+#: 0.6745 sigma), so the conventional |z| >= 3.5 cut applies.
+MAD_CONSISTENCY = 0.6745
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    threshold: float = 3.5,
+    digits: int = 6,
+) -> DataFrame:
+    """(group_col, *key cols..., col, z): rows whose MODIFIED z-score
+    |0.6745 * (x - median) / MAD| exceeds ``threshold`` within their
+    group — the robust outlier cut (median/MAD have a 50% breakdown
+    point, so unlike the mean/stddev z-score the outliers themselves
+    cannot mask the estimate; compare hourly_anomalies, the moments
+    version for counts).
+
+    Two group-sized aggregates by construction (the median, then the
+    median absolute deviation around it) + two group-keyed joins; rows
+    with MAD = 0 groups are excluded (a majority-constant group has no
+    robust scale).  z is rounded before the threshold compare — the
+    engine-portable cut."""
+    med = df.groupBy(group_col).agg(
+        F.round(F.percentile(col, F.lit(0.5)), digits).alias("__med")
+    )
+    with_med = df.join(med, group_col)
+    mad = (
+        with_med.select(group_col, F.abs(F.col(col) - F.col("__med")).alias("__dev"))
+        .groupBy(group_col)
+        .agg(F.round(F.percentile("__dev", F.lit(0.5)), digits).alias("__mad"))
+    )
+    z = F.round(
+        F.lit(MAD_CONSISTENCY) * (F.col(col) - F.col("__med")) / F.col("__mad"), digits
+    )
+    return (
+        with_med.join(mad, group_col)
+        .filter(F.col("__mad") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= F.lit(float(threshold)))
+        .drop("__med", "__mad")
+    )

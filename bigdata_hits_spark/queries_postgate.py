@@ -2037,6 +2037,75 @@ def q_kmeans_parallel_embeddings(spark, sf_dir):
     return kmeans(emb, KMEANS_Q_K, iters=KMEANS_Q_ITERS, seed_ids=seeds).assignments
 
 
+# --- round 6: robust statistics (winsorize / median-MAD outliers) ---------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+_WINSOR_SQL = (
+    "WITH b AS (SELECT p_brand, "
+    f"ROUND(CAST(quantile_cont(p_retailprice, {WINSOR_LO}) AS DOUBLE), 6) AS lo, "
+    f"ROUND(CAST(quantile_cont(p_retailprice, {WINSOR_HI}) AS DOUBLE), 6) AS hi "
+    "FROM part GROUP BY p_brand) "
+    "SELECT p_partkey, p.p_brand, p_retailprice, "
+    "ROUND(LEAST(GREATEST(p_retailprice, lo), hi), 6) AS p_retailprice_w "
+    "FROM part p JOIN b ON b.p_brand = p.p_brand"
+)
+
+
+@register("winsorize_prices", _WINSOR_SQL)
+def q_winsorize_prices(spark, sf_dir):
+    """Per-brand winsorization of retail price (operators/ranks.py
+    winsorize): values clamped into the exact [5th, 95th] percentile
+    band of their brand — one group-sized percentile aggregate joined
+    back, then a pure clamp projection.  Bounds and output rounded so
+    the interpolated percentiles stay engine-portable."""
+    from bigdata_hits_spark.operators.ranks import winsorize
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    return winsorize(part, "p_retailprice", "p_brand", WINSOR_LO, WINSOR_HI)
+
+
+MAD_THRESHOLD = 3.0
+
+_MAD_SQL = (
+    "WITH med AS (SELECT o_orderpriority, "
+    "ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 6) AS med "
+    "FROM orders GROUP BY o_orderpriority), "
+    "mad AS (SELECT o.o_orderpriority, "
+    "ROUND(CAST(quantile_cont(ABS(o_totalprice - med), 0.5) AS DOUBLE), 6) AS mad "
+    "FROM orders o JOIN med ON med.o_orderpriority = o.o_orderpriority "
+    "GROUP BY o.o_orderpriority), "
+    "z AS (SELECT o.o_orderpriority, o_orderkey, o_totalprice, "
+    "ROUND(0.6745 * (o_totalprice - med) / mad, 6) AS z "
+    "FROM orders o "
+    "JOIN med ON med.o_orderpriority = o.o_orderpriority "
+    "JOIN mad ON mad.o_orderpriority = o.o_orderpriority "
+    "WHERE mad > 0) "
+    "SELECT o_orderpriority, o_orderkey, o_totalprice, z FROM z "
+    f"WHERE ABS(z) >= {MAD_THRESHOLD}"
+)
+
+
+@register("mad_outliers_orders", _MAD_SQL)
+def q_mad_outliers_orders(spark, sf_dir):
+    """Median/MAD robust outliers (operators/ranks.py mad_outliers):
+    orders whose modified z-score |0.6745 (x - med) / MAD| within their
+    priority class exceeds MAD_THRESHOLD — the 50%-breakdown-point
+    answer to mean/stddev masking (hourly_anomalies' moments would be
+    dragged by the very outliers they hunt).  Two group-sized percentile
+    aggregates + two group-keyed joins; z rounds before the cut."""
+    from bigdata_hits_spark.operators.ranks import mad_outliers
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return mad_outliers(
+        orders, "o_totalprice", "o_orderpriority", threshold=MAD_THRESHOLD
+    )
+
+
 # --- round 6: declarative data-quality validation -------------------------
 
 VALIDATE_PRICE_HI = 200_000.0

@@ -246,3 +246,46 @@ def test_top_fraction_by_skew_safe_matches_window_path(spark):
     rn_windows = [seg for seg in plan.split("Window ")[1:] if "row_number" in seg]
     assert rn_windows, plan[:2000]
     assert all("__opid" in seg.splitlines()[0] for seg in rn_windows), plan[:2000]
+
+
+def test_winsorize_clamps_to_group_band(spark):
+    from bigdata_hits_spark.operators.ranks import winsorize
+
+    # group a: 1..10 (p10=1.9, p90=9.1 under linear interpolation);
+    # group b untouched (all values inside its band)
+    rows = [("a", float(i)) for i in range(1, 11)] + [("b", 5.0), ("b", 5.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        (r["g"], r["x"]): r["x_w"]
+        for r in winsorize(df, "x", "g", 0.10, 0.90).collect()
+    }
+    assert out[("a", 1.0)] == 1.9
+    assert out[("a", 10.0)] == 9.1
+    assert out[("a", 5.0)] == 5.0
+    assert out[("b", 5.0)] == 5.0
+
+
+def test_winsorize_global_is_one_row_attach(spark):
+    from bigdata_hits_spark.operators.ranks import winsorize
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "x double")
+    out = winsorize(df, "x", None, 0.10, 0.90)
+    got = sorted(r["x_w"] for r in out.collect())
+    assert got[0] == 1.9 and got[-1] == 9.1
+    with pytest.raises(ValueError, match="lo < hi"):
+        winsorize(df, "x", None, 0.9, 0.1)
+
+
+def test_mad_outliers_flags_planted_spike_and_skips_constant(spark):
+    from bigdata_hits_spark.operators.ranks import mad_outliers
+
+    # group a: tight cluster around 10 (med 10, MAD 1) + one 100 spike:
+    # z(100) = 0.6745*90 = 60.7; group c constant -> MAD 0 -> excluded
+    rows = (
+        [("a", i, 10.0 + (i % 3) - 1) for i in range(9)]
+        + [("a", 99, 100.0)]
+        + [("c", 1, 5.0), ("c", 2, 5.0), ("c", 3, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long, x double")
+    out = mad_outliers(df, "x", "g", threshold=3.5).collect()
+    assert [(r["g"], r["k"], r["z"]) for r in out] == [("a", 99, round(0.6745 * 90, 6))]
