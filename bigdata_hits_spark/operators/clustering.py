@@ -298,19 +298,25 @@ def kmeans_parallel_seeds(
         dist = _choice(
             F.col("__v"), dict(enumerate(cand.values())), digits
         )["dist"]
+        # Pin the scored relation: the distance expression is a
+        # candidate-count-sized interpreted evaluation per row, and both
+        # the cost scalar and the draw need it — materialized once on
+        # the phi job instead of evaluated twice per round.
+        scored = pts.select("__id", dist.alias("__d")).localCheckpoint(eager=False)
         # Rounded like every cross-boundary scalar: phi's float-sum order
         # depends on partitioning, and the sampling probabilities below
         # must not — at the round, the residual noise (~1e-12 relative)
         # vanishes except at measure-zero boundary coincidences.
-        phi = pts.agg(F.round(F.sum(dist), digits)).first()[0]
+        phi = scored.agg(F.round(F.sum("__d"), digits)).first()[0]
         if not phi:  # every point IS a candidate already
             break
-        p = F.least(F.lit(1.0), F.lit(float(l)) * dist / F.lit(float(phi)))
+        p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("__d") / F.lit(float(phi)))
         drawn = (
-            pts.filter(~F.col("__id").isin(list(cand)))
+            scored.filter(~F.col("__id").isin(list(cand)))
             .filter(_u(r) < p)
             .orderBy("__id")
             .limit(8 * l)
+            .join(pts, "__id")
             .collect()
         )
         for row in drawn:
