@@ -44,6 +44,25 @@ def hash_bucket(key_col: str, seed: int = 0, buckets: int = _SPLIT_BUCKETS):
     return F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(buckets))
 
 
+def portable_hash_bucket(key_col: str, seed: int = 0, buckets: int = _SPLIT_BUCKETS):
+    """Cross-engine twin of :func:`hash_bucket`: bucket from the first 8
+    md5 hex digits of ``'seed|' || key`` — the repo's portable-hash
+    discipline (``weighted_sample``, the MinHash chain), reproducible in
+    any engine with md5 + hex parsing.  ~3x the cost of xxhash64 (string
+    concat + md5 + substring + base-16 parse, still all JVM-side Column
+    ops); use :func:`hash_bucket` unless an external system must
+    re-derive the same assignment.  The pmod-of-2^32 bias is < 1e-5
+    relative for the default 10k buckets."""
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(u32, F.lit(buckets))
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,
@@ -108,7 +127,11 @@ def cap_per_group(
 
 
 def deterministic_split(
-    df: DataFrame, key_col: str, weights: dict[str, float], seed: int = 0
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """Assign each row a split label (``train``/``test``/...) by hashing
     ``key_col`` into cumulative weight ranges.  Same key -> same split,
@@ -116,11 +139,20 @@ def deterministic_split(
 
     Returns the input plus a ``split`` column; filter on it to obtain the
     parts.  Splits are disjoint and exhaustive by construction.
+
+    ``portable=True`` derives the bucket from md5 instead of xxhash64
+    (:func:`portable_hash_bucket`) so a DIFFERENT engine — the eval
+    harness, a downstream trainer, the DuckDB oracle — can recompute the
+    identical train/val/test assignment from the raw keys.  Split
+    membership is a contract with the training run (a val doc leaking
+    into train on re-derivation is contamination), which makes the
+    cross-engine-reproducible arm the right one whenever the split
+    leaves this engine.
     """
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    bucket = hash_bucket(key_col, seed)
+    bucket = (portable_hash_bucket if portable else hash_bucket)(key_col, seed)
     expr = None
     hi = 0
     # Deterministic iteration: dict preserves insertion order (py3.7+).

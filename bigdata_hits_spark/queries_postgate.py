@@ -2165,3 +2165,40 @@ def q_validate_orders(spark, sf_dir):
             V.foreign_key("o_custkey", customer, "c_custkey"),
         ],
     )
+
+
+# --- round 6: cross-engine-reproducible train/val/test split --------------
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_sql() -> str:
+    from bigdata_hits_spark.operators.sampling import _SPLIT_BUCKETS
+
+    hex_long = duck_hex_to_long("md5('0|' || CAST(doc_id AS VARCHAR))", 8)
+    bucket = f"({hex_long} % {_SPLIT_BUCKETS})"
+    # Cumulative 1/10000-granularity ranges, identical to the Spark
+    # when-chain: [0, 8000) train, [8000, 9000) val, rest test.
+    return (
+        "SELECT doc_id, source, "
+        f"CASE WHEN {bucket} < 8000 THEN 'train' "
+        f"WHEN {bucket} < 9000 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents"
+    )
+
+
+@register("split_docs", _split_sql())
+def q_split_docs(spark, sf_dir):
+    """Deterministic train/val/test assignment over documents
+    (operators/sampling.py deterministic_split, portable=True): the
+    split label is a pure function of doc_id through the md5-derived
+    bucket, so the oracle — and any downstream trainer — re-derives the
+    IDENTICAL membership from raw keys.  Split membership is a
+    contamination contract, which is exactly why the declared arm is
+    the cross-engine-reproducible one; the xxhash64 fast path stays for
+    engine-internal use.  Pure narrow projection: no shuffle, no state,
+    survives any scale by construction."""
+    from bigdata_hits_spark.operators.sampling import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return deterministic_split(docs, "doc_id", dict(SPLIT_WEIGHTS), portable=True)

@@ -47,6 +47,28 @@ def test_deterministic_split_stable_under_reordering(spark, sf_dir):
     assert a == b
 
 
+def test_deterministic_split_portable_matches_python_md5(spark, sf_dir):
+    """portable=True is a cross-engine contract: any system with md5 can
+    re-derive the identical assignment from raw keys.  Re-derive it in
+    pure Python and compare every label."""
+    import hashlib
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r["c_custkey"]: r["split"] for r in
+           deterministic_split(cust, "c_custkey", w, portable=True).collect()}
+
+    def expect(key):
+        b = int(hashlib.md5(f"0|{key}".encode()).hexdigest()[:8], 16) % 10_000
+        return "train" if b < 8000 else ("val" if b < 9000 else "test")
+
+    assert got and all(got[k] == expect(k) for k in got)
+    # The portable arm stays JVM-side too — no Python UDF.
+    plan = deterministic_split(cust, "c_custkey", w, portable=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_deterministic_split_rejects_bad_weights(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     with pytest.raises(ValueError, match="sum to 1"):
