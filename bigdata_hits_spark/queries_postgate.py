@@ -1,5 +1,8 @@
-"""Post-gate declared queries for the round-3 library-only operators:
-k-core, per-group caps, int8 quantization, and incremental MinHash dedup.
+"""Post-gate declared queries: operator families added after the 50-slot
+gate prefix froze (round 3 onward) — k-core, per-group caps, int8
+quantization, incremental MinHash dedup, and the round-4/5/6 families
+(curation, ranks, range joins, profiling, events, CDC, retrieval fusion,
+clustering, robust stats, validation, splits, grouping sets).
 
 Like queries_graph.py, this module loads LAST in queries._load_extensions,
 so its oracle-backed entries land AFTER the 50-slot gate prefix — the
@@ -2202,3 +2205,41 @@ def q_split_docs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return deterministic_split(docs, "doc_id", dict(SPLIT_WEIGHTS), portable=True)
+
+
+# --- round 6: explicit GROUPING SETS (the irregular member) ---------------
+
+_GSETS_SQL = (
+    "SELECT o_orderstatus, o_orderpriority, "
+    "GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid, "
+    "COUNT(*) AS n, ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS revenue "
+    "FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))"
+)
+
+
+@register("grouping_sets_orders", _GSETS_SQL)
+def q_grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS — the irregular member ROLLUP and CUBE
+    cannot express: status-level and priority-level aggregates ONLY (no
+    combined cell, no grand total), each row tagged with the grouping
+    id.  Same execution shape as the other two (ONE Expand + single
+    hash-agg pass, 2x row blow-up absorbed by the map-side partial
+    before any exchange) — at scale this replaces two separate groupBy
+    passes + union with one scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
+    )
