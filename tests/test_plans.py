@@ -311,8 +311,26 @@ def test_all_declared_queries_plan_clean(spark, sf_dir_oracle):
     registry instead of a per-round name list — must plan zero cartesian
     products and no broadcast-nested-loop joins beyond its documented
     allowance (_BNLJ_ALLOWED; default 0).  This is the scale guarantee
-    each docstring states, pinned for the whole surface at once."""
+    each docstring states, pinned for the whole surface at once.
+
+    The same pass holds every query to its recorded SHUFFLE BUDGET
+    (tests/plan_shuffle_budget.json): the number of shuffle exchanges in
+    the plan must not exceed the audited record — an increase is a scale
+    regression (a lost broadcast, a lost partitioning reuse) unless
+    deliberately re-recorded.  A DECREASE passes but prints a
+    re-record hint, since session warm-state can shave an exchange
+    non-deterministically (materialized memo stats flipping a join
+    strategy) and a hard equality would flake on it.  Regenerate with
+    ``python scripts/gen_shuffle_budget.py`` and commit the diff."""
+    import json
+    import os
+
     from bigdata_hits_spark import queries as q
+    from bigdata_hits_spark.plans.audit import count_shuffles
+
+    budget_path = os.path.join(os.path.dirname(__file__), "plan_shuffle_budget.json")
+    with open(budget_path) as fh:
+        budget = json.load(fh)
 
     reg = q.queries()
     failures = []
@@ -323,4 +341,19 @@ def test_all_declared_queries_plan_clean(spark, sf_dir_oracle):
         allowed = _BNLJ_ALLOWED.get(name, 0)
         if cp or bnlj > allowed:
             failures.append(f"{name}: cartesian={cp} bnlj={bnlj} allowed={allowed}")
+        shuffles = count_shuffles(plan)
+        if name not in budget:
+            failures.append(
+                f"{name}: no shuffle budget recorded — run scripts/gen_shuffle_budget.py"
+            )
+        elif shuffles > budget[name]:
+            failures.append(
+                f"{name}: {shuffles} shuffle exchanges, budget {budget[name]} "
+                f"(REGRESSION; re-record via scripts/gen_shuffle_budget.py if deliberate)"
+            )
+        elif shuffles < budget[name]:
+            print(
+                f"shuffle budget: {name} improved to {shuffles} "
+                f"(budget {budget[name]}) — consider re-recording"
+            )
     assert not failures, "\n".join(failures)
