@@ -92,6 +92,19 @@ def main() -> None:
     # per-pass stderr lines; min-of-3 absorbs it only if another pass
     # kept the memo).  Off by default — measurement mode, not the
     # recommended production session shape.
+    # Round-6 A/B outcome: the storage diagnostic below measured the
+    # full-surface session carrying only ~260 MB of persisted RDDs at
+    # pass boundaries, and retirement reclaims ~140 MB of that — three
+    # orders of magnitude below the heap sizes under test, so the
+    # "accumulated pins force the big heap" hypothesis is FALSIFIED by
+    # direct measurement.  The heap sensitivity is allocation churn
+    # (~116 queries/pass of shuffle + codegen garbage), which a bigger
+    # heap absorbs with fewer full collections.  Timing-wise the lever
+    # is a wash: same-day same-config 48g headlines spanned 61.0-92.8 s
+    # on this host, wider than any 24g-vs-48g or retire-vs-not delta
+    # observed, so no ranking survives the noise floor.  The lever
+    # stays available for memory-constrained drivers; it is not a
+    # performance setting.
     retire = os.environ.get("SPARK_GRAFT_BENCH_RETIRE") == "1"
     from bigdata_hits_spark.sources import derived
 

@@ -75,6 +75,13 @@ def get_spark(app_name: str = "bigdata-hits-spark", master: str | None = None) -
     # memoized graph edges) pushed eviction + GC pauses INTO query
     # windows — single-variable A/B at the round-5 surface: bench
     # headline 70.7s @24g vs 64.8s @48g, base_hits_k8 6.6s -> 4.1s.
+    # Round-6 follow-up: bench.py's pass-boundary storage diagnostic
+    # measured live pins at only ~260 MB — the heap sensitivity is
+    # allocation churn across ~116 queries/pass, not pinned state, and
+    # same-config 48g repeats spanned 61-93 s on the bench host, wider
+    # than the r5 A/B delta.  Treat the big heap as GC headroom for
+    # many-query sessions, not a hard floor; single-query sessions run
+    # fine far below it (SPARK_GRAFT_DRIVER_MEM to override).
     # The 48g ceiling is a bench-host number, NOT assumed: the default
     # is min(48g, ~60% of host RAM) so a small host gets a heap its
     # kernel can actually back instead of an overcommit + OOM-kill.
