@@ -227,3 +227,125 @@ def salted_join(
         how,
     )
     return joined.drop("__salt")
+
+
+def snapshot_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """(sign, *key_cols, *cols): the two snapshots' difference as a
+    RETRACTION STREAM — the changelog form aggregate-maintenance needs
+    (the public stream-processing convention: insertions carry +1,
+    retractions -1; a changed row is a -1 with its OLD values plus a +1
+    with its NEW ones).  Feeding this to ``apply_delta_rollup`` updates
+    a stored rollup without touching the fact table.
+
+    ``cols`` defaults to every shared non-key column.  A row whose
+    change is confined to columns OUTSIDE ``cols`` emits nothing — the
+    right call for maintenance, because a rollup over ``cols`` cannot
+    depend on such a change.
+
+    Same plan as ``snapshot_diff`` (one NULL-safe full-outer key join,
+    change-sized output, unique keys required); the changed-row pair is
+    produced by exploding a 2-slot literal array inside the projection,
+    not by a second pass."""
+    if not key_cols:
+        raise ValueError("snapshot_delta needs at least one key column")
+    if cols is None:
+        cols = [
+            c for c in old.columns if c in set(new.columns) and c not in set(key_cols)
+        ]
+    o = old.select(
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in cols],
+    )
+    n = new.select(
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in cols],
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+
+    def _contrib(sign: int, prefix: str) -> Column:
+        return F.named_struct(
+            F.lit("sign"),
+            F.lit(sign),
+            *[x for c in cols for x in (F.lit(c), F.col(f"{prefix}_{c}"))],
+        )
+
+    contribs = F.array_compact(
+        F.array(
+            F.when(in_old & (~in_new | ~same), _contrib(-1, "__ov")),
+            F.when(in_new & (~in_old | ~same), _contrib(+1, "__nv")),
+        )
+    )
+    return (
+        joined.select(
+            *[
+                F.coalesce(F.col(f"__nk_{c}"), F.col(f"__ok_{c}")).alias(c)
+                for c in key_cols
+            ],
+            F.explode(contribs).alias("__delta"),
+        )
+        .select(
+            F.col("__delta.sign").alias("sign"),
+            *key_cols,
+            *[F.col(f"__delta.{c}").alias(c) for c in cols],
+        )
+    )
+
+
+def apply_delta_rollup(
+    old_agg: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Merge a retraction-stream ``delta`` (``snapshot_delta`` shape, or
+    any CDC feed carrying a ±1 ``sign_col``) into a stored COUNT+SUM
+    rollup: ``count_col`` moves by the signed row count, each column in
+    ``sum_cols`` by the signed value sum, and groups whose count reaches
+    zero drop out.  Only commutative-group measures maintain this way —
+    count, sum, and anything derived from them (avg = sum/count); min
+    and max cannot absorb retractions without re-reading the group.
+
+    Scale contract: the plan aggregates the delta (delta-sized shuffle
+    collapsing to its group count), unions the group-sized ``old_agg``,
+    and re-aggregates group-sized rows — cost O(|delta| + |groups|),
+    NEVER O(fact table).  At 100 TB this is the difference between a
+    rollup refresh that reads gigabytes and one that reads everything.
+
+    ``old_agg`` must carry UNROUNDED sums (round only what you serve):
+    merging rounds on top of rounds drifts.  Float caveat: the merged
+    sum's accumulation order differs from a direct recompute's, so
+    serve-side rounding is what makes the two paths agree bit-for-bit —
+    the engine-portability discipline used across this repo."""
+    if not group_cols:
+        raise ValueError("apply_delta_rollup needs at least one group column")
+    d = delta.groupBy(*group_cols).agg(
+        F.sum(sign_col).cast("long").alias(count_col),
+        *[F.sum(F.col(sign_col) * F.col(c)).alias(c) for c in sum_cols],
+    )
+    merged = old_agg.select(*group_cols, count_col, *sum_cols).unionByName(d)
+    return (
+        merged.groupBy(*group_cols)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+        .filter(F.col(count_col) > 0)
+    )

@@ -2243,3 +2243,69 @@ def q_grouping_sets_orders(spark, sf_dir):
         )
         .select("o_orderstatus", "o_orderpriority", "gid", "n", "revenue")
     )
+
+
+# --- round 6: incremental rollup maintenance (CDC delta -> stored agg) ----
+
+_INCR_ROLLUP_SQL = (
+    # The oracle recomputes the rollup DIRECTLY over the perturbed new
+    # snapshot (same deterministic perturbation as orders_snapshot_diff);
+    # the Spark side gets there by merging a retraction-stream delta into
+    # the OLD rollup — so a green row proves incremental == recompute.
+    "WITH newsnap AS (SELECT o_orderkey, o_orderpriority, "
+    "CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0 "
+    "ELSE o_totalprice END AS o_totalprice "
+    "FROM orders WHERE o_orderkey % 97 <> 0 "
+    "UNION ALL "
+    "SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice "
+    "FROM orders WHERE o_orderkey % 103 = 0) "
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue "
+    "FROM newsnap GROUP BY o_orderpriority"
+)
+
+
+@register("orders_rollup_incremental", _INCR_ROLLUP_SQL)
+def q_orders_rollup_incremental(spark, sf_dir):
+    """Incremental rollup maintenance (operators/relops.py
+    snapshot_delta + apply_delta_rollup): the priority-level COUNT+SUM
+    rollup of the orders table is updated to the perturbed new snapshot
+    by merging a change-sized retraction stream — the old fact rows are
+    never re-aggregated, so the refresh costs O(|delta| + |groups|).
+    The oracle recomputes the rollup directly from the new snapshot:
+    both paths must agree at the served rounding (sums of 2-dp prices
+    are exact 2-dp values, 5e-3 from any 2-dp rounding boundary, vs
+    ~1e-6 worst-case float accumulation-order noise)."""
+    from bigdata_hits_spark.operators.relops import (
+        apply_delta_rollup,
+        snapshot_delta,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    kept = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    added = orders.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    new = kept.unionByName(added)
+    old_agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("o_totalprice")
+    )
+    delta = snapshot_delta(orders, new, ["o_orderkey"])
+    maintained = apply_delta_rollup(
+        old_agg, delta, ["o_orderpriority"], ["o_totalprice"]
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("o_totalprice"), 2).alias("revenue"),
+    )

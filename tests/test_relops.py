@@ -158,3 +158,93 @@ def test_snapshot_diff_null_key_rows_classify(spark):
     # NULL-keyed unchanged rows are omitted like any other unchanged row
     same = spark.createDataFrame([(None, "a")], "k int, v string")
     assert snapshot_diff(same, same, ["k"]).count() == 0
+
+
+def test_snapshot_delta_retraction_stream(spark):
+    from bigdata_hits_spark.operators.relops import snapshot_delta
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, g string, x double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 changed (x), 3 deleted, 5 inserted
+        [(1, "a", 1.0), (2, "b", 9.0), (5, "e", 5.0)],
+        "k long, g string, x double",
+    )
+    rows = sorted(
+        snapshot_delta(old, new, ["k"]).collect(), key=lambda r: (r["k"], r["sign"])
+    )
+    got = [(r["k"], r["sign"], r["g"], r["x"]) for r in rows]
+    assert got == [
+        (2, -1, "b", 2.0),  # retraction carries OLD values
+        (2, 1, "b", 9.0),  # insertion carries NEW values
+        (3, -1, "c", 3.0),
+        (5, 1, "e", 5.0),
+    ]
+    # identical snapshots produce an empty stream
+    assert snapshot_delta(old, old, ["k"]).count() == 0
+
+
+def test_snapshot_delta_ignores_out_of_scope_changes(spark):
+    from bigdata_hits_spark.operators.relops import snapshot_delta
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k long, g string, x double")
+    new = spark.createDataFrame([(1, "Z", 1.0)], "k long, g string, x double")
+    # g changed but only x is in scope: a rollup over x cannot depend on g
+    assert snapshot_delta(old, new, ["k"], cols=["x"]).count() == 0
+
+
+def test_apply_delta_rollup_matches_direct_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.operators.relops import (
+        apply_delta_rollup,
+        snapshot_delta,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "a", 20.0),
+            (3, "b", 30.0),
+            (4, "b", None),  # NULL measure: counted, not summed
+            (5, None, 50.0),  # NULL group key is a group like any other
+            (6, "c", 60.0),
+        ],
+        "k long, g string, x double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),  # unchanged
+            (2, "a", 25.0),  # changed measure
+            (3, "a", 30.0),  # changed GROUP: moves b -> a
+            (4, "b", 40.0),  # NULL measure filled in
+            (5, None, 55.0),  # NULL-group change
+            (7, "d", 70.0),  # inserted into a brand-new group
+            # 6 deleted: group c must vanish (count reaches zero)
+        ],
+        "k long, g string, x double",
+    )
+    old_agg = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("x")
+    )
+    delta = snapshot_delta(old, new, ["k"])
+    maintained = apply_delta_rollup(old_agg, delta, ["g"], ["x"])
+    direct = new.groupBy("g").agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("x"))
+    as_map = lambda df: {
+        r["g"]: (r["n"], r["x"]) for r in df.collect()
+    }
+    assert as_map(maintained) == as_map(direct)
+    assert "c" not in as_map(maintained)  # emptied group dropped
+    assert "d" in as_map(maintained)  # brand-new group appeared
+
+
+def test_apply_delta_rollup_rejects_empty_groups(spark):
+    from bigdata_hits_spark.operators.relops import apply_delta_rollup
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "sign int, n long, x double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group column"):
+        apply_delta_rollup(df, df, [], ["x"])
