@@ -303,3 +303,75 @@ def unigram_logprob(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "avg_logprob")
     )
+
+
+def collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    digits: int = 7,
+) -> DataFrame:
+    """(a, b, c_ab, pmi): corpus-level adjacent-bigram collocation
+    scoring by pointwise mutual information — the classic phrase-mining
+    signal ("new york" scores high because its parts rarely appear
+    apart; "of the" scores low despite its raw count).  Phrase tables
+    feed tokenizer vocab curation, boilerplate phrase discovery, and
+    n-gram feature selection over a training corpus.
+
+    PMI = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) = c_ab / N over the N
+    adjacent bigram slots and p(x) = c_x / U over the U unigram tokens
+    — evaluated as a log-of-integer-counts sum, so both engines see
+    identical inputs and the round at ``digits`` absorbs last-ulp ln()
+    differences (the unigram_logprob discipline).
+
+    Plan: one explode for unigram counts, one slice-zip explode for
+    bigram counts (each collapsing map-side to its key cardinality),
+    the ``min_count`` filter BEFORE the two vocabulary-sized joins —
+    candidate work is frequent-bigram-sized, not bigram-vocab-sized.
+    The two scalar totals attach via broadcast crossJoin (O(1) rows);
+    the unigram-count joins carry no hint — vocabulary can reach tens
+    of GB on a web corpus, so AQE picks broadcast exactly when the
+    built side is actually small (the tfidf regime comment)."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    w = docs.select(tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("w"))
+    uni = (
+        w.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    u_total = uni.agg(F.sum("c").alias("u"))
+    pairs = w.select(
+        F.explode(
+            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS a, w[i + 1] AS b))")
+        ).alias("p")
+    )
+    bi = (
+        pairs.select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_total = bi.agg(F.sum("c_ab").alias("n"))
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bi.filter(F.col("c_ab") >= min_count)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(u_total))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log("c_ab")
+                + F.lit(2.0) * F.log("u")
+                - F.log("n")
+                - F.log("c_a")
+                - F.log("c_b"),
+                digits,
+            ).alias("pmi"),
+        )
+    )

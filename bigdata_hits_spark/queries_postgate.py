@@ -2309,3 +2309,39 @@ def q_orders_rollup_incremental(spark, sf_dir):
         "n",
         F.round(F.col("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# --- round 6: PMI collocations (phrase mining) ----------------------------
+
+#: 900 of 916 distinct bigrams clear this at sf0.01 — big enough to
+#: exercise the joins, filtered enough that the pre-join cut matters.
+COLLOC_MIN_COUNT = 5
+
+_COLLOC_SQL = (
+    "WITH t AS (SELECT string_split(COALESCE(text, ''), ' ') AS w FROM documents), "
+    "uc AS (SELECT t, COUNT(*) AS c FROM (SELECT unnest(w) AS t FROM t) GROUP BY t), "
+    "u AS (SELECT CAST(SUM(c) AS DOUBLE) AS u FROM uc), "
+    "bc AS (SELECT a, b, COUNT(*) AS c_ab FROM "
+    "(SELECT w[i + 1] AS a, w[i + 2] AS b FROM "
+    "(SELECT w, unnest(range(len(w) - 1)) AS i FROM t)) GROUP BY a, b), "
+    "n AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n FROM bc) "
+    "SELECT bc.a, bc.b, c_ab, "
+    "ROUND(LN(CAST(c_ab AS DOUBLE)) + 2 * LN(u.u) - LN(n.n) "
+    "- LN(CAST(ua.c AS DOUBLE)) - LN(CAST(ub.c AS DOUBLE)), 7) AS pmi "
+    "FROM bc JOIN uc ua ON ua.t = bc.a JOIN uc ub ON ub.t = bc.b "
+    "CROSS JOIN u CROSS JOIN n "
+    f"WHERE c_ab >= {COLLOC_MIN_COUNT}"
+)
+
+
+@register("collocations_pmi_docs", _COLLOC_SQL)
+def q_collocations_pmi_docs(spark, sf_dir):
+    """Adjacent-bigram PMI collocations over the documents corpus
+    (operators/textstats.py collocations) — the phrase-mining signal
+    for tokenizer vocab curation and boilerplate phrase discovery.
+    Two count aggregates + frequent-bigram-sized joins; PMI evaluated
+    as a log-of-integer-counts sum rounded identically on both sides."""
+    from bigdata_hits_spark.operators import textstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.collocations(docs, min_count=COLLOC_MIN_COUNT)

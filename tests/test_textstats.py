@@ -219,3 +219,35 @@ def test_bm25_weights_hand_check(spark):
     one_c = got[(2, "c")]
     five_c = got[(3, "c")]
     assert five_c < 5 * one_c
+
+
+def test_collocations_pmi_ranks_bound_pairs(spark):
+    import math
+
+    from bigdata_hits_spark.operators.textstats import collocations
+
+    # "new york" always co-occurs; "of the" parts are everywhere.
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big and the map of the city"),
+            (2, "new york and the story of the people"),
+            (3, "the end of the day in new york"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["c_ab"], r["pmi"])
+        for r in collocations(docs, min_count=2).collect()
+    }
+    assert ("new", "york") in got and ("of", "the") in got
+    assert got[("new", "york")][0] == 3
+    # the bound pair outranks the stop-word pair: both always co-occur
+    # here, but "the" also appears standalone, diluting p(the)
+    assert got[("new", "york")][1] > got[("of", "the")][1] + 0.5
+    # hand-check the PMI arithmetic for (new, york): c_ab=3, c_new=c_york=3
+    rows = docs.select(F.explode(F.split("text", " ")).alias("t")).count()
+    n_bigrams = sum(len(t.split(" ")) - 1 for t in [r["text"] for r in docs.collect()])
+    expect = math.log(3) + 2 * math.log(rows) - math.log(n_bigrams) - 2 * math.log(3)
+    assert got[("new", "york")][1] == pytest.approx(expect, abs=1e-6)
+    # min_count prunes singletons before the joins
+    assert all(c >= 2 for c, _ in got.values())
