@@ -287,6 +287,7 @@ _BNLJ_ALLOWED = {
     "text_bm25": 1,
     "text_tfidf": 1,
     "sparse_cosine_topk_docs": 1,
+    "collocations_pmi_docs": 2,  # unigram-total + bigram-total one-row attaches
     # per-iteration norm attach in the ranking families
     "base_hits_k3": 1,
     "weighted_hits_k3": 1,
