@@ -79,11 +79,42 @@ def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
+def _dlit(x: float) -> str:
+    """SQL text of a double literal.  ``repr`` is Python's shortest
+    round-trip form (bit-exact back through the parser); the ``D``
+    suffix forces DOUBLE — a bare decimal literal parses as DECIMAL."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x in (float("inf"), float("-inf")):
+        return f"CAST('{x}' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _vec_lit(values: list[float]) -> Column:
+    """Literal double array built as ONE parsed SQL expression.  The
+    idiomatic ``F.array(*[F.lit(x) ...])`` costs a py4j round trip per
+    element — at k*dim elements that is SECONDS of driver time per
+    expression build (measured 1.35 s vs 5 ms for 36x64), repaid on
+    every seeding round and every Lloyd iteration.  The parsed literal
+    is bit-identical (asserted in tests)."""
+    return F.expr("array(" + ",".join(_dlit(x) for x in values) + ")")
+
+
+def _mat_lit(rows: list[list[float]]) -> Column:
+    """Literal array-of-double-arrays via one parsed SQL expression —
+    see ``_vec_lit`` for why not array-of-lits."""
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(_dlit(x) for x in row) + ")" for row in rows)
+        + ")"
+    )
+
+
 def _sq_dist(vec: Column, centroid: list[float], digits: int) -> Column:
     """Rounded squared-L2 distance to a LITERAL centroid — a sequential
     left-to-right fold, so the accumulation order is deterministic."""
-    lits = F.array(*[F.lit(float(c)) for c in centroid])
-    sq = F.zip_with(vec, lits, lambda a, b: (a - b) * (a - b))
+    sq = F.zip_with(vec, _vec_lit(centroid), lambda a, b: (a - b) * (a - b))
     return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x), digits)
 
 
@@ -101,8 +132,8 @@ def _choice(vec: Column, centroids: dict[int, list[float]], digits: int) -> Colu
     the per-centroid fold — same sequential left-to-right accumulation,
     same rounding — so oracle trajectories are unchanged."""
     keys = sorted(centroids)
-    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in centroids[j]]) for j in keys])
-    ks = F.array(*[F.lit(int(j)) for j in keys])
+    cmat = _mat_lit([centroids[j] for j in keys])
+    ks = F.expr("array(" + ",".join(str(int(j)) for j in keys) + ")")
     dists = F.transform(
         cmat,
         lambda c: F.round(
