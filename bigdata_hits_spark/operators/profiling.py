@@ -156,3 +156,160 @@ def skew_report(df: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
         .withColumn("share", F.col("cnt") / F.col("__N"))
         .select("column", "key", "cnt", F.round("share", 6).alias("share"), "rank")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame, col: str, buckets: int = 8, digits: int = 6
+) -> DataFrame:
+    """(bucket, lo, hi, cnt): EQUI-DEPTH histogram — bucket edges are the
+    exact ``j/buckets`` quantiles (``quantile_cont`` interpolation), so
+    each bucket holds ~n/buckets rows instead of an equal value span.
+    The partner of :func:`histogram` for skewed columns, where equi-width
+    puts 99% of rows in one bar.
+
+    **Exact at scale without buffering the column.**  Single-pass exact
+    quantile aggregates (and DuckDB's ``quantile_cont``) hold a
+    value->count map per aggregation buffer, centralizing the whole
+    VALUE DOMAIN into one task at the final merge.  This plan keeps the
+    domain distributed:
+
+    - CDF: one hash-agg to distinct values (map-side combined), one
+      range exchange over values, per-range-bucket prefix offsets (the
+      ``ranks.py`` machinery) — each value row gets the 0-based index
+      span [__lo, __hi] it occupies in the global sort.
+    - Boundary positions are EXACT integer rationals: the order-
+      statistic position ``f_j*(n-1)`` becomes quotient and remainder
+      of ``j*(n-1)`` by B — no float positioning at any n.  With
+      ``buckets`` a power of two, ``j/B`` is exactly representable, so
+      an engine computing ``f*(n-1)`` in doubles (DuckDB) lands on the
+      SAME order statistics; the final interpolated edge is rounded to
+      ``digits`` on both engines either way.
+    - Each boundary's order statistics are located by ARITHMETIC, not a
+      non-equi join: a value row covering sort positions [lo, hi]
+      derives the j-range of boundaries landing inside it and explodes
+      exactly those js — output is (buckets+1)-row-sized, and no
+      BroadcastNestedLoopJoin ever touches the value domain.
+    - Assignment reuses :func:`histogram`'s shape: the (B-1)-element
+      inner-edge array attaches as a one-row broadcast and a sequential
+      fold counts edges strictly below x (a value EQUAL to an edge goes
+      to the lower bucket, identically on both engines).
+
+    NULLs are excluded; an empty (or all-NULL) input yields an empty
+    result.  The two tiny windows (range-bucket offsets, edge ``lead``)
+    run over bucket-count-sized relations — the documented free case.
+    Positional arithmetic uses floor/ceil of long-over-long division,
+    exact while positions*B stay below 2^53 (the ``ranks._ceil_div``
+    bound, far beyond any real row count)."""
+    if buckets <= 0:
+        raise ValueError(f"equidepth_histogram needs buckets >= 1, got {buckets}")
+    from bigdata_hits_spark.operators.ranks import _ceil_div, _ranged_pinned
+
+    B = int(buckets)
+    x = F.col(col).cast("double")
+    spark = df.sparkSession
+    num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    vals = (
+        df.filter(x.isNotNull())
+        .groupBy(x.alias("v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ranged = _ranged_pinned(vals, [F.col("v").asc()], num_buckets)
+    pid_counts = ranged.groupBy("__pid").agg(F.sum("__c").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pid_counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    total = pid_counts.agg(F.sum("__n").alias("__nn"))  # one row
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Pinned: both boundary probes scan the CDF, and without the pin
+    # each probe re-derives the whole offsets/window subtree (a second
+    # range exchange over the value domain for nothing).
+    cdf = (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .select(
+            "v",
+            "__c",
+            (F.col("__off") + F.coalesce(F.sum("__c").over(w_local), F.lit(0))).alias(
+                "__lo"
+            ),
+        )
+        .withColumn("__hi", F.col("__lo") + F.col("__c") - 1)
+        .crossJoin(F.broadcast(total))
+        .localCheckpoint(eager=False)
+    )
+    nm1 = (F.col("__nn") - 1).cast("long")
+
+    def _floor_div(a: Column, b: Column) -> Column:
+        return F.floor(a / b).cast("long")
+
+    def _probe(pos_shift: int, out: str) -> DataFrame:
+        """One row per boundary j whose probed order statistic
+        (j*(n-1)) div B + pos_shift falls inside this value's span:
+        j*(n-1) div B in [__lo - shift, __hi - shift]."""
+        lo = F.col("__lo") - F.lit(pos_shift)
+        hi = F.col("__hi") - F.lit(pos_shift)
+        jmin = F.when(nm1 == 0, F.lit(0).cast("long")).otherwise(
+            F.greatest(_ceil_div(lo * B, nm1), F.lit(0).cast("long"))
+        )
+        # (j*(n-1)) div B <= hi  <=>  j*(n-1) <= hi*B + B-1
+        jmax = F.when(nm1 == 0, F.lit(B).cast("long")).otherwise(
+            F.least(_floor_div(hi * B + (B - 1), nm1), F.lit(B).cast("long"))
+        )
+        seq = F.when(jmax >= jmin, F.sequence(jmin, jmax)).otherwise(
+            F.array().cast("array<long>")
+        )
+        return cdf.select(F.explode(seq).alias("j"), F.col("v").alias(out))
+
+    # probe1: x at floor position; probe2: x one position later (only
+    # consumed when the remainder is non-zero, i.e. interpolation needed)
+    edges = (
+        _probe(0, "x1")
+        .join(_probe(1, "x2"), "j", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "j",
+            F.round(
+                F.when(
+                    (F.col("j") * nm1) % B == 0, F.col("x1")
+                ).otherwise(
+                    F.col("x1")
+                    + (((F.col("j") * nm1) % B) / F.lit(float(B)))
+                    * (F.coalesce(F.col("x2"), F.col("x1")) - F.col("x1"))
+                ),
+                digits,
+            ).alias("b"),
+        )
+    )
+    w_lead = Window.orderBy("j")  # (buckets+1)-row relation: free
+    bucket_rows = (
+        edges.select(
+            F.col("j").alias("bucket"),
+            F.col("b").alias("lo"),
+            F.lead("b").over(w_lead).alias("hi"),
+        )
+        .filter(F.col("bucket") < B)
+    )
+    inner = edges.filter((F.col("j") >= 1) & (F.col("j") <= B - 1)).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "b"))), lambda t: t["b"]
+        ).alias("__edges")
+    )
+    counts = (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(inner))
+        .groupBy(
+            F.aggregate(
+                "__edges",
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + F.when(b < x, 1).otherwise(0),
+            ).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return bucket_rows.join(counts, "bucket", "left").select(
+        "bucket", "lo", "hi", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )

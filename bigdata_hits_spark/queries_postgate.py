@@ -2345,3 +2345,41 @@ def q_collocations_pmi_docs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return textstats.collocations(docs, min_count=COLLOC_MIN_COUNT)
+
+
+# --- round 6: equi-depth histogram (exact distributed quantile edges) -----
+
+#: Power of two ON PURPOSE: j/B is then exactly representable, so an
+#: engine computing the f*(n-1) order-statistic position in doubles
+#: (DuckDB) lands on the same statistics as the engine's exact integer
+#: quotient/remainder path (operators/profiling.py equidepth_histogram).
+EQUIDEPTH_BUCKETS = 8
+
+_EQUIDEPTH_SQL = (
+    "WITH q AS (SELECT quantile_cont(o_totalprice, "
+    f"[{', '.join(str(j) + '.0/' + str(EQUIDEPTH_BUCKETS) for j in range(EQUIDEPTH_BUCKETS + 1))}]) AS bs FROM orders), "
+    "bounds AS (SELECT i AS bucket, ROUND(CAST(bs[i + 1] AS DOUBLE), 6) AS b "
+    f"FROM q, (SELECT unnest(range({EQUIDEPTH_BUCKETS + 1})) AS i)), "
+    "assign AS (SELECT (SELECT COUNT(*) FROM bounds "
+    f"WHERE bucket BETWEEN 1 AND {EQUIDEPTH_BUCKETS - 1} AND b < o.o_totalprice) AS bucket "
+    "FROM orders o WHERE o_totalprice IS NOT NULL), "
+    "cnt AS (SELECT bucket, COUNT(*) AS cnt FROM assign GROUP BY bucket) "
+    "SELECT lo.bucket, lo.b AS lo, hi.b AS hi, COALESCE(cnt.cnt, 0) AS cnt "
+    "FROM bounds lo JOIN bounds hi ON hi.bucket = lo.bucket + 1 "
+    "LEFT JOIN cnt ON cnt.bucket = lo.bucket "
+    f"WHERE lo.bucket < {EQUIDEPTH_BUCKETS}"
+)
+
+
+@register("orders_price_equidepth", _EQUIDEPTH_SQL)
+def q_orders_price_equidepth(spark, sf_dir):
+    """Equi-depth histogram of order totals (operators/profiling.py
+    equidepth_histogram): exact j/8-quantile bucket edges computed
+    DISTRIBUTED — range-partitioned value-domain CDF + integer-rational
+    boundary positions + arithmetic boundary-cover explode — while the
+    oracle uses DuckDB's buffering quantile_cont; a green row proves
+    the distributed path lands on the same order statistics."""
+    from bigdata_hits_spark.operators.profiling import equidepth_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equidepth_histogram(orders, "o_totalprice", buckets=EQUIDEPTH_BUCKETS)

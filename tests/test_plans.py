@@ -288,6 +288,9 @@ _BNLJ_ALLOWED = {
     "text_tfidf": 1,
     "sparse_cosine_topk_docs": 1,
     "collocations_pmi_docs": 2,  # unigram-total + bigram-total one-row attaches
+    # n-total attach on the CDF, on the edge interpolation, and the
+    # (B-1)-element inner-edge array attach on the data — all one-row
+    "orders_price_equidepth": 3,
     # per-iteration norm attach in the ranking families
     "base_hits_k3": 1,
     "weighted_hits_k3": 1,

@@ -87,3 +87,49 @@ def test_histogram_constant_column(spark):
     got = histogram(df, "x", bins=3).collect()
     by_b = {r["bucket"]: r["cnt"] for r in got}
     assert by_b == {0: 4, 1: 0, 2: 0}
+
+
+def test_equidepth_histogram_balances_buckets(spark):
+    from bigdata_hits_spark.operators.profiling import equidepth_histogram
+
+    # 0..799: every bucket should hold exactly 100 rows
+    df = spark.createDataFrame([(float(i),) for i in range(800)], "x double")
+    got = {r["bucket"]: r for r in equidepth_histogram(df, "x", buckets=8).collect()}
+    assert set(got) == set(range(8))
+    assert all(got[b]["cnt"] == 100 for b in range(8))
+    # edges are the exact j/8 quantiles of 0..799: 99.875, 199.75, ...
+    assert got[0]["lo"] == 0.0 and got[7]["hi"] == 799.0
+    assert got[1]["lo"] == got[0]["hi"] == 99.875
+
+
+def test_equidepth_histogram_skewed_beats_equiwidth(spark):
+    from bigdata_hits_spark.operators.profiling import equidepth_histogram, histogram
+
+    # 99% of mass at the bottom; one huge outlier stretches the range
+    data = [(float(i % 100),) for i in range(990)] + [(1_000_000.0,)] * 10
+    df = spark.createDataFrame(data, "x double")
+    eqw = {r["bucket"]: r["cnt"] for r in histogram(df, "x", bins=4).collect()}
+    eqd = {r["bucket"]: r["cnt"] for r in equidepth_histogram(df, "x", 4).collect()}
+    assert eqw[0] == 990 and max(eqd.values()) <= 500  # depth buckets stay balanced
+    assert sum(eqd.values()) == 1000
+
+
+def test_equidepth_histogram_edge_cases(spark):
+    from bigdata_hits_spark.operators.profiling import equidepth_histogram
+
+    one = spark.createDataFrame([(7.0,)], "x double")
+    got = equidepth_histogram(one, "x", buckets=4).collect()
+    assert len(got) == 4 and sum(r["cnt"] for r in got) == 1
+    assert all(r["lo"] == 7.0 and r["hi"] == 7.0 for r in got)
+
+    const = spark.createDataFrame([(2.0,)] * 50, "x double")
+    by_b = {r["bucket"]: r["cnt"] for r in equidepth_histogram(const, "x", 4).collect()}
+    assert by_b == {0: 50, 1: 0, 2: 0, 3: 0}  # ties at an edge go DOWN
+
+    empty = spark.createDataFrame([(None,)], "x double")
+    assert equidepth_histogram(empty, "x", 4).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="buckets"):
+        equidepth_histogram(one, "x", 0)
