@@ -467,3 +467,102 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rollup_maintenance_stream(
+    delta_stream: DataFrame,
+    rollup_store: str,
+    checkpoint: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+    sign_col: str = "sign",
+    keep_versions: int = 3,
+):
+    """Continuously maintain a stored COUNT+SUM rollup from a retraction
+    stream (``sign`` = +1 insert / -1 retract, the shape
+    ``operators/relops.py snapshot_delta`` emits and any CDC feed can be
+    projected into) via ``foreachBatch`` +
+    ``operators/relops.py apply_delta_rollup`` — the streaming twin of
+    the ``orders_rollup_incremental`` batch query.  Per micro-batch the
+    work is O(|batch delta| + |groups|): the fact history is never
+    re-read, which is the whole point of maintaining a 100 TB table's
+    rollup incrementally.
+
+    **State versioning makes replay exact, not just harmless.**  Unlike
+    the dedup stream (where replays are suppressed by dedup itself),
+    retraction arithmetic is NOT idempotent — applying a delta twice
+    double-counts.  So the store is versioned by batch id
+    (``<rollup_store>/v=<batch_id>``): each batch reads the newest
+    version STRICTLY BELOW its own id and overwrites its own version
+    directory.  A replayed batch re-reads the same predecessor state
+    and deterministically rewrites the same output — exactly-once
+    semantics from pure directory arithmetic, no transactional sink
+    needed.  Old versions beyond ``keep_versions`` are pruned once a
+    newer version lands (crash mid-prune leaves extra versions, never
+    missing ones).
+
+    Ordering invariant: a retraction must not arrive in an EARLIER
+    batch than the insert it cancels (true of any genuine CDC feed —
+    you cannot delete a row before it exists).  A violating feed would
+    make a group's maintained count transiently negative, and the
+    rollup's groups-with-count>0 contract would drop its partial sums.
+
+    Readers consume the highest ``v=`` directory; the returned query
+    should be awaited/stopped by the caller.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.operators.relops import apply_delta_rollup
+
+    def _versions(spark, path: str) -> list[int]:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = [v for v in _versions(spark, rollup_store) if v < batch_id]
+        if prev:
+            old = spark.read.parquet(f"{rollup_store}/v={max(prev)}")
+        else:
+            # First batch: an empty rollup with the right schema, derived
+            # from the batch itself (filter-false keeps types aligned).
+            old = (
+                batch_df.filter(F.lit(False))
+                .groupBy(*group_cols)
+                .agg(
+                    F.count(F.lit(1)).alias(count_col),
+                    *[F.sum(c).alias(c) for c in sum_cols],
+                )
+            )
+        new = apply_delta_rollup(
+            old, batch_df, group_cols, sum_cols, count_col, sign_col
+        )
+        new.write.mode("overwrite").parquet(f"{rollup_store}/v={batch_id}")
+        # prune: only versions OLDER than the keep window, never the one
+        # just written or its predecessors inside it
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(rollup_store)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        done = [v for v in _versions(spark, rollup_store) if v <= batch_id]
+        for v in done[:-keep_versions] if keep_versions > 0 else []:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{rollup_store}/v={v}"), True)
+
+    return (
+        delta_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -342,3 +342,61 @@ def test_transition_pairs_stream_equals_batch(spark, sf_dir, events_dir):
     b = streamed.sort_values(key).reset_index(drop=True)
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rollup_maintenance_stream_equals_direct_agg(spark, tmp_path):
+    """Three micro-batches of a retraction stream (inserts, then a mix
+    of retractions + inserts) maintain the stored rollup to exactly the
+    direct aggregate of the surviving rows; intermediate versions exist
+    and pruning keeps the window bounded."""
+    from pyspark.sql import functions as F, types as T
+
+    from bigdata_hits_spark.streaming.jobs import rollup_maintenance_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("sign", T.IntegerType()),
+            T.StructField("g", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "delta_src")
+    # batch A: initial inserts
+    spark.createDataFrame(
+        [(1, "a", 10.0), (1, "a", 20.0), (1, "b", 5.0), (1, "c", 7.0)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # batch B: retract one 'a' row, insert into 'b', empty out 'c'
+    spark.createDataFrame(
+        [(-1, "a", 10.0), (1, "b", 6.0), (-1, "c", 7.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch C: a changed row arrives as retract+insert (d is new)
+    spark.createDataFrame(
+        [(-1, "a", 20.0), (1, "a", 25.0), (1, "d", 1.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    store = str(tmp_path / "rollup")
+    q = rollup_maintenance_stream(
+        stream,
+        store,
+        checkpoint=str(tmp_path / "ckpt"),
+        group_cols=["g"],
+        sum_cols=["x"],
+        keep_versions=2,
+    )
+    q.awaitTermination()
+
+    import os
+
+    versions = sorted(
+        int(d[2:]) for d in os.listdir(store) if d.startswith("v=")
+    )
+    assert len(versions) == 2, versions  # pruned to keep_versions
+    final = {
+        r["g"]: (r["n"], r["x"])
+        for r in spark.read.parquet(f"{store}/v={versions[-1]}").collect()
+    }
+    # surviving multiset: a:25, b:(5,6), d:1 — c emptied out and dropped
+    assert final == {"a": (1, 25.0), "b": (2, 11.0), "d": (1, 1.0)}
