@@ -349,3 +349,40 @@ def apply_delta_rollup(
         )
         .filter(F.col(count_col) > 0)
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per key: the row with the greatest ``order_cols`` tuple —
+    changelog-to-snapshot compaction (the newest version of every URL in
+    a crawl log, the final state of every row in a CDC feed, the last
+    event per user).  ``order_cols`` must totally order rows WITHIN a
+    key (include a unique tiebreak like an event/sequence id): with
+    ties, max_by picks an arbitrary peer, exactly as the row_number
+    idiom would under a non-total sort.
+
+    Plan: ONE hash aggregate of ``max_by(struct(payload),
+    struct(order))`` — deliberately NOT the ``row_number() = 1`` window
+    idiom.  Partial aggregation collapses every mapper's rows to one
+    candidate per key BEFORE the exchange, so a hot key (one URL
+    recrawled a billion times) reduces map-side and shuffles a handful
+    of candidate rows; the window form shuffles and SORTS every version
+    of the hot key in one task.  Same answer, skew-immune plan.
+    """
+    if not key_cols or not order_cols:
+        raise ValueError("latest_by_key needs key_cols and order_cols")
+    if payload_cols is None:
+        payload_cols = [c for c in df.columns if c not in set(key_cols)]
+    picked = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    )
+    return (
+        df.groupBy(*key_cols)
+        .agg(picked.alias("__r"))
+        .select(*key_cols, *[F.col(f"__r.{c}").alias(c) for c in payload_cols])
+    )

@@ -2383,3 +2383,31 @@ def q_orders_price_equidepth(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return equidepth_histogram(orders, "o_totalprice", buckets=EQUIDEPTH_BUCKETS)
+
+
+# --- round 6: changelog -> snapshot compaction (latest row per key) -------
+
+_LATEST_SQL = (
+    "SELECT user_id, ts_ns, event_id, event_type, value FROM ("
+    "SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type, value, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+)
+
+
+@register("events_latest_per_user", _LATEST_SQL)
+def q_events_latest_per_user(spark, sf_dir):
+    """Changelog-to-snapshot compaction (operators/relops.py
+    latest_by_key): the newest event per user as ONE max_by hash
+    aggregate — map-side partial combine collapses hot keys before the
+    exchange, where the oracle's row_number idiom would sort every
+    version of a hot key in one task.  Ordered at the shared
+    microsecond grain (queries_events._events_us) with event_id as the
+    total-order tiebreak."""
+    from bigdata_hits_spark.operators.relops import latest_by_key
+    from bigdata_hits_spark.queries_events import _events_us
+
+    ev = _events_us(spark, sf_dir).select(
+        "user_id", "ts_ns", "event_id", "event_type", "value"
+    )
+    return latest_by_key(ev, ["user_id"], ["ts_ns", "event_id"])

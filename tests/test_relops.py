@@ -248,3 +248,36 @@ def test_apply_delta_rollup_rejects_empty_groups(spark):
 
     with _pytest.raises(ValueError, match="group column"):
         apply_delta_rollup(df, df, [], ["x"])
+
+
+def test_latest_by_key_compacts_changelog(spark):
+    from bigdata_hits_spark.operators.relops import latest_by_key
+
+    log = spark.createDataFrame(
+        [
+            ("u1", 1, 10, "a"),
+            ("u1", 3, 11, "c"),  # winner: latest ts
+            ("u1", 2, 12, "b"),
+            ("u2", 5, 20, "x"),
+            ("u2", 5, 21, "y"),  # ts tie -> higher seq wins
+            ("u3", 9, 30, "only"),
+        ],
+        "k string, ts long, seq long, v string",
+    )
+    got = {
+        r["k"]: (r["ts"], r["seq"], r["v"])
+        for r in latest_by_key(log, ["k"], ["ts", "seq"]).collect()
+    }
+    assert got == {
+        "u1": (3, 11, "c"),
+        "u2": (5, 21, "y"),
+        "u3": (9, 30, "only"),
+    }
+    # explicit payload selection drops the rest
+    slim = latest_by_key(log, ["k"], ["ts", "seq"], payload_cols=["v"])
+    assert set(slim.columns) == {"k", "v"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order_cols"):
+        latest_by_key(log, ["k"], [])
