@@ -90,6 +90,11 @@ Beyond-reference pipeline jobs (no reference twin):
 - ``cluster embeddings.parquet k [iters] [id_col] [vec_col]`` —
   distributed Lloyd's k-means; (id, cluster, dist) assignments written
   as parquet.
+- ``maintain_rollup rollup.parquet|- delta.parquet g1[,g2] s1[,s2]`` —
+  merge a retraction-stream delta into a stored COUNT+SUM rollup
+  (``-`` bootstraps an empty rollup); O(|delta| + |groups|).
+- ``compact_log log.parquet key1[,key2] order1[,order2]`` — changelog
+  to snapshot: newest row per key via one max_by hash-agg.
 """
 
 from __future__ import annotations
@@ -467,6 +472,53 @@ def main(argv: list[str] | None = None) -> None:
             keys_arg.split(","),
         )
         out.write.mode("overwrite").parquet(os.path.join(out_dir, "diff"))
+    elif job == "maintain_rollup":
+        # maintain_rollup <rollup.parquet|-> <delta.parquet> <g1[,g2]> <s1[,s2]>
+        # — merge a retraction-stream delta (sign column, snapshot_delta
+        # shape) into a stored COUNT+SUM rollup; '-' bootstraps an empty
+        # rollup from the delta's schema.  O(|delta| + |groups|).
+        from pyspark.sql import functions as F
+
+        from bigdata_hits_spark.operators.relops import apply_delta_rollup
+
+        usage = "maintain_rollup <rollup.parquet|-> <delta.parquet> <g1[,g2]> <s1[,s2]>"
+        rollup_path = args.take(usage=usage)
+        delta_path = args.take(usage=usage)
+        groups_arg = args.take(usage=usage)
+        sums_arg = args.take(usage=usage)
+        if None in (rollup_path, delta_path, groups_arg, sums_arg):
+            raise SystemExit(f"usage: {usage}")
+        group_cols = groups_arg.split(",")
+        sum_cols = sums_arg.split(",")
+        delta = spark.read.parquet(delta_path)
+        if rollup_path == "-":
+            old = (
+                delta.filter(F.lit(False))
+                .groupBy(*group_cols)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.sum(c).alias(c) for c in sum_cols],
+                )
+            )
+        else:
+            old = spark.read.parquet(rollup_path)
+        out = apply_delta_rollup(old, delta, group_cols, sum_cols)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, "rollup"))
+    elif job == "compact_log":
+        # compact_log <log.parquet> <key1[,key2]> <order1[,order2]> —
+        # changelog -> snapshot: newest row per key (one max_by hash-agg)
+        from bigdata_hits_spark.operators.relops import latest_by_key
+
+        usage = "compact_log <log.parquet> <key1[,key2]> <order1[,order2]>"
+        log_path = args.take(usage=usage)
+        keys_arg = args.take(usage=usage)
+        order_arg = args.take(usage=usage)
+        if None in (log_path, keys_arg, order_arg):
+            raise SystemExit(f"usage: {usage}")
+        out = latest_by_key(
+            spark.read.parquet(log_path), keys_arg.split(","), order_arg.split(",")
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, "snapshot"))
     elif job == "funnel":
         # funnel <events.parquet> <step1,step2[,...]> [gap_s] — ordered
         # conversion funnel over (user_id, event_type, ts_ns[, event_id])

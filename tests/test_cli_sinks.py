@@ -406,3 +406,41 @@ def test_compact_refuses_inplace(spark, tmp_path):
     spark.range(10).write.parquet(src)
     with pytest.raises(ValueError, match="differ"):
         compact_parquet(spark, src, src)
+
+
+def test_cli_maintain_rollup_and_compact_log(spark, tmp_path):
+    # bootstrap a rollup from a delta, then maintain it with a second one
+    d1 = str(tmp_path / "d1.parquet")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (1, "a", 20.0), (1, "b", 5.0)], "sign int, g string, x double"
+    ).write.parquet(d1)
+    out1 = str(tmp_path / "r1")
+    cli.main(["maintain_rollup", "-", d1, "g", "x", "--out", out1])
+    r1 = {r["g"]: (r["n"], r["x"]) for r in spark.read.parquet(os.path.join(out1, "rollup")).collect()}
+    assert r1 == {"a": (2, 30.0), "b": (1, 5.0)}
+
+    d2 = str(tmp_path / "d2.parquet")
+    spark.createDataFrame(
+        [(-1, "a", 10.0), (-1, "b", 5.0)], "sign int, g string, x double"
+    ).write.parquet(d2)
+    out2 = str(tmp_path / "r2")
+    cli.main(["maintain_rollup", os.path.join(out1, "rollup"), d2, "g", "x", "--out", out2])
+    r2 = {r["g"]: (r["n"], r["x"]) for r in spark.read.parquet(os.path.join(out2, "rollup")).collect()}
+    assert r2 == {"a": (1, 20.0)}  # b emptied out and dropped
+
+    # compact_log: newest row per key
+    log = str(tmp_path / "log.parquet")
+    spark.createDataFrame(
+        [("u1", 1, "old"), ("u1", 2, "new"), ("u2", 7, "only")],
+        "k string, ts long, v string",
+    ).write.parquet(log)
+    out3 = str(tmp_path / "snap")
+    cli.main(["compact_log", log, "k", "ts", "--out", out3])
+    snap = {r["k"]: r["v"] for r in spark.read.parquet(os.path.join(out3, "snapshot")).collect()}
+    assert snap == {"u1": "new", "u2": "only"}
+
+    # usage errors, not tracebacks
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="usage"):
+        cli.main(["maintain_rollup", "-", d1, "--out", out1])

