@@ -333,3 +333,56 @@ def hourly_anomalies(
         .filter(F.abs(F.col("z")) >= F.lit(float(z_threshold)))
         .select("event_type", "bucket_hour", "n", "z")
     )
+
+
+def decayed_agg(
+    events: DataFrame,
+    half_life_ns: int,
+    group_cols: list[str] | None = None,
+    ts_col: str = "ts_ns",
+    value_col: str = "value",
+    as_of_ns: int | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """(group..., decayed_n, decayed_value): exponentially time-decayed
+    count and value sum per group — the freshness-weighted engagement
+    feature (an event ``half_life_ns`` old counts half; one two
+    half-lives old counts a quarter).  The feature-store staple for
+    "recent activity" signals that a plain windowed count cliff-edges.
+
+    ``as_of_ns`` defaults to the table's own MAX timestamp (attached as
+    a one-row broadcast, deterministic on both engines); pass a fixed
+    epoch for serving-time alignment.  One map-side-combined hash
+    aggregate over the events — weights are a pure projection, nothing
+    event-sized shuffles beyond the group keys.
+
+    Engine portability: the age is an exact long difference, its double
+    cast and the division are IEEE-identical on both engines, and the
+    2^(-age/half_life) weight is rounded to 9 decimals BEFORE summing
+    (pow may differ in the last ulp across engines); the grouped sums
+    round to ``digits``, the repo's standard absorb-the-sum-order step.
+    """
+    if half_life_ns <= 0:
+        raise ValueError(f"half_life_ns must be positive, got {half_life_ns}")
+    group_cols = list(group_cols) if group_cols else ["event_type"]
+    ts = F.col(ts_col).cast("long")
+    if as_of_ns is None:
+        as_of = events.agg(F.max(ts).alias("__as_of"))
+        base = events.crossJoin(F.broadcast(as_of))
+    else:
+        base = events.withColumn("__as_of", F.lit(int(as_of_ns)))
+    w = F.round(
+        F.pow(
+            F.lit(2.0),
+            -((F.col("__as_of") - ts).cast("double") / F.lit(float(half_life_ns))),
+        ),
+        9,
+    )
+    return (
+        base.select(*group_cols, w.alias("__w"), F.col(value_col).alias("__v"))
+        .groupBy(*group_cols)
+        .agg(
+            F.round(F.sum("__w"), digits).alias("decayed_n"),
+            F.round(F.sum(F.col("__w") * F.col("__v")), digits).alias("decayed_value"),
+        )
+    )

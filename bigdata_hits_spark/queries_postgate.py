@@ -2411,3 +2411,30 @@ def q_events_latest_per_user(spark, sf_dir):
         "user_id", "ts_ns", "event_id", "event_type", "value"
     )
     return latest_by_key(ev, ["user_id"], ["ts_ns", "event_id"])
+
+
+# --- round 6: exponentially time-decayed aggregates -----------------------
+
+#: 6 hours in integer nanoseconds — ages are exact long differences.
+DECAY_HALF_LIFE_NS = 6 * 3_600_000_000_000
+
+
+@register(
+    "events_decayed_engagement",
+    "WITH m AS (SELECT MAX(epoch_ns(ts)) AS mx FROM events), "
+    "w AS (SELECT event_type, value, "
+    "ROUND(POWER(2.0, -(CAST(m.mx - epoch_ns(ts) AS DOUBLE) "
+    f"/ {DECAY_HALF_LIFE_NS}.0)), 9) AS w FROM events, m) "
+    "SELECT event_type, ROUND(SUM(w), 6) AS decayed_n, "
+    "ROUND(SUM(w * value), 6) AS decayed_value FROM w GROUP BY event_type",
+)
+def q_events_decayed_engagement(spark, sf_dir):
+    """Freshness-weighted engagement (operators/events.py decayed_agg):
+    per-type event count and value sum with a 6-hour half-life decay —
+    ONE hash aggregate, weight projection in-plan, as-of attached as a
+    one-row broadcast.  Weights rounded to 9 before summing so the two
+    engines' pow() ulps cannot diverge the sums."""
+    from bigdata_hits_spark.operators.events import decayed_agg
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return decayed_agg(_events_us(spark, sf_dir), DECAY_HALF_LIFE_NS)

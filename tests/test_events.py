@@ -89,3 +89,33 @@ def test_hourly_anomalies_constant_series_yields_nothing(spark):
     divide-by-zero."""
     rows = [(h, h * HOUR_NS, 1, "x", 0.0) for h in range(6)]
     assert hourly_anomalies(_ev(spark, rows), z_threshold=0.0).count() == 0
+
+
+def test_decayed_agg_halves_per_half_life(spark):
+    from bigdata_hits_spark.operators.events import decayed_agg
+
+    hl = 1_000
+    rows = [
+        (0, "a", 10.0),      # 2 half-lives old -> weight 0.25
+        (1_000, "a", 10.0),  # 1 half-life old  -> weight 0.5
+        (2_000, "a", 10.0),  # as-of            -> weight 1.0
+        (2_000, "b", 4.0),
+    ]
+    ev = spark.createDataFrame(rows, "ts_ns long, event_type string, value double")
+    got = {
+        r["event_type"]: (r["decayed_n"], r["decayed_value"])
+        for r in decayed_agg(ev, hl).collect()
+    }
+    assert got["a"] == (1.75, 17.5)
+    assert got["b"] == (1.0, 4.0)
+    # fixed as_of shifts every weight identically
+    got2 = {
+        r["event_type"]: r["decayed_n"]
+        for r in decayed_agg(ev, hl, as_of_ns=3_000).collect()
+    }
+    assert got2["a"] == 0.875 and got2["b"] == 0.5
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="half_life"):
+        decayed_agg(ev, 0)

@@ -291,6 +291,7 @@ _BNLJ_ALLOWED = {
     # n-total attach on the CDF, on the edge interpolation, and the
     # (B-1)-element inner-edge array attach on the data — all one-row
     "orders_price_equidepth": 3,
+    "events_decayed_engagement": 1,  # as-of max-timestamp one-row attach
     # per-iteration norm attach in the ranking families
     "base_hits_k3": 1,
     "weighted_hits_k3": 1,
