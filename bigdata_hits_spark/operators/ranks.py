@@ -492,3 +492,40 @@ def mad_outliers(
         .filter(F.abs(F.col("z")) >= F.lit(float(threshold)))
         .drop("__med", "__mad")
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "q",
+    digits: int = 9,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """All input columns + ``out_col``: the column's PERCENT_RANK
+    ``(rank - 1) / (n - 1)`` in [0, 1] — rank-based quantile
+    normalization, the standard monotone feature-scaling step that is
+    immune to outliers and arbitrary units (a model-feature cousin of
+    :func:`ntile_exact`).  Ties share a value (RANK semantics), so the
+    mapping is a pure function of the data, not of row order.
+
+    Distributed exactly like :func:`global_rank` (range-bucket prefix
+    offsets, no single-task window); n attaches as a one-row broadcast.
+    A single-row input normalizes to 0.0 (both engines' PERCENT_RANK
+    convention).  Rows with NULL in ``order_col`` sort per the engine's
+    default (Spark: NULLS FIRST) — filter or impute them first if the
+    feature pipeline treats NULL as missing rather than smallest.
+    """
+    ranked = global_rank(
+        df, [F.asc(order_col)], rank_col="__rnk", method="rank",
+        num_buckets=num_buckets,
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__qn_n"))
+    q = F.when(
+        F.col("__qn_n") > 1,
+        F.round((F.col("__rnk") - 1).cast("double") / (F.col("__qn_n") - 1), digits),
+    ).otherwise(F.lit(0.0))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out_col, q)
+        .drop("__rnk", "__qn_n")
+    )

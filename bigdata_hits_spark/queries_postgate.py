@@ -2438,3 +2438,24 @@ def q_events_decayed_engagement(spark, sf_dir):
     from bigdata_hits_spark.queries_events import _events_us
 
     return decayed_agg(_events_us(spark, sf_dir), DECAY_HALF_LIFE_NS)
+
+
+# --- round 6: rank-based quantile normalization ---------------------------
+
+
+@register(
+    "orders_price_qnorm",
+    "SELECT o_orderkey, o_totalprice, "
+    "ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice), 9) AS q FROM orders",
+)
+def q_orders_price_qnorm(spark, sf_dir):
+    """Quantile normalization of order totals (operators/ranks.py
+    quantile_normalize): PERCENT_RANK mapped distributively via the
+    range-bucket prefix-offset rank machinery — the oracle is the
+    single-task window the engine refuses to plan.  (rank-1)/(n-1) is
+    one IEEE double division of exact longs, identical on both
+    engines."""
+    from bigdata_hits_spark.operators.ranks import quantile_normalize
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return quantile_normalize(orders, "o_totalprice")

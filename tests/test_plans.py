@@ -292,6 +292,7 @@ _BNLJ_ALLOWED = {
     # (B-1)-element inner-edge array attach on the data — all one-row
     "orders_price_equidepth": 3,
     "events_decayed_engagement": 1,  # as-of max-timestamp one-row attach
+    "orders_price_qnorm": 1,  # n one-row attach for (rank-1)/(n-1)
     # per-iteration norm attach in the ranking families
     "base_hits_k3": 1,
     "weighted_hits_k3": 1,

@@ -289,3 +289,20 @@ def test_mad_outliers_flags_planted_spike_and_skips_constant(spark):
     df = spark.createDataFrame(rows, "g string, k long, x double")
     out = mad_outliers(df, "x", "g", threshold=3.5).collect()
     assert [(r["g"], r["k"], r["z"]) for r in out] == [("a", 99, round(0.6745 * 90, 6))]
+
+
+def test_quantile_normalize_maps_to_unit_interval(spark):
+    from bigdata_hits_spark.operators.ranks import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 10.0), (3, 30.0), (4, 30.0), (5, 999.0)], "id long, x double"
+    )
+    got = {r["id"]: r["q"] for r in quantile_normalize(df, "x").collect()}
+    # ranks over (10, 30, 30, 50, 999): 1, 2, 2, 4, 5 -> (r-1)/4
+    assert got == {2: 0.0, 3: 0.25, 4: 0.25, 1: 0.75, 5: 1.0}
+    # outlier magnitude is irrelevant: only order matters
+    df2 = df.replace(999.0, 51.0, subset="x")
+    assert {r["id"]: r["q"] for r in quantile_normalize(df2, "x").collect()} == got
+    # single row -> 0.0 by convention
+    one = spark.createDataFrame([(1, 5.0)], "id long, x double")
+    assert quantile_normalize(one, "x").first()["q"] == 0.0
