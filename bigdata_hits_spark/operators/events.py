@@ -386,3 +386,51 @@ def decayed_agg(
             F.round(F.sum(F.col("__w") * F.col("__v")), digits).alias("decayed_value"),
         )
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    max_items_per_basket: int | None = 64,
+    min_count: int = 1,
+) -> DataFrame:
+    """(item_a, item_b, n_baskets): unordered co-occurrence counts of
+    distinct items sharing a basket — the market-basket / co-click /
+    co-citation graph constructor (baskets = sessions, carts, hourly
+    user activity, documents; items = types, products, terms).  The
+    output is an edge list ready for the ranking/graph operators.
+
+    Scale discipline: the self-join is quadratic PER BASKET, so a hot
+    basket (one bot session touching everything) is capped FIRST to its
+    ``max_items_per_basket`` greatest items via the skew-safe salted
+    two-phase cap (``operators/sampling.py cap_per_group``) — per-basket
+    work is then at most cap*(cap-1)/2 pairs, and the join stays a
+    basket-keyed equi-join (AQE/skew eligible) with nothing quadratic in
+    the corpus.  ``min_count`` prunes the long tail of incidental pairs
+    before the result leaves the final aggregate.
+
+    Items are de-duplicated within a basket first, so a basket
+    contributes each pair at most once (set semantics, the standard
+    co-occurrence convention)."""
+    if not basket_cols:
+        raise ValueError("cooccurrence_pairs needs at least one basket column")
+    from bigdata_hits_spark.operators.sampling import cap_per_group
+
+    basket = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in basket_cols]
+    ).alias("__basket")
+    items = df.select(basket, F.col(item_col).alias("__item")).distinct()
+    if max_items_per_basket is not None:
+        items = cap_per_group(
+            items, "__basket", max_items_per_basket, order_col="__item"
+        )
+    a = items.select("__basket", F.col("__item").alias("item_a"))
+    b = items.select("__basket", F.col("__item").alias("item_b"))
+    return (
+        a.join(b, "__basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )

@@ -2459,3 +2459,47 @@ def q_orders_price_qnorm(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     return quantile_normalize(orders, "o_totalprice")
+
+
+# --- round 6: co-occurrence graph construction ----------------------------
+
+#: Deliberately BINDING at sf0.01 (hourly user baskets reach more
+#: distinct event types than this), so the oracle verifies the cap
+#: semantics, not just the pair counting.
+COOC_CAP = 3
+
+_COOC_SQL = (
+    "WITH it AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || "
+    f"CAST(epoch_ns(ts) // {3_600_000_000_000} AS VARCHAR) AS b, "
+    "event_type AS item FROM events), "
+    "capped AS (SELECT b, item FROM (SELECT b, item, "
+    "ROW_NUMBER() OVER (PARTITION BY b ORDER BY item DESC) AS rn FROM it) "
+    f"WHERE rn <= {COOC_CAP}) "
+    "SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS n_baskets "
+    "FROM capped a JOIN capped c ON a.b = c.b AND a.item < c.item "
+    "GROUP BY 1, 2"
+)
+
+
+@register("events_cooccurrence_hourly", _COOC_SQL)
+def q_events_cooccurrence_hourly(spark, sf_dir):
+    """Event-type co-occurrence graph over hourly user-activity baskets
+    (operators/events.py cooccurrence_pairs): distinct items per
+    basket, hot baskets capped to their COOC_CAP greatest items via the
+    skew-safe salted cap BEFORE the per-basket self-join, pair counts
+    as the edge list.  The cap is binding at sf0.01, so the oracle
+    checks the capped semantics end to end."""
+    from bigdata_hits_spark.operators.events import cooccurrence_pairs
+    from bigdata_hits_spark.queries_events import _events_us
+
+    ev = _events_us(spark, sf_dir).select(
+        "user_id",
+        # integer div, NOT float: ts_ns ~1.7e18 exceeds double's 2^53
+        # exact range, so float division could misbucket boundary events
+        F.expr("ts_ns div 3600000000000").alias("bucket_hour"),
+        "event_type",
+    )
+    return cooccurrence_pairs(
+        ev, ["user_id", "bucket_hour"], "event_type",
+        max_items_per_basket=COOC_CAP,
+    )

@@ -119,3 +119,34 @@ def test_decayed_agg_halves_per_half_life(spark):
 
     with _pytest.raises(ValueError, match="half_life"):
         decayed_agg(ev, 0)
+
+
+def test_cooccurrence_pairs_counts_and_caps(spark):
+    from bigdata_hits_spark.operators.events import cooccurrence_pairs
+
+    rows = [
+        # basket 1: a, b, c (b repeated -> set semantics)
+        (1, "a"), (1, "b"), (1, "b"), (1, "c"),
+        # basket 2: a, b
+        (2, "a"), (2, "b"),
+        # basket 3: only one item -> no pairs
+        (3, "z"),
+    ]
+    df = spark.createDataFrame(rows, "bid long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(df, ["bid"], "item").collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+    # cap=2 keeps the 2 GREATEST items per basket: {b,c} and {a,b}
+    capped = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(df, ["bid"], "item", max_items_per_basket=2).collect()
+    }
+    assert capped == {("b", "c"): 1, ("a", "b"): 1}
+    # min_count prunes singleton pairs
+    frequent = {
+        (r["item_a"], r["item_b"]): r["n_baskets"]
+        for r in cooccurrence_pairs(df, ["bid"], "item", min_count=2).collect()
+    }
+    assert frequent == {("a", "b"): 2}
