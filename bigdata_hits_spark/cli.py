@@ -477,8 +477,8 @@ def main(argv: list[str] | None = None) -> None:
         # — merge a retraction-stream delta (sign column, snapshot_delta
         # shape) into a stored COUNT+SUM rollup; '-' bootstraps an empty
         # rollup from the delta's schema.  O(|delta| + |groups|).
-        from pyspark.sql import functions as F
-
+        # (F comes from the module import — a local import here would
+        # shadow it for EVERY branch of this function.)
         from bigdata_hits_spark.operators.relops import apply_delta_rollup
 
         usage = "maintain_rollup <rollup.parquet|-> <delta.parquet> <g1[,g2]> <s1[,s2]>"
