@@ -37,6 +37,28 @@ BETA = 0.8
 #: name -> (spark_fn, oracle_sql | None)
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
+#: Canonical declaration order of the query modules — the driver's gate
+#: prefix depends on it, so it must NOT depend on which module happens
+#: to be imported first (a test importing queries_postgate for one of
+#: its constants would otherwise register postgate's entries ahead of
+#: the theme modules and silently reshuffle the gate prefix).  Must
+#: match the import order in ``_load_extensions``.
+_MODULE_RANK = {
+    f"{__package__}.{m}" if m else __name__: r
+    for r, m in enumerate(
+        [
+            "",  # this module
+            "queries_text",
+            "queries_dedup",
+            "queries_similarity",
+            "queries_events",
+            "queries_multimodal",
+            "queries_graph",
+            "queries_postgate",
+        ]
+    )
+}
+
 
 def register(name: str, oracle: str | None):
     def deco(fn):
@@ -580,10 +602,23 @@ def _ordered_registry() -> list[tuple[str, tuple[Callable, str | None]]]:
     declared queries (the first 50 in round 1), so approximate/rows-only
     entries (seeded sampling, sketches, ANN recall paths) must not occupy
     gate slots ahead of oracle-checkable queries.
+
+    Order is (oracle-backed first, CANONICAL module rank, in-module
+    declaration order) — explicitly independent of import order, so a
+    stray early ``import queries_postgate`` (tests pull constants from
+    it) cannot reshuffle the gate prefix.  In-module order is the
+    registry's insertion order restricted to that module (dicts
+    preserve insertion; a module's own entries always register in
+    source order regardless of when the module loads).
     """
     _load_extensions()
     items = list(_REGISTRY.items())
-    items.sort(key=lambda kv: kv[1][1] is None)
+    items.sort(
+        key=lambda kv: (
+            kv[1][1] is None,
+            _MODULE_RANK.get(getattr(kv[1][0], "__module__", ""), len(_MODULE_RANK)),
+        )
+    )
     return items
 
 

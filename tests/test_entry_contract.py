@@ -71,3 +71,28 @@ def test_oracle_backed_entries_precede_rows_only():
     assert all(n not in o for n in q[first_rows_only:]), (
         "rows-only entries must trail every oracle-backed one"
     )
+
+
+def test_gate_prefix_survives_early_postgate_import():
+    """Several tests import queries_postgate directly for its constants;
+    in a fresh interpreter that registers postgate's entries before the
+    theme modules load.  The explicit module-rank ordering must keep the
+    gate prefix identical anyway (this was a real full-suite-order
+    flake: the prefix test passed standalone and failed after
+    test_clustering had pulled a postgate constant)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import bigdata_hits_spark.queries_postgate\n"  # the bad order
+        "import __spark_entry__ as e\n"
+        "print('\\n'.join(list(e.queries())[:50]))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=True,
+    )
+    assert out.stdout.strip().splitlines() == GATE_PREFIX
