@@ -529,3 +529,45 @@ def quantile_normalize(
         .withColumn(out_col, q)
         .drop("__rnk", "__qn_n")
     )
+
+
+def impute_missing(
+    df: DataFrame,
+    col: str,
+    group_col: str | None = None,
+    strategy: str = "median",
+    digits: int = 6,
+) -> DataFrame:
+    """All input columns + ``<col>_filled``: NULLs replaced by the
+    group's (or table's) median or mean — the standard missing-value
+    treatment before modeling over heterogeneous sources, grouped so a
+    sparse source is filled from ITS distribution, not the corpus's.
+
+    The statistic is computed over the non-NULL values (both engines'
+    aggregate convention), rounded to ``digits`` so the fill is
+    engine-portable; non-NULL values pass through UNTOUCHED.  A group
+    that is entirely NULL has no statistic and stays NULL — imputing it
+    from elsewhere is a modeling decision, not a default.  NULL group
+    keys are a group like any other (NULL-safe join back).
+
+    Plan: one group-count-sized aggregate joined back (broadcast-sized
+    until group cardinality is extreme; the join is key-equi either
+    way), then a pure coalesce projection.  Median buffers each group's
+    values in the aggregate state (the ``winsorize`` trade-off); use
+    ``strategy="mean"`` or pre-aggregate at corpus scale when groups
+    are unbounded."""
+    if strategy not in ("median", "mean"):
+        raise ValueError(f"unknown impute strategy {strategy!r}")
+    stat = (
+        F.percentile(col, F.lit(0.5)) if strategy == "median" else F.avg(col)
+    )
+    stat = F.round(stat, digits).alias("__fill")
+    filled = F.coalesce(F.col(col), F.col("__fill")).alias(f"{col}_filled")
+    if group_col is None:
+        out = df.crossJoin(F.broadcast(df.agg(stat)))  # one-row attach
+    else:
+        stats = df.groupBy(F.col(group_col).alias("__g")).agg(stat)
+        out = df.join(
+            stats, F.col(group_col).eqNullSafe(F.col("__g")), "left"
+        )
+    return out.select(*df.columns, filled)

@@ -2503,3 +2503,36 @@ def q_events_cooccurrence_hourly(spark, sf_dir):
         ev, ["user_id", "bucket_hour"], "event_type",
         max_items_per_basket=COOC_CAP,
     )
+
+
+# --- round 6: group-median imputation -------------------------------------
+
+
+@register(
+    "impute_prices_by_brand",
+    # NULLs are synthesized deterministically (every 37th part key) so
+    # the fixture exercises fill + passthrough on a NULL-free table.
+    "WITH t AS (SELECT p_partkey, p_brand, "
+    "CASE WHEN p_partkey % 37 = 0 THEN NULL ELSE p_retailprice END AS price "
+    "FROM part), "
+    "s AS (SELECT p_brand, ROUND(CAST(quantile_cont(price, 0.5) AS DOUBLE), 6) "
+    "AS m FROM t GROUP BY p_brand) "
+    "SELECT p_partkey, t.p_brand, price, COALESCE(price, m) AS price_filled "
+    "FROM t LEFT JOIN s ON t.p_brand = s.p_brand",
+)
+def q_impute_prices_by_brand(spark, sf_dir):
+    """Group-median imputation (operators/ranks.py impute_missing):
+    every 37th part's price is deterministically NULLed, then filled
+    from ITS BRAND's median — non-NULL prices pass through untouched.
+    One group-sized percentile aggregate joined back (quantile_cont
+    interpolation parity, the median_price_per_brand discipline)."""
+    from bigdata_hits_spark.operators.ranks import impute_missing
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.when(F.col("p_partkey") % 37 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("p_retailprice"))
+        .alias("price"),
+    )
+    return impute_missing(part, "price", group_col="p_brand")

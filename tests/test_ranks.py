@@ -306,3 +306,34 @@ def test_quantile_normalize_maps_to_unit_interval(spark):
     # single row -> 0.0 by convention
     one = spark.createDataFrame([(1, 5.0)], "id long, x double")
     assert quantile_normalize(one, "x").first()["q"] == 0.0
+
+
+def test_impute_missing_fills_from_group_distribution(spark):
+    from bigdata_hits_spark.operators.ranks import impute_missing
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1.0), ("a", 3.0), ("a", None),      # a-median 2.0
+            ("b", 10.0), ("b", None),                  # b-median 10.0
+            ("c", None),                               # all-NULL group stays NULL
+            (None, 7.0), (None, None),                 # NULL group key works
+        ],
+        "g string, x double",
+    )
+    rows = impute_missing(df, "x", group_col="g").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["g"], []).append((r["x"], r["x_filled"]))
+    assert (None, 2.0) in by["a"] and (1.0, 1.0) in by["a"]  # fill + passthrough
+    assert (None, 10.0) in by["b"]
+    assert by["c"] == [(None, None)]                          # no stat to fill from
+    assert (None, 7.0) in by[None]                            # NULL-keyed group filled
+    # global mean strategy
+    one = impute_missing(df, "x", strategy="mean")
+    filled = {r["x_filled"] for r in one.collect() if r["x"] is None}
+    assert filled == {5.25}  # mean of (1, 3, 10, 7)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        impute_missing(df, "x", strategy="mode")
