@@ -434,3 +434,41 @@ def cooccurrence_pairs(
         .agg(F.count(F.lit(1)).alias("n_baskets"))
         .filter(F.col("n_baskets") >= min_count)
     )
+
+def interarrival_stats(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts_ns",
+    id_col: str = "event_id",
+    group_col: str = "event_type",
+    digits: int = 6,
+) -> DataFrame:
+    """(group, n_gaps, min_gap_ns, max_gap_ns, avg_gap_s): distribution
+    of the time since the user's PREVIOUS event (any type), grouped by
+    the current event's type — the cadence profile behind session-gap
+    tuning ("how long before an error follows a click") and bot
+    detection (inhumanly small gaps).  Each user's first event has no
+    predecessor and contributes no gap, mirroring ``transition_counts``.
+
+    Gap arithmetic stays in exact int64 nanos through the aggregate
+    (min/max/sum are exact longs); only the final mean converts to
+    seconds, associated ``(sum/n)/1e9`` so cross-engine doubles match at
+    the rounding.
+
+    Plan: the standard single user-keyed window shuffle (skew bounded by
+    the busiest user), then a hash-agg down to |types| rows — nothing
+    event-sized joins anything."""
+    w = Window.partitionBy(by).orderBy(F.asc(ts_col), F.asc(id_col))
+    gaps = events.select(
+        F.col(group_col),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("__gap_ns"),
+    ).filter(F.col("__gap_ns").isNotNull())
+    return gaps.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("__gap_ns").alias("min_gap_ns"),
+        F.max("__gap_ns").alias("max_gap_ns"),
+        F.round(
+            F.sum("__gap_ns").cast("double") / F.count(F.lit(1)) / F.lit(1e9),
+            digits,
+        ).alias("avg_gap_s"),
+    )

@@ -313,3 +313,33 @@ def equidepth_histogram(
     return bucket_rows.join(counts, "bucket", "left").select(
         "bucket", "lo", "hi", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
+
+def array_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """(dim, n, avg_v, sd_v, min_v, max_v): per-dimension moments of an
+    ``array<float>`` column — the feature-distribution profile a
+    training pipeline reads before whitening/normalizing embeddings and
+    the drift check it re-reads after every re-embedding run (a
+    dimension whose mean wandered or variance collapsed is a broken
+    encoder head).
+
+    Plan: posexplode to (dim, value) then ONE hash aggregate keyed by
+    dim.  The explode multiplies rows by the dimensionality, but partial
+    aggregation collapses every task's slice to |dims| partial-moment
+    rows BEFORE the exchange — the shuffle moves O(partitions x dims)
+    rows at any corpus size, and the output is dims-sized.  Values cast
+    to double at the leaf so both engines aggregate the same exact
+    float-widened inputs."""
+    exploded = df.select(F.posexplode(vec_col).alias("dim", "__v")).select(
+        "dim", F.col("__v").cast("double").alias("__v")
+    )
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__v"), digits).alias("avg_v"),
+        F.round(F.stddev_samp("__v"), digits).alias("sd_v"),
+        F.min("__v").alias("min_v"),
+        F.max("__v").alias("max_v"),
+    )

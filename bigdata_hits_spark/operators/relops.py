@@ -8,7 +8,7 @@ scale-sensitive rewrites (OR-semi-join, top-K) live in exactly one place.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def project(df: DataFrame, *cols: str) -> DataFrame:
@@ -385,4 +385,43 @@ def latest_by_key(
         df.groupBy(*key_cols)
         .agg(picked.alias("__r"))
         .select(*key_cols, *[F.col(f"__r.{c}").alias(c) for c in payload_cols])
+    )
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a changelog: every
+    version of a key gets half-open validity bounds ``[valid_from,
+    valid_to)`` and an ``is_current`` flag — the dimension-table build
+    that lets an as-of join answer "what was this user's state when the
+    event happened".  ``valid_from`` is the version's own
+    ``order_cols[0]`` value; ``valid_to`` is the NEXT version's (NULL on
+    the open, current version).  ``order_cols`` must totally order
+    versions within a key (include a unique tiebreak id) — the same
+    precondition as ``latest_by_key``.
+
+    Plan: ONE key-partitioned window (a single LEAD over
+    ``partitionBy(key)``) — one shuffle on the key, no self-join; skew
+    is bounded by the busiest key's version count, the same envelope as
+    sessionize.  Complements ``latest_by_key`` (which keeps only the
+    newest version) and ``snapshot_diff`` (which compares two whole
+    snapshots): this keeps the full history, queryable by time range.
+    """
+    if not key_cols or not order_cols:
+        raise ValueError("scd2_history needs key_cols and order_cols")
+    w = Window.partitionBy(*key_cols).orderBy(*[F.asc(c) for c in order_cols])
+    lead_from = F.lead(F.col(order_cols[0])).over(w)
+    return (
+        df.withColumn(from_col, F.col(order_cols[0]))
+        .withColumn(to_col, lead_from)
+        .withColumn(
+            current_col,
+            F.when(F.col(to_col).isNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
     )

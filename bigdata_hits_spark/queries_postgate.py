@@ -2536,3 +2536,97 @@ def q_impute_prices_by_brand(spark, sf_dir):
         .alias("price"),
     )
     return impute_missing(part, "price", group_col="p_brand")
+
+
+# --- round 6: SCD2 history, inter-arrival cadence, embedding profile ------
+
+
+_SCD2_SQL = (
+    "WITH o AS (SELECT user_id, event_id, event_type, value, "
+    "(epoch_ns(ts) // 1000) * 1000 AS ts_ns FROM events) "
+    "SELECT user_id, event_id, event_type, value, "
+    "ts_ns // 1000 AS valid_from_us, "
+    "LEAD(ts_ns // 1000) OVER "
+    "(PARTITION BY user_id ORDER BY ts_ns, event_id) AS valid_to_us, "
+    "CASE WHEN LEAD(ts_ns) OVER "
+    "(PARTITION BY user_id ORDER BY ts_ns, event_id) IS NULL "
+    "THEN 1 ELSE 0 END AS is_current FROM o"
+)
+
+
+@register("scd2_user_events", _SCD2_SQL)
+def q_scd2_user_events(spark, sf_dir):
+    """Type-2 SCD history build (operators/relops.py scd2_history): the
+    per-user event changelog becomes a versioned dimension with
+    [valid_from, valid_to) microsecond bounds and an is_current flag —
+    one LEAD window per key, the dimension an as-of join then probes.
+    Compared at the microsecond grain for the same reason as
+    events_asof_attribution (oracle reads us-truncated timestamps)."""
+    from bigdata_hits_spark.operators.relops import scd2_history
+    from bigdata_hits_spark.queries_events import _events_us
+
+    ev = _events_us(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", "ts_ns"
+    )
+    hist = scd2_history(ev, ["user_id"], ["ts_ns", "event_id"])
+    return hist.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.expr("valid_from div 1000").alias("valid_from_us"),
+        F.expr("valid_to div 1000").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+_INTERARRIVAL_SQL = (
+    "WITH o AS (SELECT user_id, event_id, event_type, "
+    "(epoch_ns(ts) // 1000) * 1000 AS ts_ns FROM events), "
+    "g AS (SELECT event_type, ts_ns - LAG(ts_ns) OVER "
+    "(PARTITION BY user_id ORDER BY ts_ns, event_id) AS gap_ns FROM o) "
+    "SELECT event_type, COUNT(*) AS n_gaps, "
+    "MIN(gap_ns) AS min_gap_ns, MAX(gap_ns) AS max_gap_ns, "
+    "ROUND(CAST(SUM(gap_ns) AS DOUBLE) / COUNT(*) / 1e9, 6) AS avg_gap_s "
+    "FROM g WHERE gap_ns IS NOT NULL GROUP BY event_type"
+)
+
+
+@register("events_interarrival", _INTERARRIVAL_SQL)
+def q_events_interarrival(spark, sf_dir):
+    """Inter-arrival cadence profile (operators/events.py
+    interarrival_stats): time since the user's previous event, grouped
+    by the current event's type.  Gap min/max/sum stay exact int64
+    nanos; the mean converts to seconds with both engines associating
+    (sum/n)/1e9 identically."""
+    from bigdata_hits_spark.operators.events import interarrival_stats
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return interarrival_stats(_events_us(spark, sf_dir))
+
+
+_DIM_STATS_SQL = (
+    "SELECT u.i AS dim, COUNT(*) AS n, "
+    "ROUND(AVG(CAST(embedding[u.i + 1] AS DOUBLE)), 6) AS avg_v, "
+    "ROUND(STDDEV_SAMP(CAST(embedding[u.i + 1] AS DOUBLE)), 6) AS sd_v, "
+    "MIN(CAST(embedding[u.i + 1] AS DOUBLE)) AS min_v, "
+    "MAX(CAST(embedding[u.i + 1] AS DOUBLE)) AS max_v "
+    "FROM embeddings e CROSS JOIN "
+    "(SELECT UNNEST(range(64)) AS i) u GROUP BY 1"
+)
+
+
+@register("embedding_dim_stats", _DIM_STATS_SQL)
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding moments (operators/profiling.py
+    array_dim_stats): mean/stddev/min/max for each of the 64 dimensions
+    — the whitening profile + encoder-drift check.  Spark explodes
+    (partial aggregation keeps the shuffle dims-sized); DuckDB has no
+    UNNEST WITH ORDINALITY, so the oracle cross-joins the 64 ordinals
+    and indexes — same (dim, value) multiset, same double-widened
+    leaves, stddev/avg agreeing at 6 digits (values ~1e-2, n=500; the
+    established lineitem_metric_stats margin argument)."""
+    from bigdata_hits_spark.operators.profiling import array_dim_stats
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return array_dim_stats(emb, "embedding")

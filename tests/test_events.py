@@ -150,3 +150,48 @@ def test_cooccurrence_pairs_counts_and_caps(spark):
         for r in cooccurrence_pairs(df, ["bid"], "item", min_count=2).collect()
     }
     assert frequent == {("a", "b"): 2}
+
+
+def test_interarrival_stats_gaps_grouped_by_current_type(spark):
+    from bigdata_hits_spark.operators.events import interarrival_stats
+
+    rows = [
+        # user 1: A @0 -> B @3e9 (gap 3s) -> B @4e9 (gap 1s)
+        (1, 0, 1, "A", 0.0),
+        (2, 3_000_000_000, 1, "B", 0.0),
+        (3, 4_000_000_000, 1, "B", 0.0),
+        # user 2: lone event, no gap
+        (4, 50, 2, "A", 0.0),
+    ]
+    out = {
+        r["event_type"]: r
+        for r in interarrival_stats(_ev(spark, rows)).collect()
+    }
+    # first events contribute no gap; user 2 contributes nothing
+    assert "A" not in out
+    b = out["B"]
+    assert b["n_gaps"] == 2
+    assert b["min_gap_ns"] == 1_000_000_000
+    assert b["max_gap_ns"] == 3_000_000_000
+    assert b["avg_gap_s"] == 2.0
+
+
+def test_scd2_history_bounds_chain_and_current_flag(spark):
+    from bigdata_hits_spark.operators.relops import scd2_history
+
+    rows = [
+        (1, 100, 1, "v1", 0.0),
+        (2, 200, 1, "v2", 0.0),
+        (3, 300, 1, "v3", 0.0),
+        (4, 999, 2, "w1", 0.0),
+    ]
+    hist = scd2_history(
+        _ev(spark, rows), ["user_id"], ["ts_ns", "event_id"]
+    ).collect()
+    by_id = {r["event_id"]: r for r in hist}
+    # chain: each version's valid_to is the next version's valid_from
+    assert by_id[1]["valid_from"] == 100 and by_id[1]["valid_to"] == 200
+    assert by_id[2]["valid_from"] == 200 and by_id[2]["valid_to"] == 300
+    assert by_id[3]["valid_to"] is None and by_id[3]["is_current"] == 1
+    assert sum(r["is_current"] for r in hist) == 2  # one open row per key
+    assert by_id[4]["valid_to"] is None and by_id[4]["is_current"] == 1

@@ -133,3 +133,20 @@ def test_equidepth_histogram_edge_cases(spark):
 
     with _pytest.raises(ValueError, match="buckets"):
         equidepth_histogram(one, "x", 0)
+
+
+def test_array_dim_stats_moments_per_dimension(spark):
+    from bigdata_hits_spark.operators.profiling import array_dim_stats
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 4.0]), (2, [2.0, 4.0]), (3, [4.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["dim"]: r for r in array_dim_stats(df, "embedding").collect()}
+    assert set(out) == {0, 1}
+    d0 = out[0]
+    assert d0["n"] == 3 and d0["avg_v"] == 2.0
+    assert d0["min_v"] == 0.0 and d0["max_v"] == 4.0
+    assert d0["sd_v"] == 2.0  # sample stddev of {0,2,4}
+    d1 = out[1]
+    assert d1["avg_v"] == 4.0 and d1["sd_v"] == 0.0
