@@ -472,3 +472,43 @@ def interarrival_stats(
             digits,
         ).alias("avg_gap_s"),
     )
+
+def experiment_conversion(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    n_variants: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """(variant, n_users, n_conversions, conv_rate): deterministic
+    hash-split A/B readout — every user observed in the stream is
+    assigned a stable variant by the portable md5-hex8 hash of their id
+    mod ``n_variants`` (the same engine-wide coin as the train/val/test
+    splits, so assignment survives reruns, engines, and repartitioning),
+    and converts if they have at least one ``convert_type`` event.
+
+    Analysis-side assignment (hash of the id) rather than a stored
+    assignment table keeps the readout joinless; a real experiment
+    framework would pass its own exposure table through ``events``.
+
+    Scale: one user-keyed hash agg (event-sized input collapses
+    map-side to one row per user) then one variants-sized agg — the
+    same two-level shape as the funnels; nothing event-sized joins
+    anything."""
+    converted = F.max(
+        F.when(F.col(type_col) == convert_type, F.lit(1)).otherwise(F.lit(0))
+    )
+    per_user = events.groupBy(user_col).agg(converted.alias("converted"))
+    variant = (
+        F.conv(F.substring(F.md5(F.col(user_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_variants
+    ).alias("variant")
+    return per_user.groupBy(variant).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conversions"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), digits
+        ).alias("conv_rate"),
+    )

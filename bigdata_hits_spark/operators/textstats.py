@@ -24,9 +24,9 @@ the posting-list sizes, not corpus².
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from bigdata_hits_spark.functions.text import tokens
+from bigdata_hits_spark.functions.text import token_hash, tokens
 
 #: Default n for contamination screening.  13 is the GPT-3 convention;
 #: the synthetic corpus' ~50-token documents motivate a smaller default
@@ -374,4 +374,70 @@ def collocations(
                 digits,
             ).alias("pmi"),
         )
+    )
+
+def feature_hash(
+    docs: DataFrame,
+    n_features: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket, tf): hashing-trick bag-of-words — every token is
+    hashed into one of ``n_features`` buckets and counted, the
+    fixed-width featurizer that needs NO vocabulary pass (the classic
+    sklearn HashingVectorizer / VW trick).  Output is the sparse triplet
+    form; a consumer pivots or collect_lists per doc as needed.
+
+    The bucket hash is the engine's portable md5-hex8 token hash (
+    functions/text.py token_hash) mod ``n_features`` — deterministic
+    across engines, runs, and partitionings, unlike xxhash64.
+
+    Scale: explode + ONE hash aggregate keyed (doc_id, bucket); partial
+    aggregation caps each task's output at docs x n_features rows before
+    the exchange, and no vocabulary-sized relation exists at all — the
+    point of the hashing trick."""
+    terms = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    bucket = (token_hash(F.col("term")) % n_features).alias("bucket")
+    return terms.groupBy(id_col, bucket).agg(F.count(F.lit(1)).alias("tf"))
+
+
+def bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """(w1, w2, n, logp): maximum-likelihood bigram language model over
+    the corpus — ``logp = ln(count(w1 w2) / count(w1 _))``, the
+    conditional next-token log-probability.  The docs-table twin of the
+    event-stream Markov ``transition_counts``; a scorer joins a
+    document's bigrams against this table to compute per-doc perplexity
+    (the fluency filter next to the unigram-LM floor).
+
+    ``min_count`` prunes the long tail AFTER normalization, so rare
+    continuations are dropped without inflating the survivors'
+    probabilities.
+
+    Scale: bigrams come from zipping each token array with its own tail
+    (array ops inside the row — no self-join, no posexplode pair build),
+    then ONE corpus-wide hash agg to (w1, w2) counts; the context
+    normalization is a w1-keyed window over the already-aggregated
+    vocabulary-sized relation.  Full documents never shuffle."""
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(slice(split({text_col}, ' '), 1, "
+                f"size(split({text_col}, ' ')) - 1), "
+                f"(x, i) -> struct(x AS w1, split({text_col}, ' ')[i + 1] AS w2))"
+            )
+        ).alias("z")
+    ).select("z.w1", "z.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    w_ctx = Window.partitionBy("w1")
+    return (
+        counts.withColumn(
+            "logp",
+            F.round(F.log(F.col("n").cast("double") / F.sum("n").over(w_ctx)), digits),
+        )
+        .filter(F.col("n") >= min_count)
     )

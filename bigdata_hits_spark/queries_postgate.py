@@ -2630,3 +2630,83 @@ def q_embedding_dim_stats(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return array_dim_stats(emb, "embedding")
+
+
+# --- round 6: feature hashing, bigram LM, experiment readout --------------
+
+
+N_HASH_FEATURES = 64
+
+
+def _feature_hash_sql(d: int = N_HASH_FEATURES) -> str:
+    from bigdata_hits_spark.oracles import duck_token_hash
+
+    return (
+        "WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term "
+        "FROM documents) "
+        f"SELECT doc_id, {duck_token_hash('term')} % {d} AS bucket, "
+        "COUNT(*) AS tf FROM t GROUP BY 1, 2"
+    )
+
+
+@register("feature_hash_docs", _feature_hash_sql())
+def q_feature_hash_docs(spark, sf_dir):
+    """Hashing-trick bag-of-words (operators/textstats.py feature_hash):
+    tokens hashed into 64 buckets by the portable md5-hex8 hash, counted
+    per (doc, bucket) — the vocabulary-free featurizer.  One exploded
+    hash-agg; the oracle reproduces the identical hash arithmetic."""
+    from bigdata_hits_spark.operators.textstats import feature_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash(docs, N_HASH_FEATURES)
+
+
+BIGRAM_MIN_COUNT = 2
+
+_BIGRAM_LM_SQL = (
+    "WITH t AS (SELECT string_split(text, ' ') AS w FROM documents), "
+    "p AS (SELECT UNNEST(list_zip(w, w[2:])) AS z FROM t), "
+    "b AS (SELECT z[1] AS w1, z[2] AS w2 FROM p WHERE z[2] IS NOT NULL), "
+    "c AS (SELECT w1, w2, COUNT(*) AS n FROM b GROUP BY 1, 2), "
+    "l AS (SELECT w1, w2, n, ROUND(LN(CAST(n AS DOUBLE) / "
+    "SUM(n) OVER (PARTITION BY w1)), 6) AS logp FROM c) "
+    f"SELECT w1, w2, n, logp FROM l WHERE n >= {BIGRAM_MIN_COUNT}"
+)
+
+
+@register("bigram_lm_docs", _BIGRAM_LM_SQL)
+def q_bigram_lm_docs(spark, sf_dir):
+    """MLE bigram language model (operators/textstats.py bigram_lm):
+    conditional next-token log-probabilities ln(n(w1 w2)/n(w1 _)) with
+    the rare tail pruned after normalization.  Spark zips each token
+    array with its own tail in-row; the oracle's list_zip produces the
+    same pair multiset, and exact-integer count ratios make the ln
+    bit-identical before the shared rounding."""
+    from bigdata_hits_spark.operators.textstats import bigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm(docs, min_count=BIGRAM_MIN_COUNT)
+
+
+def _experiment_sql(convert_type: str = "purchase", n_variants: int = 2) -> str:
+    h = duck_hex_to_long("md5(CAST(user_id AS VARCHAR))", 8)
+    return (
+        "WITH u AS (SELECT user_id, MAX(CASE WHEN event_type = "
+        f"'{convert_type}' THEN 1 ELSE 0 END) AS converted "
+        "FROM events GROUP BY user_id) "
+        f"SELECT {h} % {n_variants} AS variant, COUNT(*) AS n_users, "
+        "SUM(converted) AS n_conversions, "
+        "ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conv_rate "
+        "FROM u GROUP BY 1"
+    )
+
+
+@register("experiment_conversion_events", _experiment_sql())
+def q_experiment_conversion_events(spark, sf_dir):
+    """Hash-split A/B conversion readout (operators/events.py
+    experiment_conversion): users assigned to 2 variants by the portable
+    md5 coin, conversion = any purchase event.  Two stacked hash aggs;
+    the oracle reproduces the identical assignment hash."""
+    from bigdata_hits_spark.operators.events import experiment_conversion
+
+    return experiment_conversion(load_table(spark, sf_dir, "events"))

@@ -195,3 +195,24 @@ def test_scd2_history_bounds_chain_and_current_flag(spark):
     assert by_id[3]["valid_to"] is None and by_id[3]["is_current"] == 1
     assert sum(r["is_current"] for r in hist) == 2  # one open row per key
     assert by_id[4]["valid_to"] is None and by_id[4]["is_current"] == 1
+
+
+def test_experiment_conversion_stable_assignment_and_rates(spark):
+    from bigdata_hits_spark.operators.events import experiment_conversion
+
+    rows = [
+        (1, 100, 1, "view", 0.0),
+        (2, 200, 1, "purchase", 9.0),
+        (3, 300, 2, "view", 0.0),
+        (4, 400, 3, "purchase", 5.0),
+    ]
+    out = {r["variant"]: r for r in experiment_conversion(_ev(spark, rows)).collect()}
+    assert sum(r["n_users"] for r in out.values()) == 3
+    assert sum(r["n_conversions"] for r in out.values()) == 2
+    for r in out.values():
+        assert r["conv_rate"] == round(r["n_conversions"] / r["n_users"], 6)
+    # assignment is a pure function of user_id: rerun agrees
+    again = {r["variant"]: r for r in experiment_conversion(_ev(spark, rows)).collect()}
+    assert {v: r["n_users"] for v, r in out.items()} == {
+        v: r["n_users"] for v, r in again.items()
+    }

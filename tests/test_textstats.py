@@ -251,3 +251,43 @@ def test_collocations_pmi_ranks_bound_pairs(spark):
     assert got[("new", "york")][1] == pytest.approx(expect, abs=1e-6)
     # min_count prunes singletons before the joins
     assert all(c >= 2 for c, _ in got.values())
+
+
+def test_feature_hash_buckets_and_counts(spark):
+    from bigdata_hits_spark.operators.textstats import feature_hash
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a")], "doc_id long, text string"
+    )
+    out = feature_hash(docs, n_features=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["tf"]
+    # same token -> same bucket in every doc; counts are per-doc tfs
+    (a_bucket,) = [b for b, tf in by_doc[1].items() if tf == 2]
+    assert by_doc[2] == {a_bucket: 1}
+    assert all(0 <= r["bucket"] < 8 for r in out)
+    # doc 1 has exactly two distinct tokens -> at most two buckets
+    assert len(by_doc[1]) == 2
+
+
+def test_bigram_lm_conditional_logp_and_tail_prune(spark):
+    import math
+
+    from bigdata_hits_spark.operators.textstats import bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    out = {(r["w1"], r["w2"]): r for r in bigram_lm(docs, min_count=1).collect()}
+    # bigrams: (a,b)x2 (b,a)x2 (a,c)x1 -> p(b|a)=2/3, p(c|a)=1/3, p(a|b)=1
+    assert out[("a", "b")]["n"] == 2
+    assert out[("a", "b")]["logp"] == round(math.log(2 / 3), 6)
+    assert out[("a", "c")]["logp"] == round(math.log(1 / 3), 6)
+    assert out[("b", "a")]["logp"] == 0.0
+    # min_count prunes AFTER normalization: survivors keep their probs
+    pruned = {
+        (r["w1"], r["w2"]): r for r in bigram_lm(docs, min_count=2).collect()
+    }
+    assert ("a", "c") not in pruned
+    assert pruned[("a", "b")]["logp"] == round(math.log(2 / 3), 6)
