@@ -212,3 +212,36 @@ def canonical_url(
         F.when(clean_query != "", F.concat(F.lit("?"), clean_query)).otherwise(F.lit("")),
     )
     return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(rebuilt)
+
+
+def url_host(url: Column) -> Column:
+    """Registrable-host key of a URL: lowercased authority with the
+    ``www.`` prefix, port, and userinfo stripped — the grouping key for
+    per-domain corpus mix reports and domain-level quality policy.
+    Scheme-less URLs (``example.com/path``) resolve the same host as
+    their schemed twins.  One regexp decomposition + cheap suffix
+    rewrites, all JVM-side Column ops; NULL in, NULL out; a URL with an
+    empty authority yields NULL (no host is not a domain)."""
+    u = F.regexp_replace(url, "#.*$", "")
+    host = F.lower(F.regexp_extract(u, _URL_PARTS, 2))
+    host = F.regexp_replace(host, r"^[^@]*@", "")  # userinfo
+    host = F.regexp_replace(host, r":[0-9]+$", "")  # any explicit port
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.when(url.isNull() | (host == ""), F.lit(None).cast("string")).otherwise(
+        host
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for hashing/dedup keying: control characters
+    (C0 + DEL) become spaces, runs of whitespace collapse to one space,
+    the result is trimmed and lowercased.  The pre-pass every exact or
+    near dedup key should share so that formatting noise (CRLF vs LF,
+    tabs, trailing blanks, case) cannot split duplicate documents into
+    distinct keys.  Explicit ``[\\x00-\\x1f\\x7f]`` character class
+    rather than ``\\p{Cntrl}`` so Java regex (Spark) and RE2 (DuckDB,
+    the declared oracle) match byte-for-byte.  Pure Column expressions;
+    NULL in, NULL out."""
+    t = F.regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.lower(F.trim(t))

@@ -343,3 +343,84 @@ def array_dim_stats(
         F.min("__v").alias("min_v"),
         F.max("__v").alias("max_v"),
     )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    x: str,
+    y: str,
+    by: str,
+    digits_slope: int = 6,
+    digits_intercept: int = 2,
+    digits_r2: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit of ``y = slope * x +
+    intercept``: one row per ``by`` group with ``(n, slope, intercept,
+    r2)`` — the million-segment regression a feature pipeline runs to
+    fit a trend per key (price elasticity per supplier, drift per
+    source) without ever collecting a group to the driver.
+
+    slope = covar_pop(x, y) / var_pop(x), intercept = avg(y) -
+    slope * avg(x), r2 = covar_pop(x, y)^2 / (var_pop(x) * var_pop(y))
+    — all five sufficient statistics come out of ONE hash aggregate with
+    map-side partial moments, so the shuffle moves O(partitions x
+    groups) partial-moment rows and the plan is a single exchange at any
+    input size; groups scale to any cardinality because nothing is ever
+    broadcast.  Both Spark and the declared DuckDB oracle accumulate
+    numerically stable merged moments (Welford M2), so the ratios agree
+    at the default roundings with wide margin (the
+    lineitem_metric_stats argument; see the declared row for measured
+    margins).  Degenerate groups yield NULL rather than an error:
+    var_pop(x) == 0 (all x equal) nulls all three, var_pop(y) == 0
+    additionally nulls r2 (0/0; CORR's convention) — the divisions are
+    built from the moment aggregates and guarded, NOT F.corr, whose
+    internal division runs inside the aggregate itself and throws under
+    ANSI mode before any projection-level guard can apply.  Rounding
+    defaults are magnitude-tiered: intercepts inherit the raw scale of
+    ``y`` so they round coarser than the scale-free r2/slope.
+    """
+    var_x = F.var_pop(x)
+    var_y = F.var_pop(y)
+    cov = F.covar_pop(x, y)
+    slope = cov / var_x
+    return df.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.when(var_x > 0, slope), digits_slope
+        ).alias("slope"),
+        F.round(
+            F.when(var_x > 0, F.avg(y) - slope * F.avg(x)), digits_intercept
+        ).alias("intercept"),
+        F.round(
+            F.when((var_x > 0) & (var_y > 0), cov * cov / (var_x * var_y)),
+            digits_r2,
+        ).alias("r2"),
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str], digits: int = 6) -> DataFrame:
+    """Pairwise Pearson correlation of ``cols`` as tidy rows ``(x, y,
+    corr)`` for the upper triangle (x < y in the given column order) —
+    the redundancy screen a feature-selection pass reads to drop
+    near-duplicate numeric features.
+
+    All C(k, 2) correlations come from ONE hash aggregate (each pair an
+    agg expression with map-side partial co-moments), then a k^2-sized
+    stack to rows — the plan is one exchange to a single combined row
+    plus a constant-sized explode, regardless of input row count.  corr
+    is scale-free (|corr| <= 1) and both engines accumulate merged
+    co-moments, so cross-engine drift is ~1e-12 and the default rounding
+    has ~1e6x margin.  Constant-x columns yield NULL corr (var == 0),
+    preserved as NULL rows."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [
+        F.round(F.corr(a, b), digits).alias(f"__c_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return wide.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (x, y, corr)")
+    )

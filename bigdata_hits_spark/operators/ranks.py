@@ -571,3 +571,88 @@ def impute_missing(
             stats, F.col(group_col).eqNullSafe(F.col("__g")), "left"
         )
     return out.select(*df.columns, filled)
+
+
+def weighted_median(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per-group weighted (lower) median: one row per group with the
+    smallest value v such that the summed weight of rows with value <= v
+    reaches half the group's total weight — the quantity-weighted price
+    midpoint, the token-weighted quality midpoint, and every other
+    "median of the MASS, not the rows" statistic a mixture report needs.
+
+    Plan: one per-group window pass (running weight sum ordered by
+    value + tiebreak, ROWS frame) against the group's total from the
+    same window unbounded — then a groupBy(min) over only the threshold
+    rows.  Windows are PARTITIONED by the group, so no single task ever
+    sees more than the largest group (the skew ceiling every per-group
+    window shares); group cardinality is unbounded.  The selected value
+    is order-invariant under ties: the running sum over all rows with
+    value <= v does not depend on intra-tie order, so the first row to
+    cross half-total always carries the same value, whatever the
+    tiebreak does.  Weights must be non-negative; rows with NULL value
+    or NULL/zero weight are dropped (they carry no mass).  The output
+    value is a DATA value (never an accumulated float), so it compares
+    exactly cross-engine."""
+    order = [F.col(value_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak or [])
+    ]
+    w_run = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    rows = (
+        df.filter(
+            F.col(value_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .withColumn("__cum", F.sum(weight_col).over(w_run))
+        .withColumn("__tot", F.sum(weight_col).over(w_all))
+    )
+    return (
+        rows.filter(F.col("__cum") * 2 >= F.col("__tot"))
+        .groupBy(group_col)
+        .agg(F.min(value_col).alias(f"wmedian_{value_col}"))
+    )
+
+
+def assign_stable_ids(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "new_id",
+    seed: int = 0,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """All input columns + ``id_col``: contiguous 1-based global ids in
+    a deterministic hash-shuffled order — the stable integer handle a
+    training pipeline mints for every document before sharding,
+    example-level bookkeeping, and embedding-table addressing.  Ordering
+    by the md5 of ``(seed, key)`` rather than the key itself decorrelates
+    id order from ingest order, so any contiguous id slice is an
+    unbiased corpus sample (the same property the portable splits rely
+    on); re-running on the same data reproduces the same ids exactly.
+
+    Plan: the module's two-phase global_rank (range exchange on the md5
+    key + bucket-offset broadcast + per-bucket local windows) — nothing
+    data-sized on one task, same-engine reproducible, and the md5 order
+    is re-derivable by ANY engine with md5 (the portable-hash
+    discipline of operators/sampling.py).  ``key_col`` must be unique
+    (the md5 + key compound is then a total order; duplicate keys would
+    make id assignment among duplicates partition-dependent)."""
+    md5_key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))
+    )
+    return global_rank(
+        df.withColumn("__mk", md5_key),
+        [F.col("__mk").asc(), F.col(key_col).asc()],
+        rank_col=id_col,
+        num_buckets=num_buckets,
+    ).drop("__mk")

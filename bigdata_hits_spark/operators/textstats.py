@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from bigdata_hits_spark.functions.text import token_hash, tokens
+from bigdata_hits_spark.functions.text import token_hash, tokens, url_host
 
 #: Default n for contamination screening.  13 is the GPT-3 convention;
 #: the synthetic corpus' ~50-token documents motivate a smaller default
@@ -440,4 +440,36 @@ def bigram_lm(
             F.round(F.log(F.col("n").cast("double") / F.sum("n").over(w_ctx)), digits),
         )
         .filter(F.col("n") >= min_count)
+    )
+
+
+def domain_mix(
+    df: DataFrame, url_col: str = "url", digits: int = 6
+) -> DataFrame:
+    """Per-domain corpus mix report: ``(host, n_docs, share)`` — the
+    first table a web-corpus curation review reads (is one domain 40%
+    of the corpus?) and the input to per-domain caps and domain-level
+    quality policy.  Hosts come from functions/text.py url_host
+    (lowercased, www/port/userinfo stripped); URLs with no extractable
+    host aggregate under a NULL host row, so the shares still sum to 1
+    over the whole corpus.
+
+    Plan: one hash aggregate keyed by host (map-side partial counts —
+    the shuffle moves O(partitions x domains) rows, not documents), the
+    grand total reduced from the domain-sized counts and attached as the
+    engine's standard one-row broadcast crossJoin.  The counts relation
+    is pinned (lazy localCheckpoint) so the total and the share
+    projection read ONE evaluation rather than re-scanning the corpus
+    twice."""
+    counts = (
+        df.select(url_host(F.col(url_col)).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
+    total = counts.agg(F.sum("n_docs").alias("__N"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "host",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__N"), digits).alias("share"),
     )

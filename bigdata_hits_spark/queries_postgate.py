@@ -2710,3 +2710,184 @@ def q_experiment_conversion_events(spark, sf_dir):
     from bigdata_hits_spark.operators.events import experiment_conversion
 
     return experiment_conversion(load_table(spark, sf_dir, "events"))
+
+
+# --- round 6 (cont.): regression, weighted median, ids, domains, text norm
+
+
+_LINREG_SQL = (
+    "SELECT l_suppkey, COUNT(*) AS n, "
+    "ROUND(CASE WHEN VAR_POP(l_quantity) > 0 THEN "
+    "COVAR_POP(l_quantity, l_extendedprice) / VAR_POP(l_quantity) END, 6) "
+    "AS slope, "
+    "ROUND(CASE WHEN VAR_POP(l_quantity) > 0 THEN "
+    "AVG(l_extendedprice) - (COVAR_POP(l_quantity, l_extendedprice) / "
+    "VAR_POP(l_quantity)) * AVG(l_quantity) END, 2) AS intercept, "
+    "ROUND(CASE WHEN VAR_POP(l_quantity) > 0 AND VAR_POP(l_extendedprice) > 0 "
+    "THEN COVAR_POP(l_quantity, l_extendedprice) * "
+    "COVAR_POP(l_quantity, l_extendedprice) / "
+    "(VAR_POP(l_quantity) * VAR_POP(l_extendedprice)) END, 6) AS r2 "
+    "FROM lineitem GROUP BY l_suppkey"
+)
+
+
+@register("linreg_price_by_supplier", _LINREG_SQL)
+def q_linreg_price_by_supplier(spark, sf_dir):
+    """Per-supplier OLS trend of extended price over quantity
+    (operators/profiling.py grouped_linreg): slope/intercept/r2 from
+    one hash aggregate of merged moments — the million-segment
+    regression shape.  Both engines accumulate Welford-style merged
+    moments; measured cross-engine drift at sf0.01 is <=1e-9 relative
+    on every statistic, so the (6, 2, 6) roundings hold with wide
+    margin (slope ~1e3, intercept ~1e3-1e4, r2 in [0, 1] — the
+    lineitem_metric_stats magnitude-tier argument)."""
+    from bigdata_hits_spark.operators.profiling import grouped_linreg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_linreg(li, "l_quantity", "l_extendedprice", "l_suppkey")
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CORR_MATRIX_SQL = " UNION ALL ".join(
+    f"SELECT '{a}' AS x, '{b}' AS y, ROUND(CORR({a}, {b}), 6) AS corr "
+    "FROM lineitem"
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1 :]
+)
+
+
+@register("corr_matrix_lineitem", _CORR_MATRIX_SQL)
+def q_corr_matrix_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of the four lineitem metrics
+    (operators/profiling.py corr_matrix): all six upper-triangle pairs
+    from ONE hash aggregate, stacked to tidy (x, y, corr) rows.  corr
+    is scale-free, so the 6-digit rounding has ~1e6x margin over the
+    merged-moment association drift."""
+    from bigdata_hits_spark.operators.profiling import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _CORR_COLS)
+
+
+_WMEDIAN_SQL = (
+    "WITH r AS (SELECT l_returnflag, l_extendedprice, "
+    "SUM(l_quantity) OVER (PARTITION BY l_returnflag "
+    "ORDER BY l_extendedprice, l_orderkey, l_linenumber "
+    "ROWS UNBOUNDED PRECEDING) AS cum, "
+    "SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot "
+    "FROM lineitem WHERE l_extendedprice IS NOT NULL "
+    "AND l_quantity IS NOT NULL AND l_quantity > 0) "
+    "SELECT l_returnflag, MIN(l_extendedprice) AS wmedian_l_extendedprice "
+    "FROM r WHERE cum * 2 >= tot GROUP BY l_returnflag"
+)
+
+
+@register("weighted_median_price", _WMEDIAN_SQL)
+def q_weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median extended price per return flag
+    (operators/ranks.py weighted_median): the median of the MASS, not
+    the rows.  The running weight sum is order-invariant at every
+    distinct value boundary, so the selected value is deterministic
+    under ties; quantities are small integers in doubles, so the sums
+    are exact and the crossing comparison cannot flip cross-engine.
+    The output value is a data value — compared exactly, no rounding."""
+    from bigdata_hits_spark.operators.ranks import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        "l_returnflag",
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
+_ASSIGN_IDS_SQL = (
+    "SELECT doc_id, source, ROW_NUMBER() OVER ("
+    "ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id) AS new_id "
+    "FROM documents"
+)
+
+
+@register("docs_assign_ids", _ASSIGN_IDS_SQL)
+def q_docs_assign_ids(spark, sf_dir):
+    """Stable contiguous 1-based ids over the corpus in md5-shuffled
+    order (operators/ranks.py assign_stable_ids): the deterministic id
+    mint before sharding/addressing, hash-ordered so any id slice is an
+    unbiased sample.  Spark runs the two-phase global_rank (range
+    exchange + bucket-offset broadcast — no single-task window); the
+    oracle is the plain ROW_NUMBER over the same portable md5 key, hex
+    strings ordering identically in both engines (ASCII)."""
+    from bigdata_hits_spark.operators.ranks import assign_stable_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_stable_ids(docs, "doc_id")
+
+
+def _domain_mix_sql() -> str:
+    host = (
+        "CASE WHEN doc_id % 5 IN (0, 1) THEN source || '.example.com' "
+        "WHEN doc_id % 5 = 2 THEN 'mirror.site.org' "
+        "WHEN doc_id % 5 = 3 THEN source || '.news.net' "
+        "ELSE NULL END"
+    )
+    return (
+        f"WITH h AS (SELECT {host} AS host FROM documents), "
+        "c AS (SELECT host, COUNT(*) AS n_docs FROM h GROUP BY host) "
+        "SELECT host, n_docs, ROUND(CAST(n_docs AS DOUBLE) / "
+        "CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS share FROM c"
+    )
+
+
+@register("domain_mix_docs", _domain_mix_sql())
+def q_domain_mix_docs(spark, sf_dir):
+    """Per-domain corpus mix (operators/textstats.py domain_mix over
+    functions/text.py url_host): host share of the corpus, the first
+    table a curation review reads.  URLs are synthesized per doc_id arm
+    to exercise scheme-less forms, userinfo, mixed-case hosts, explicit
+    ports, and a no-authority URL (NULL host row); the oracle declares
+    the EXPECTED host per arm independently (the canonical_url_docs
+    discipline), so the extraction regex is verified, not reproduced."""
+    from bigdata_hits_spark.operators.textstats import domain_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    src = F.col("source")
+    arms = [
+        F.concat(F.lit("https://WWW."), src, F.lit(".Example.COM:443/a/"), i),
+        F.concat(F.lit("http://user:pw@"), src, F.lit(".example.com:8080/b?x=1")),
+        F.lit("ftp://Mirror.site.ORG/c"),
+        F.concat(src, F.lit(".News.net/path")),
+        F.lit("https:///nohost/path"),
+    ]
+    url = F.when(F.col("doc_id") % 5 == 0, arms[0])
+    for n in range(1, 5):
+        url = url.when(F.col("doc_id") % 5 == n, arms[n])
+    return domain_mix(docs.select(url.alias("url")), "url")
+
+
+_NORMALIZE_SQL = (
+    "WITH n AS (SELECT doc_id, text || chr(13) || chr(10) || chr(9) || "
+    "'MIXED  Case Z' || chr(7) AS noisy FROM documents) "
+    "SELECT doc_id, LOWER(TRIM(regexp_replace(regexp_replace(noisy, "
+    "'[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS norm "
+    "FROM n"
+)
+
+
+@register("normalize_text_docs", _NORMALIZE_SQL)
+def q_normalize_text_docs(spark, sf_dir):
+    """Canonical text normalization (functions/text.py normalize_text):
+    control chars -> space, whitespace runs collapsed, trimmed,
+    lowercased — the shared pre-pass for every dedup key.  Input is the
+    corpus text with injected CRLF/tab/BEL + case/double-space noise so
+    the normalization is actually exercised; the explicit hex character
+    class keeps Java regex (Spark) and RE2 (DuckDB) byte-identical, and
+    the output is an exact string compare."""
+    from bigdata_hits_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = F.concat(F.col("text"), F.lit("\r\n\tMIXED  Case Z\x07"))
+    return docs.select("doc_id", normalize_text(noisy).alias("norm"))

@@ -309,6 +309,7 @@ _BNLJ_ALLOWED = {
     # fixed tiny probe set / deliberate exact baseline
     "ann_cosine_topk": 1,
     "embedding_neardup_pairs": 1,
+    "domain_mix_docs": 1,  # grand-total one-row attach on the host counts
 }
 
 

@@ -150,3 +150,38 @@ def test_array_dim_stats_moments_per_dimension(spark):
     assert d0["sd_v"] == 2.0  # sample stddev of {0,2,4}
     d1 = out[1]
     assert d1["avg_v"] == 4.0 and d1["sd_v"] == 0.0
+
+
+def test_grouped_linreg_exact_lines(spark):
+    from bigdata_hits_spark.operators.profiling import grouped_linreg
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", 3.0, 6.0),
+            ("g2", 1.0, 1.0), ("g2", 2.0, 1.0), ("g2", 3.0, 1.0),
+            ("g3", 2.0, 1.0), ("g3", 2.0, 5.0),
+        ],
+        "g string, x double, y double",
+    )
+    out = {r["g"]: r for r in grouped_linreg(df, "x", "y", "g").collect()}
+    assert out["g1"]["slope"] == 2.0 and out["g1"]["intercept"] == 0.0
+    assert out["g1"]["r2"] == 1.0 and out["g1"]["n"] == 3
+    # constant y: slope 0, intercept = mean(y), r2 undefined (corr NULL)
+    assert out["g2"]["slope"] == 0.0 and out["g2"]["intercept"] == 1.0
+    assert out["g2"]["r2"] is None
+    # constant x: the fit is undefined entirely
+    assert out["g3"]["slope"] is None and out["g3"]["intercept"] is None
+
+
+def test_corr_matrix_signs_and_pairs(spark):
+    from bigdata_hits_spark.operators.profiling import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)],
+        "a double, b double, c double",
+    )
+    rows = {(r["x"], r["y"]): r["corr"] for r in corr_matrix(df, ["a", "b", "c"]).collect()}
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}  # upper triangle only
+    assert rows[("a", "b")] == 1.0
+    assert rows[("a", "c")] == -1.0
+    assert rows[("b", "c")] == -1.0

@@ -337,3 +337,42 @@ def test_impute_missing_fills_from_group_distribution(spark):
 
     with _pytest.raises(ValueError, match="strategy"):
         impute_missing(df, "x", strategy="mode")
+
+
+def test_weighted_median_mass_not_rows(spark):
+    from bigdata_hits_spark.operators.ranks import weighted_median
+
+    df = spark.createDataFrame(
+        [
+            # group A: one heavy row outweighs two light ones
+            ("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 10.0),
+            # group B: lower weighted median on an exact half split
+            ("B", 1.0, 2.0), ("B", 2.0, 2.0),
+            # zero/NULL weights carry no mass
+            ("A", 0.5, 0.0), ("B", 0.25, None),
+        ],
+        "g string, v double, w double",
+    )
+    out = {
+        r["g"]: r["wmedian_v"]
+        for r in weighted_median(df, "v", "w", "g").collect()
+    }
+    assert out == {"A": 3.0, "B": 1.0}
+
+
+def test_assign_stable_ids_deterministic_permutation(spark):
+    import hashlib
+
+    from bigdata_hits_spark.operators.ranks import assign_stable_ids
+
+    df = spark.createDataFrame([(i,) for i in range(37)], "k long")
+    got = {
+        r["k"]: r["new_id"]
+        for r in assign_stable_ids(df, "k", num_buckets=4).collect()
+    }
+    # contiguous 1..N, and exactly the md5('0|k') order
+    assert sorted(got.values()) == list(range(1, 38))
+    expect_order = sorted(range(37), key=lambda k: (hashlib.md5(f"0|{k}".encode()).hexdigest(), k))
+    assert got == {k: i + 1 for i, k in enumerate(expect_order)}
+    # and NOT ingest order (the shuffle is the point)
+    assert [k for k, _ in sorted(got.items(), key=lambda kv: kv[1])] != list(range(37))

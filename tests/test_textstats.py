@@ -291,3 +291,45 @@ def test_bigram_lm_conditional_logp_and_tail_prune(spark):
     }
     assert ("a", "c") not in pruned
     assert pruned[("a", "b")]["logp"] == round(math.log(2 / 3), 6)
+
+
+def test_url_host_forms(spark):
+    from bigdata_hits_spark.functions.text import url_host
+
+    cases = [
+        ("https://WWW.Example.com:8080/x?a=1#f", "example.com"),
+        ("http://user:pw@Foo.Bar.org/p", "foo.bar.org"),
+        ("example.com/path", "example.com"),
+        ("https:///nohost/path", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["h"] for r in df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert got == [h for _, h in cases]
+
+
+def test_normalize_text_canonical_form(spark):
+    from bigdata_hits_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("  Hello\tWorld\r\n  FOO\x07bar  ",), (None,)], "t string"
+    )
+    got = [r["n"] for r in df.select(normalize_text(F.col("t")).alias("n")).collect()]
+    assert got == ["hello world foo bar", None]
+
+
+def test_domain_mix_shares_sum_to_one(spark):
+    from bigdata_hits_spark.operators.textstats import domain_mix
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/1",), ("http://www.a.com/2",), ("b.org/x",),
+            ("https:///none",),
+        ],
+        "url string",
+    )
+    rows = {r["host"]: r for r in domain_mix(df, "url").collect()}
+    assert rows["a.com"]["n_docs"] == 2 and rows["a.com"]["share"] == 0.5
+    assert rows["b.org"]["n_docs"] == 1
+    assert rows[None]["n_docs"] == 1  # URL without a host still counts
+    assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-9
