@@ -384,3 +384,59 @@ def bfs_distances(
             dist = dist.localCheckpoint(eager=False)
             frontier = frontier.localCheckpoint(eager=False)
     return dist
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_pivot_degree: int = 64,
+    min_common: int = 2,
+    digits: int = 6,
+    sym: DataFrame | None = None,
+) -> DataFrame:
+    """Common-neighbor / Adamic-Adar link prediction: candidate NON-edges
+    ``(a, b)`` (canonical a < b) scored by how many neighbors the two
+    endpoints share and by the Adamic-Adar weight ``sum(1 / ln(deg(z)))``
+    over the shared neighbors z — the classic "people you may know" /
+    related-item feature a recommendation pipeline derives from an
+    interaction graph (beyond-reference breadth; the reference stops at
+    HITS/SALSA, ``/root/reference/src``).
+
+    Scale: shared neighbors are enumerated AT the pivot z (every pair of
+    z's neighbors is one candidate), so raw fan-out is sum(deg(z)^2) — a
+    single celebrity hub is quadratic death at web scale.  The standard
+    mitigation IS the semantics here: pivots with degree >
+    ``max_pivot_degree`` are excluded from scoring entirely (the df-cap
+    discipline of the n-gram dedup postings, operators/dedup.py) — a
+    hub shared by millions of pairs contributes ~zero Adamic-Adar weight
+    (1/ln d) and no discriminative signal, while the cap bounds per-pivot
+    work at cap^2 and total work at O(n_pivots * cap^2), every join an
+    equi-join.  The cap is therefore part of the DECLARED semantics and
+    any oracle must reproduce it, not an approximation knob hidden from
+    the caller.  Degrees are computed on the FULL symmetric graph before
+    capping (the score of a surviving pivot never depends on the cap);
+    existing edges are removed with an edge-sized anti-join; pairs below
+    ``min_common`` shared neighbors are dropped (singleton-evidence
+    pairs dominate the candidate set and carry the least signal).
+    ``deg(z) >= 2`` for every scoring pivot (it has two neighbors to
+    pair), so ln(deg) >= ln 2 and the division is always defined."""
+    if sym is None:
+        sym = symmetric_edges(edges, src, dst)
+    deg = sym.groupBy(F.col("a").alias("z")).agg(F.count(F.lit(1)).alias("__dz"))
+    nb = (
+        sym.select(F.col("a").alias("z"), F.col("b").alias("n"))
+        .join(deg.filter(F.col("__dz") <= max_pivot_degree), "z")
+    )
+    p1 = nb.select("z", F.col("n").alias("a"), "__dz")
+    p2 = nb.select("z", F.col("n").alias("b"))
+    pairs = p1.join(p2, "z").filter(F.col("a") < F.col("b"))
+    scores = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("__dz"))), digits).alias(
+            "adamic_adar"
+        ),
+    )
+    return scores.join(sym, ["a", "b"], "left_anti").filter(
+        F.col("common_neighbors") >= min_common
+    )

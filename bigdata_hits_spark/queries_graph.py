@@ -161,3 +161,40 @@ def q_dedup_semantic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     survivors = semantic_dedup(docs, emb, SEMANTIC_T, candidates="exact")
     return survivors.select("doc_id", "source")
+
+
+LP_CAP = 40
+LP_MIN_COMMON = 2
+
+
+def _link_prediction_sql() -> str:
+    return (
+        f"WITH e0 AS ({derived.G_PP_EDGES_SQL}), "
+        f"{_SYM_CTE}, "
+        "deg AS (SELECT a AS z, COUNT(*) AS dz FROM sym GROUP BY a), "
+        "nb AS (SELECT s.a AS z, s.b AS n, d.dz FROM sym s "
+        f"JOIN deg d ON d.z = s.a WHERE d.dz <= {LP_CAP}), "
+        "pairs AS (SELECT p1.n AS a, p2.n AS b, p1.dz FROM nb p1 "
+        "JOIN nb p2 ON p1.z = p2.z AND p1.n < p2.n), "
+        "scores AS (SELECT a, b, COUNT(*) AS common_neighbors, "
+        "ROUND(SUM(1.0 / LN(dz)), 6) AS adamic_adar FROM pairs GROUP BY a, b) "
+        f"SELECT * FROM scores s WHERE common_neighbors >= {LP_MIN_COMMON} "
+        "AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = s.a AND sym.b = s.b)"
+    )
+
+
+@register("graph_link_prediction", _link_prediction_sql())
+def q_graph_link_prediction(spark, sf_dir):
+    """Common-neighbor / Adamic-Adar link prediction on the part->part
+    graph (operators/graphalgs.py link_prediction): candidate non-edges
+    scored over pivots with degree <= LP_CAP — the pivot-degree cap IS
+    the declared semantics (hub pairs carry ~zero AA signal and
+    quadratic cost), reproduced by the oracle.  AA sums <= cap terms of
+    1/ln(int); cross-engine accumulation drift is ~1e-15 relative, so
+    the 6-digit rounding holds with huge margin."""
+    from bigdata_hits_spark.operators.graphalgs import link_prediction
+
+    g = derived.g_pp(spark, sf_dir)
+    return link_prediction(
+        g.edges, max_pivot_degree=LP_CAP, min_common=LP_MIN_COMMON, sym=_sym(g)
+    )

@@ -222,3 +222,61 @@ def test_bfs_distances_directed(spark):
         ).collect()
     }
     assert rev == {("a", 0), ("c", 1), ("d", 1)}
+
+
+def _brute_link_prediction(pairs, cap, min_common):
+    import math
+
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {}
+    for z, nbrs in adj.items():
+        if len(nbrs) > cap:
+            continue
+        for a, b in itertools.combinations(sorted(nbrs), 2):
+            cn, aa = scores.get((a, b), (0, 0.0))
+            scores[(a, b)] = (cn + 1, aa + 1.0 / math.log(len(adj[z])))
+    return {
+        k: (cn, round(aa, 6))
+        for k, (cn, aa) in scores.items()
+        if cn >= min_common and k[1] not in adj[k[0]]
+    }
+
+
+def test_link_prediction_random_matches_bruteforce(spark):
+    from bigdata_hits_spark.operators.graphalgs import link_prediction
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(24), rng.randrange(24)) for _ in range(90)})
+    edges = spark.createDataFrame(pairs, "src INT, dst INT")
+    for cap, mc in [(23, 1), (8, 2)]:
+        got = {
+            (r.a, r.b): (r.common_neighbors, r.adamic_adar)
+            for r in link_prediction(
+                edges, max_pivot_degree=cap, min_common=mc
+            ).collect()
+        }
+        assert got == _brute_link_prediction(pairs, cap, mc)
+
+
+def test_link_prediction_excludes_existing_edges_and_hub_pivots(spark):
+    from bigdata_hits_spark.operators.graphalgs import link_prediction
+
+    # star: hub 0 joined to 1..5, plus edge (1, 2).  With the hub capped
+    # out (cap=4 < deg 5) only pivots 1..5 (deg<=2) can score, and the
+    # only 2-neighbor pivots are 1 and 2 whose pairs include the existing
+    # (0-adjacent) edges -> empty; with the hub allowed, leaf pairs score.
+    pairs = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    edges = spark.createDataFrame(pairs, "src INT, dst INT")
+    assert link_prediction(edges, max_pivot_degree=4, min_common=1).count() == 0
+    got = {
+        (r.a, r.b): r.common_neighbors
+        for r in link_prediction(edges, max_pivot_degree=9, min_common=1).collect()
+    }
+    # (1, 2) is an existing edge -> excluded even though hub 0 pivots it.
+    assert (1, 2) not in got
+    assert got[(3, 4)] == 1 and got[(1, 3)] == 1
