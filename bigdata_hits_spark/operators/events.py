@@ -512,3 +512,125 @@ def experiment_conversion(
             F.sum("converted").cast("double") / F.count(F.lit(1)), digits
         ).alias("conv_rate"),
     )
+
+
+def experiment_welch(
+    events: DataFrame,
+    metric: Column | None = None,
+    user_col: str = "user_id",
+    digits: int = 6,
+) -> DataFrame:
+    """One-row Welch's t readout for a two-variant experiment over a
+    continuous per-user metric (default: the user's total event value,
+    i.e. revenue per user): ``(n_a, n_b, mean_a, mean_b, t_stat, df)``
+    — the unequal-variance t statistic and Welch-Satterthwaite degrees
+    of freedom that the conversion-rate readout
+    (:func:`experiment_conversion`) cannot provide for non-binary
+    metrics.  Variants come from the same portable md5-hex8 user hash,
+    so the two readouts describe the SAME experiment split.
+
+    t = (mean_a - mean_b) / sqrt(va/na + vb/nb); df per
+    Welch-Satterthwaite.  The p-value needs a t CDF (no closed form in
+    either engine) and is deliberately left to the caller's stats
+    library — the heavy lift at scale is the sufficient statistics, and
+    those are exact here: one user-keyed hash agg (event-sized input
+    collapses map-side), one 2-row variant agg of merged moments
+    (avg/var_samp), one scalar projection.  Nothing event-sized joins
+    anything; cross-engine moment drift is ~1e-12 relative so the
+    roundings hold with wide margin.  Requires n >= 2 per variant and
+    nonzero pooled variance, else t/df are NULL (guarded divisions)."""
+    metric = F.sum("value").alias("__m") if metric is None else metric.alias("__m")
+    per_user = events.groupBy(user_col).agg(metric)
+    variant = (
+        F.conv(F.substring(F.md5(F.col(user_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    ).alias("__v")
+    stats = per_user.groupBy(variant).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__m").alias("mean"),
+        F.var_samp("__m").alias("var"),
+    )
+    side = lambda c, v: F.max(F.when(F.col("__v") == v, F.col(c)))  # noqa: E731
+    wide = stats.agg(
+        side("n", 0).alias("n_a"),
+        side("n", 1).alias("n_b"),
+        side("mean", 0).alias("__ma"),
+        side("mean", 1).alias("__mb"),
+        side("var", 0).alias("__va"),
+        side("var", 1).alias("__vb"),
+    )
+    sa = F.col("__va") / F.col("n_a")
+    sb = F.col("__vb") / F.col("n_b")
+    se2 = sa + sb
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round("__ma", digits).alias("mean_a"),
+        F.round("__mb", digits).alias("mean_b"),
+        F.round(
+            F.when(ok, (F.col("__ma") - F.col("__mb")) / F.sqrt(se2)), digits
+        ).alias("t_stat"),
+        F.round(
+            F.when(
+                ok,
+                (se2 * se2)
+                / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)),
+            ),
+            digits,
+        ).alias("df"),
+    )
+
+
+def hourly_autocorr(
+    events: DataFrame, lags: tuple[int, ...] = (1, 24), digits: int = 6
+) -> DataFrame:
+    """Lag-k autocorrelation of each event type's hourly count series:
+    ``(event_type, lag, n_pairs, autocorr)`` for each requested lag —
+    lag 1 reads short-term burstiness, lag 24 the daily cycle; the two
+    numbers behind seasonality-aware anomaly thresholds and cadence
+    modeling.  Computed over the GAP-FILLED grid
+    (:func:`hourly_counts_gapfilled`), so lag k means exactly k hours
+    even across quiet gaps (a sparse rollup would silently correlate
+    "k observed rows apart" instead).
+
+    Pearson r is built from the pair moments (covar_pop /
+    sqrt(var_pop_x * var_pop_y)) with an explicit zero-variance guard
+    (NULL for a constant series) rather than F.corr, whose internal
+    division runs inside the aggregate under ANSI mode
+    (the grouped_linreg discipline, operators/profiling.py).
+
+    Plan: events shuffle ONCE (the rollup's own agg); the dense grid is
+    pinned (lazy localCheckpoint) and each lag is one (type, hour)
+    equi-join of the grid against its shifted self plus a type-sized
+    hash agg — per-lag work is grid-sized (span-hours x types, never
+    event-sized), no global-order window, no single-task stage."""
+    grid = (
+        hourly_counts_gapfilled(events)
+        .select("event_type", "bucket_hour", F.col("n").cast("double").alias("__x"))
+        .localCheckpoint(eager=False)
+    )
+    outs = []
+    for k in lags:
+        b = grid.select(
+            "event_type",
+            (F.col("bucket_hour") + k).alias("bucket_hour"),
+            F.col("__x").alias("__y"),
+        )
+        vx, vy, cov = F.var_pop("__x"), F.var_pop("__y"), F.covar_pop("__x", "__y")
+        outs.append(
+            grid.join(b, ["event_type", "bucket_hour"])
+            .groupBy("event_type")
+            .agg(
+                F.lit(k).alias("lag"),
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(
+                    F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), digits
+                ).alias("autocorr"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

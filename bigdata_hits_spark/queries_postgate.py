@@ -2891,3 +2891,78 @@ def q_normalize_text_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     noisy = F.concat(F.col("text"), F.lit("\r\n\tMIXED  Case Z\x07"))
     return docs.select("doc_id", normalize_text(noisy).alias("norm"))
+
+
+def _welch_sql() -> str:
+    h = duck_hex_to_long("md5(CAST(user_id AS VARCHAR))", 8)
+    return (
+        "WITH u AS (SELECT user_id, SUM(value) AS m FROM events GROUP BY user_id), "
+        f"v AS (SELECT {h} % 2 AS v, COUNT(*) AS n, AVG(m) AS mean, "
+        "VAR_SAMP(m) AS var FROM u GROUP BY 1), "
+        "w AS (SELECT MAX(CASE WHEN v = 0 THEN n END) AS n_a, "
+        "MAX(CASE WHEN v = 1 THEN n END) AS n_b, "
+        "MAX(CASE WHEN v = 0 THEN mean END) AS ma, "
+        "MAX(CASE WHEN v = 1 THEN mean END) AS mb, "
+        "MAX(CASE WHEN v = 0 THEN var END) AS va, "
+        "MAX(CASE WHEN v = 1 THEN var END) AS vb FROM v) "
+        "SELECT n_a, n_b, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b, "
+        "ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND va / n_a + vb / n_b > 0 "
+        "THEN (ma - mb) / SQRT(va / n_a + vb / n_b) END, 6) AS t_stat, "
+        "ROUND(CASE WHEN n_a >= 2 AND n_b >= 2 AND va / n_a + vb / n_b > 0 "
+        "THEN POWER(va / n_a + vb / n_b, 2) / "
+        "(POWER(va / n_a, 2) / (n_a - 1) + POWER(vb / n_b, 2) / (n_b - 1)) "
+        "END, 6) AS df FROM w"
+    )
+
+
+@register("experiment_welch_events", _welch_sql())
+def q_experiment_welch_events(spark, sf_dir):
+    """Welch's unequal-variance t readout on revenue-per-user
+    (operators/events.py experiment_welch) over the same md5 hash split
+    as experiment_conversion_events: sufficient statistics from two
+    stacked hash aggs + a 2-row pivot, t/df as guarded projections.
+    Merged-moment drift is ~1e-12 relative; every rounded output is
+    O(1)-O(1e3), so 6 digits holds with >=1e6x margin."""
+    from bigdata_hits_spark.operators.events import experiment_welch
+
+    return experiment_welch(load_table(spark, sf_dir, "events"))
+
+
+AUTOCORR_LAGS = (1, 24)
+
+
+def _autocorr_sql() -> str:
+    from bigdata_hits_spark.operators.events import HOUR_NS
+
+    grid = (
+        f"h AS (SELECT epoch_ns(ts) // {HOUR_NS} AS bucket_hour, event_type, "
+        "COUNT(*) AS n FROM events GROUP BY 1, 2), "
+        "s AS (SELECT event_type, MIN(bucket_hour) AS lo, MAX(bucket_hour) AS hi "
+        "FROM h GROUP BY event_type), "
+        "g AS (SELECT s.event_type, unnest(range(lo, hi + 1)) AS bucket_hour FROM s), "
+        "grid AS (SELECT g.event_type, g.bucket_hour, "
+        "CAST(COALESCE(h.n, 0) AS DOUBLE) AS x FROM g LEFT JOIN h "
+        "ON h.event_type = g.event_type AND h.bucket_hour = g.bucket_hour)"
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT a.event_type, {k} AS lag, COUNT(*) AS n_pairs, "
+        "ROUND(CASE WHEN VAR_POP(a.x) > 0 AND VAR_POP(b.x) > 0 THEN "
+        "COVAR_POP(a.x, b.x) / SQRT(VAR_POP(a.x) * VAR_POP(b.x)) END, 6) "
+        "AS autocorr FROM grid a JOIN grid b ON a.event_type = b.event_type "
+        f"AND a.bucket_hour = b.bucket_hour + {k} GROUP BY a.event_type"
+        for k in AUTOCORR_LAGS
+    )
+    return f"WITH {grid} {arms}"
+
+
+@register("events_hourly_autocorr", _autocorr_sql())
+def q_events_hourly_autocorr(spark, sf_dir):
+    """Lag-1 and lag-24 autocorrelation of each type's hourly count
+    series over the gap-filled grid (operators/events.py
+    hourly_autocorr): burstiness and daily-cycle strength.  Counts are
+    exact integers, r is scale-free and moment-built with zero-variance
+    guards, so the 6-digit rounding has ~1e6x margin."""
+    from bigdata_hits_spark.operators.events import hourly_autocorr
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return hourly_autocorr(_events_us(spark, sf_dir), lags=AUTOCORR_LAGS)

@@ -216,3 +216,90 @@ def test_experiment_conversion_stable_assignment_and_rates(spark):
     assert {v: r["n_users"] for v, r in out.items()} == {
         v: r["n_users"] for v, r in again.items()
     }
+
+
+def test_experiment_welch_matches_scipy_free_formula(spark):
+    import math
+
+    from bigdata_hits_spark.operators.events import experiment_welch
+
+    # users 1..8, per-user revenue = sum of their event values
+    rows = [
+        (i, i * 100, u, "view", float(v))
+        for i, (u, v) in enumerate(
+            [(1, 3), (1, 4), (2, 10), (3, 6), (4, 2), (5, 9), (6, 1), (7, 7), (8, 5)]
+        )
+    ]
+    df = _ev(spark, rows)
+    out = experiment_welch(df).collect()[0]
+    # recompute expected with the same hash assignment pulled from Spark
+    assign = {
+        r["user_id"]: r["v"]
+        for r in df.select(
+            "user_id",
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                % 2
+            ).alias("v"),
+        )
+        .distinct()
+        .collect()
+    }
+    per_user = {}
+    for _, _, u, _, v in rows:
+        per_user[u] = per_user.get(u, 0.0) + v
+    a = [m for u, m in per_user.items() if assign[u] == 0]
+    b = [m for u, m in per_user.items() if assign[u] == 1]
+    ma, mb = statistics.mean(a), statistics.mean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert (out["n_a"], out["n_b"]) == (len(a), len(b))
+    assert out["mean_a"] == round(ma, 6) and out["mean_b"] == round(mb, 6)
+    assert abs(out["t_stat"] - t) < 1e-6 and abs(out["df"] - dof) < 1e-6
+
+
+def test_experiment_welch_degenerate_variant_yields_null_t(spark):
+    from bigdata_hits_spark.operators.events import experiment_welch
+
+    # exactly one user lands in each variant -> n < 2 -> guarded NULLs
+    rows = [(1, 100, 1, "view", 3.0), (2, 200, 2, "view", 5.0)]
+    out = experiment_welch(_ev(spark, rows)).collect()[0]
+    assert out["t_stat"] is None and out["df"] is None
+
+
+def test_hourly_autocorr_perfect_daily_cycle(spark):
+    from bigdata_hits_spark.operators.events import HOUR_NS, hourly_autocorr
+
+    # type A: strict 24h period (counts 2,1,1,... repeating); 4 days
+    rows = []
+    eid = 0
+    for day in range(4):
+        for hour in range(24):
+            n = 2 if hour == 0 else 1
+            for _ in range(n):
+                rows.append((eid, (day * 24 + hour) * HOUR_NS + 5, 1, "A", 0.0))
+                eid += 1
+    out = {
+        r["lag"]: r
+        for r in hourly_autocorr(_ev(spark, rows), lags=(1, 24)).collect()
+    }
+    assert out[24]["autocorr"] == 1.0  # exact periodicity
+    assert out[24]["n_pairs"] == 3 * 24
+    assert out[1]["autocorr"] < 0.1  # spike decorrelates at lag 1
+
+
+def test_hourly_autocorr_counts_gaps_as_zero(spark):
+    from bigdata_hits_spark.operators.events import HOUR_NS, hourly_autocorr
+
+    # events only at hours 0 and 2; the gap hour must enter as 0, making
+    # lag-2 pairs (h2,h0) correlate the two spikes
+    rows = [(0, 1, 1, "A", 0.0), (1, 2 * HOUR_NS + 1, 1, "A", 0.0)]
+    out = {r["lag"]: r for r in hourly_autocorr(_ev(spark, rows), lags=(2,)).collect()}
+    assert out[2]["n_pairs"] == 1
+    # single pair -> zero variance -> guarded NULL, not an ANSI error
+    assert out[2]["autocorr"] is None
