@@ -473,3 +473,104 @@ def domain_mix(
         "n_docs",
         F.round(F.col("n_docs") / F.col("__N"), digits).alias("share"),
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", digits: int = 6) -> DataFrame:
+    """One-row Zipf law fit of the corpus vocabulary:
+    ``(n_types, slope, intercept, r2)`` from an OLS of ln(freq) on
+    ln(rank) over the full term-frequency table — slope near -1 is the
+    healthy-natural-text signature; a flat slope flags boilerplate/spam
+    floods and a cliff flags template dedup debt.  The whole-vocabulary
+    regression (not a top-k eyeball) is the version that needs an
+    engine: at web scale the type table itself is hundreds of millions
+    of rows.
+
+    Plan: one term-keyed hash agg (map-side combine collapses the
+    token stream), ranks from the two-phase distributed global_rank
+    (range exchange + bucket offsets — no single-task window over the
+    vocabulary; operators/ranks.py), then ONE merged-moment aggregate
+    for the fit (the grouped_linreg formulas, operators/profiling.py).
+    Ties in freq break on the term itself, so ranks — and hence the
+    fit — are fully deterministic and engine-portable.  freq >= 1 so
+    both logs are defined; slope/r2 guards inherit from grouped_linreg
+    (a one-type corpus yields NULLs, not an error)."""
+    from bigdata_hits_spark.functions.text import tokens
+    from bigdata_hits_spark.operators.profiling import grouped_linreg
+    from bigdata_hits_spark.operators.ranks import global_rank
+
+    tf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = global_rank(
+        tf, [F.col("freq").desc(), F.col("term").asc()], rank_col="rank"
+    )
+    pts = ranked.select(
+        F.lit(1).alias("__g"),
+        F.log("rank").alias("__lx"),
+        F.log("freq").alias("__ly"),
+    )
+    fit = grouped_linreg(pts, "__lx", "__ly", "__g", digits_intercept=digits,
+                         digits_slope=digits, digits_r2=digits)
+    return fit.select(F.col("n").alias("n_types"), "slope", "intercept", "r2")
+
+
+def keywords_per_group(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str | None = "doc_id",
+    k: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` distinctive terms per group: ``(group, term, tf,
+    score)`` where ``score = tf_in_group * ln(N_docs / df_term)`` — the
+    classic tf-idf keyword extraction, run per SOURCE rather than per
+    document: the one-page "what is each slice of the corpus about"
+    digest a curation review reads before weighting a mixture.
+
+    Plan: one token explode feeding two hash aggs — (group, term)
+    term frequencies and (term) document frequencies — joined back on
+    the TERM (vocab-sized equi-join, never document-sized), the
+    corpus doc count attached as the engine's standard one-row
+    broadcast.  Top-k is a per-group window whose partition is the
+    group's distinct vocabulary (bounded by vocabulary, not documents);
+    ORDER is on the ROUNDED score with a term tiebreak, so rank — and
+    the selected set — is deterministic under last-ulp ln() drift
+    between engines (the discipline every declared top-k shares).
+    ``id_col`` keys document frequency; pass ``None`` to mint ids with
+    ``monotonically_increasing_id`` (same-session stable only — fine
+    for df, which only needs per-document distinctness).
+    """
+    from bigdata_hits_spark.functions.text import tokens
+
+    did = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        did.alias("__did"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.select("__did", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "grp",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__N") / F.col("__df")), digits
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("grp").alias(group_col), "term", "tf", "score")
+    )

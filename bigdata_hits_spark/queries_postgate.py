@@ -2966,3 +2966,65 @@ def q_events_hourly_autocorr(spark, sf_dir):
     from bigdata_hits_spark.queries_events import _events_us
 
     return hourly_autocorr(_events_us(spark, sf_dir), lags=AUTOCORR_LAGS)
+
+
+_ZIPF_SQL = (
+    "WITH tf AS (SELECT term, COUNT(*) AS freq FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS term FROM documents) "
+    "GROUP BY term), "
+    "r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) "
+    "AS rank FROM tf), "
+    "l AS (SELECT LN(rank) AS x, LN(freq) AS y FROM r) "
+    "SELECT COUNT(*) AS n_types, "
+    "ROUND(CASE WHEN VAR_POP(x) > 0 THEN COVAR_POP(x, y) / VAR_POP(x) END, 6) "
+    "AS slope, "
+    "ROUND(CASE WHEN VAR_POP(x) > 0 THEN AVG(y) - (COVAR_POP(x, y) / "
+    "VAR_POP(x)) * AVG(x) END, 6) AS intercept, "
+    "ROUND(CASE WHEN VAR_POP(x) > 0 AND VAR_POP(y) > 0 THEN "
+    "COVAR_POP(x, y) * COVAR_POP(x, y) / (VAR_POP(x) * VAR_POP(y)) END, 6) "
+    "AS r2 FROM l"
+)
+
+
+@register("zipf_fit_docs", _ZIPF_SQL)
+def q_zipf_fit_docs(spark, sf_dir):
+    """Whole-vocabulary Zipf slope (operators/textstats.py zipf_fit):
+    ln(freq) ~ ln(rank) OLS over the term-frequency table, ranked by the
+    distributed two-phase global_rank with a deterministic term
+    tiebreak.  Logs and merged moments drift ~1e-12 cross-engine; slope
+    is O(1), intercept O(10), r2 in [0,1], so 6 digits holds with wide
+    margin."""
+    from bigdata_hits_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"))
+
+
+KEYWORDS_K = 10
+
+
+def _keywords_sql(k: int = KEYWORDS_K) -> str:
+    return (
+        "WITH tok AS (SELECT source AS grp, doc_id, "
+        "unnest(string_split(text, ' ')) AS term FROM documents), "
+        "tf AS (SELECT grp, term, COUNT(*) AS tf FROM tok GROUP BY grp, term), "
+        "dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfv FROM tok GROUP BY term), "
+        "n AS (SELECT COUNT(*) AS nd FROM documents), "
+        "scored AS (SELECT grp, tf.term, tf, "
+        "ROUND(tf * LN(CAST(nd AS DOUBLE) / dfv), 6) AS score "
+        "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp "
+        "ORDER BY score DESC, term ASC) AS rn FROM scored) "
+        f"SELECT grp AS source, term, tf, score FROM r WHERE rn <= {k}"
+    )
+
+
+@register("keywords_per_source", _keywords_sql())
+def q_keywords_per_source(spark, sf_dir):
+    """Top-10 tf-idf keywords per source (operators/textstats.py
+    keywords_per_group): one token explode, two vocab-sized hash aggs,
+    a term-keyed equi-join, and a per-source top-k window ORDERED ON THE
+    ROUNDED score with a term tiebreak — rank is deterministic under
+    last-ulp ln() drift, so the selected sets match cross-engine."""
+    from bigdata_hits_spark.operators.textstats import keywords_per_group
+
+    return keywords_per_group(load_table(spark, sf_dir, "documents"), k=KEYWORDS_K)

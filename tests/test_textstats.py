@@ -333,3 +333,65 @@ def test_domain_mix_shares_sum_to_one(spark):
     assert rows["b.org"]["n_docs"] == 1
     assert rows[None]["n_docs"] == 1  # URL without a host still counts
     assert abs(sum(r["share"] for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    import math
+
+    from bigdata_hits_spark.operators.textstats import zipf_fit
+
+    # plant freq(rank) = round(1000 * rank^-1): t1 x1000, t2 x500, ...
+    words = []
+    for r in range(1, 21):
+        words += [f"t{r:02d}"] * round(1000 / r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    out = zipf_fit(docs).collect()[0]
+    assert out["n_types"] == 20
+    assert abs(out["slope"] + 1.0) < 0.02  # near-exact -1 power law
+    assert out["r2"] > 0.999
+    # brute-force the same OLS
+    pts = [(math.log(r), math.log(round(1000 / r))) for r in range(1, 21)]
+    mx = sum(x for x, _ in pts) / 20
+    my = sum(y for _, y in pts) / 20
+    cov = sum((x - mx) * (y - my) for x, y in pts) / 20
+    vx = sum((x - mx) ** 2 for x, _ in pts) / 20
+    assert abs(out["slope"] - cov / vx) < 1e-6
+
+
+def test_zipf_fit_single_type_yields_nulls(spark):
+    from bigdata_hits_spark.operators.textstats import zipf_fit
+
+    docs = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    out = zipf_fit(docs).collect()[0]
+    assert out["n_types"] == 1 and out["slope"] is None and out["r2"] is None
+
+
+def test_keywords_per_group_scores_and_topk(spark):
+    import math
+
+    from bigdata_hits_spark.operators.textstats import keywords_per_group
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana", "A"),
+            (2, "apple cherry", "A"),
+            (3, "banana banana", "B"),
+            (4, "cherry dates dates", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = keywords_per_group(docs, k=2)
+    rows = {(r.source, r.term): r for r in out.collect()}
+    # df: apple 2, banana 2, cherry 2, dates 1; N=4
+    assert rows[("A", "apple")].tf == 3
+    assert rows[("A", "apple")].score == round(3 * math.log(4 / 2), 6)
+    assert rows[("B", "dates")].score == round(2 * math.log(4 / 1), 6)
+    # top-2 per group only
+    counts = {}
+    for (g, _t), _ in rows.items():
+        counts[g] = counts.get(g, 0) + 1
+    assert counts == {"A": 2, "B": 2}
+    # dates (idf ln4) outranks banana (tf2 * ln2 = 1.386 < 2.77)
+    assert ("B", "dates") in rows and ("B", "banana") in rows
