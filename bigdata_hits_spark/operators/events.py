@@ -634,3 +634,47 @@ def hourly_autocorr(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def session_path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    gap_ns: int = SESSION_GAP_NS,
+    digits: int = 6,
+) -> DataFrame:
+    """Within-session event-type n-grams: ``(t1..tn, count, p)`` where p
+    is normalized over the (t1..t(n-1)) prefix — the order-n Markov
+    upgrade of :func:`transition_counts`, restricted to paths that do
+    not span a session boundary (a purchase 3 days after a click is not
+    a "path").  The behavioral-clickstream feature a ranking or
+    next-action model trains on.
+
+    Plan: ONE user-keyed window shuffle serves both the session
+    assignment and the n-gram lags — the lag window stays partitioned
+    by user (ordered ts, id) and lags the (type, session) pair, keeping
+    only rows whose n-1 predecessors share the current session; no
+    second exchange, no joins.  Then a hash agg to |types|^n rows and a
+    prefix-partitioned window over that tiny relation for p.  Skew
+    ceiling is the busiest user, same as every per-user window here."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    sess = assign_sessions(events, gap_ns=gap_ns)
+    cols = []
+    same_session = F.lit(True)
+    for i in range(n - 1, 0, -1):
+        cols.append(F.lag("event_type", i).over(w).alias(f"t{n - i}"))
+        same_session = same_session & (
+            F.lag("session_idx", i).over(w) == F.col("session_idx")
+        )
+    cols.append(F.col("event_type").alias(f"t{n}"))
+    names = [f"t{i + 1}" for i in range(n)]
+    grams = (
+        sess.select(*cols, same_session.alias("__ok"))
+        .filter(F.col("__ok") & F.col("t1").isNotNull())
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w_prefix = Window.partitionBy(*names[:-1])
+    return grams.withColumn(
+        "p",
+        F.round(F.col("count") / F.sum("count").over(w_prefix), digits),
+    )

@@ -425,3 +425,67 @@ def scd2_history(
             F.when(F.col(to_col).isNull(), F.lit(1)).otherwise(F.lit(0)),
         )
     )
+
+
+#: Modulus for the checksum's order-independent partial sum (a prime
+#: ~1e6): keeps SUM(h % P) under int64 for ~9e12 rows per bucket.
+CHECKSUM_SUM_MOD = 1_000_003
+
+
+def table_checksum(
+    df: DataFrame,
+    key_cols: list[str],
+    cols: list[str] | None = None,
+    buckets: int = 64,
+) -> DataFrame:
+    """Order-independent per-bucket content fingerprint: ``(bucket,
+    n_rows, xor_hash, sum_hash)`` — the anti-entropy digest two replicas
+    (or two pipeline runs, or a table and its restored backup) exchange
+    to locate divergence WITHOUT shipping rows: compare bucket rows,
+    recurse into (or re-sync) only the buckets that differ.  Rows are
+    bucketed by a portable hash of ``key_cols`` — a modified row lands
+    in the SAME bucket on both sides, so each divergent logical row
+    perturbs exactly one bucket row.
+
+    Per-row hash: md5 over a canonical '|'-joined rendering of ``cols``
+    (NULL encoded as chr(1), distinct from the empty string), first 15
+    hex digits as a 60-bit long.  Three aggregates per bucket, each
+    order-independent and overflow-free at ANY row count (ANSI-safe:
+    a plain SUM of 60-bit hashes would overflow long at ~32k rows):
+    COUNT (catches adds/drops), BIT_XOR of the 60-bit hash (catches any
+    single changed row; a k-row cancellation needs the xor of k
+    60-bit deltas to vanish), and SUM of hash mod CHECKSUM_SUM_MOD
+    (catches the duplicate-pair insert/delete that xor alone cancels).
+    Matching all three is not a proof of equality but a 1-in-~2^80
+    accident; the declared use is drift TRIAGE, not a cryptographic
+    audit.
+
+    Columns are rendered via CAST(x AS STRING), which is
+    engine-portable for ints, strings, and dates; canonicalize floats
+    and timestamps yourself (round/format to a fixed scale) before
+    including them, or their last-ulp formatting differences read as
+    divergence.  Plan: one map-side projection + one hash agg to
+    ``buckets`` rows — nothing row-sized shuffles."""
+    cols = cols if cols is not None else list(df.columns)
+
+    def _canon(cs: list[str]) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "|",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cs],
+            )
+        )
+
+    h = F.conv(F.substring(_canon(cols), 1, 15), 16, 10).cast("long")
+    bucket = (
+        F.conv(F.substring(_canon(key_cols), 1, 8), 16, 10).cast("long") % buckets
+    )
+    return (
+        df.select(bucket.alias("bucket"), h.alias("__h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("__h").alias("xor_hash"),
+            F.sum(F.col("__h") % CHECKSUM_SUM_MOD).alias("sum_hash"),
+        )
+    )

@@ -831,3 +831,60 @@ def rrf_fuse(
             .drop("__rn")
         )
     return fused
+
+
+def centroid_outliers(
+    docs: DataFrame,
+    emb: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    digits: int = 6,
+    broadcast_centroids: bool = True,
+) -> DataFrame:
+    """Per-group embedding outliers: the ``k`` documents FARTHEST
+    (euclidean) from their group's centroid, as ``(group, doc_id,
+    dist)`` — the embedding-space screen for mislabeled sources,
+    injected spam, and off-topic contamination that the text-side
+    quality gates cannot see.
+
+    Plan: docs join embeddings once on the id (pinned so both the
+    centroid branch and the distance branch read ONE evaluation of the
+    join, not two parquet re-scans), a posexplode to (row, dim) feeding
+    a (group, dim)-keyed hash agg for centroids — the explode is
+    pipelined CPU, never materialized — then a (group, dim) equi-join
+    back and a doc-keyed agg down to one distance per doc.  With
+    ``broadcast_centroids`` (default) the n_groups x dims centroid
+    relation is broadcast — right when groups are sources/domains-sized;
+    set it False in the millions-of-groups regime and let AQE pick (the
+    tfidf df-side discipline, operators/textstats.py).  Top-k per group
+    orders on the ROUNDED distance with a doc_id tiebreak, so the
+    selected set is deterministic under float-sum drift; the window's
+    skew ceiling is the largest group (sources here — for a dominant-
+    group corpus compose with the salted cap machinery instead,
+    operators/sampling.py cap_per_group)."""
+    j = (
+        docs.select("doc_id", group_col)
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    el = j.select(
+        "doc_id", group_col, F.posexplode("embedding").alias("i", "__xf")
+    ).select("doc_id", group_col, "i", F.col("__xf").cast("double").alias("__x"))
+    cent = el.groupBy(group_col, "i").agg(F.avg("__x").alias("__c"))
+    if broadcast_centroids:
+        cent = F.broadcast(cent)
+    dist = (
+        el.join(cent, [group_col, "i"])
+        .groupBy("doc_id", group_col)
+        .agg(
+            F.round(
+                F.sqrt(F.sum((F.col("__x") - F.col("__c")) ** 2)), digits
+            ).alias("dist")
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("dist"), F.asc("doc_id"))
+    return (
+        dist.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col(group_col), "doc_id", "dist")
+    )

@@ -3028,3 +3028,112 @@ def q_keywords_per_source(spark, sf_dir):
     from bigdata_hits_spark.operators.textstats import keywords_per_group
 
     return keywords_per_group(load_table(spark, sf_dir, "documents"), k=KEYWORDS_K)
+
+
+CHECKSUM_BUCKETS = 64
+_CK_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _checksum_sql() -> str:
+    from bigdata_hits_spark.oracles import duck_hex_to_long
+    from bigdata_hits_spark.operators.relops import CHECKSUM_SUM_MOD
+
+    canon_all = "md5(" + " || '|' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(1))" for c in _CK_COLS
+    ) + ")"
+    canon_key = "md5(COALESCE(CAST(o_orderkey AS VARCHAR), chr(1)))"
+    h = duck_hex_to_long(canon_all, 15)
+    b = duck_hex_to_long(canon_key, 8)
+    return (
+        f"WITH r AS (SELECT {b} % {CHECKSUM_BUCKETS} AS bucket, {h} AS h "
+        "FROM orders) "
+        "SELECT bucket, COUNT(*) AS n_rows, BIT_XOR(h) AS xor_hash, "
+        f"CAST(SUM(h % {CHECKSUM_SUM_MOD}) AS BIGINT) AS sum_hash "
+        "FROM r GROUP BY bucket"
+    )
+
+
+@register("orders_table_checksum", _checksum_sql())
+def q_orders_table_checksum(spark, sf_dir):
+    """Anti-entropy bucket checksums of orders (operators/relops.py
+    table_checksum): 64 key-bucketed rows of (count, 60-bit xor, modular
+    sum) — the replica-divergence triage digest.  All three aggregates
+    are exact integers, so the compare is bit-exact; the oracle
+    reproduces the md5 rendering and the positional hex parse."""
+    from bigdata_hits_spark.operators.relops import table_checksum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return table_checksum(
+        orders, ["o_orderkey"], _CK_COLS, buckets=CHECKSUM_BUCKETS
+    )
+
+
+def _session_trigrams_sql() -> str:
+    from bigdata_hits_spark.operators.events import SESSION_GAP_NS
+
+    return (
+        "WITH o AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, "
+        "event_type FROM events), "
+        "l AS (SELECT *, LAG(ts_ns) OVER (PARTITION BY user_id "
+        "ORDER BY ts_ns, event_id) AS prev FROM o), "
+        "a AS (SELECT user_id, event_id, ts_ns, event_type, "
+        f"CAST(SUM(CASE WHEN prev IS NULL OR ts_ns - prev > {SESSION_GAP_NS} "
+        "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+        "ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS sess FROM l), "
+        "g AS (SELECT LAG(event_type, 2) OVER w AS t1, "
+        "LAG(event_type, 1) OVER w AS t2, event_type AS t3, "
+        "LAG(sess, 2) OVER w AS s1, LAG(sess, 1) OVER w AS s2, sess FROM a "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)), "
+        "c AS (SELECT t1, t2, t3, COUNT(*) AS count FROM g "
+        "WHERE s1 = sess AND s2 = sess GROUP BY t1, t2, t3) "
+        "SELECT t1, t2, t3, count, ROUND(CAST(count AS DOUBLE) / "
+        "SUM(count) OVER (PARTITION BY t1, t2), 6) AS p FROM c"
+    )
+
+
+@register("events_session_trigrams", _session_trigrams_sql())
+def q_events_session_trigrams(spark, sf_dir):
+    """Within-session event-type trigrams with prefix-normalized p
+    (operators/events.py session_path_ngrams, n=3): the order-3 Markov
+    path model over the sessionized stream — one user-keyed window
+    shuffle serves both session assignment and the lags; the oracle
+    chains the sessionize CTE into double-LAG same-session filters."""
+    from bigdata_hits_spark.operators.events import session_path_ngrams
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return session_path_ngrams(_events_us(spark, sf_dir), n=3)
+
+
+OUTLIER_K = 5
+
+
+def _centroid_outliers_sql(k: int = OUTLIER_K) -> str:
+    return (
+        "WITH j AS (SELECT d.source, e.vec_id AS doc_id, e.embedding AS v "
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id), "
+        "el AS (SELECT source, doc_id, unnest(range(len(v))) AS i, v FROM j), "
+        "x AS (SELECT source, doc_id, i, CAST(v[i + 1] AS DOUBLE) AS x FROM el), "
+        "c AS (SELECT source, i, AVG(x) AS cx FROM x GROUP BY source, i), "
+        "dist AS (SELECT x.source, x.doc_id, "
+        "ROUND(SQRT(SUM((x.x - c.cx) * (x.x - c.cx))), 6) AS dist "
+        "FROM x JOIN c ON c.source = x.source AND c.i = x.i "
+        "GROUP BY x.source, x.doc_id), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY dist DESC, doc_id ASC) AS rn FROM dist) "
+        f"SELECT source, doc_id, dist FROM r WHERE rn <= {k}"
+    )
+
+
+@register("embedding_centroid_outliers", _centroid_outliers_sql())
+def q_embedding_centroid_outliers(spark, sf_dir):
+    """Top-5 farthest-from-centroid docs per source
+    (operators/similarity.py centroid_outliers): the embedding-space
+    contamination screen.  Distances round at 6 digits BEFORE the
+    ordering (doc_id tiebreak), so the per-source top-k sets match
+    cross-engine under float-sum drift."""
+    from bigdata_hits_spark.operators.similarity import centroid_outliers
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(docs, emb, k=OUTLIER_K)

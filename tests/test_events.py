@@ -303,3 +303,37 @@ def test_hourly_autocorr_counts_gaps_as_zero(spark):
     assert out[2]["n_pairs"] == 1
     # single pair -> zero variance -> guarded NULL, not an ANSI error
     assert out[2]["autocorr"] is None
+
+
+def test_session_path_ngrams_respects_session_boundaries(spark):
+    from bigdata_hits_spark.operators.events import SESSION_GAP_NS, session_path_ngrams
+
+    g = SESSION_GAP_NS
+    rows = [
+        # user 1, session 1: A B C ; session 2 (after gap): B C D
+        (1, 10, 1, "A", 0.0),
+        (2, 20, 1, "B", 0.0),
+        (3, 30, 1, "C", 0.0),
+        (4, 30 + 2 * g, 1, "B", 0.0),
+        (5, 40 + 2 * g, 1, "C", 0.0),
+        (6, 50 + 2 * g, 1, "D", 0.0),
+    ]
+    out = {(r.t1, r.t2, r.t3): (r["count"], r.p) for r in
+           session_path_ngrams(_ev(spark, rows), n=3).collect()}
+    # exactly one trigram per session; none spanning the gap (B C B etc.)
+    assert out == {("A", "B", "C"): (1, 1.0), ("B", "C", "D"): (1, 1.0)}
+
+
+def test_session_path_ngrams_prefix_normalization(spark):
+    from bigdata_hits_spark.operators.events import session_path_ngrams
+
+    rows = [
+        (1, 10, 1, "A", 0.0), (2, 20, 1, "B", 0.0), (3, 30, 1, "C", 0.0),
+        (4, 40, 1, "A", 0.0), (5, 50, 1, "B", 0.0), (6, 60, 1, "D", 0.0),
+        (7, 70, 1, "A", 0.0), (8, 80, 1, "B", 0.0), (9, 90, 1, "D", 0.0),
+    ]
+    # trigrams: ABC, BCA, CAB, ABD, BDA, DAB, ABD... compute p over (t1,t2)
+    out = {(r.t1, r.t2, r.t3): r.p for r in
+           session_path_ngrams(_ev(spark, rows), n=3).collect()}
+    assert out[("A", "B", "D")] == round(2 / 3, 6)
+    assert out[("A", "B", "C")] == round(1 / 3, 6)

@@ -310,6 +310,7 @@ _BNLJ_ALLOWED = {
     "ann_cosine_topk": 1,
     "embedding_neardup_pairs": 1,
     "domain_mix_docs": 1,  # grand-total one-row attach on the host counts
+    "keywords_per_source": 1,  # corpus-doc-count one-row attach on tf-idf
 }
 
 

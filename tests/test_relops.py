@@ -281,3 +281,45 @@ def test_latest_by_key_compacts_changelog(spark):
 
     with _pytest.raises(ValueError, match="order_cols"):
         latest_by_key(log, ["k"], [])
+
+
+def test_table_checksum_detects_single_row_change(spark):
+    from bigdata_hits_spark.operators.relops import table_checksum
+
+    rows = [(i, f"s{i % 3}") for i in range(50)]
+    a = spark.createDataFrame(rows, "k long, v string")
+    changed = [(i, "MUTATED" if i == 17 else f"s{i % 3}") for i in range(50)]
+    b = spark.createDataFrame(changed, "k long, v string")
+    ca = {r["bucket"]: r for r in table_checksum(a, ["k"], buckets=8).collect()}
+    cb = {r["bucket"]: r for r in table_checksum(b, ["k"], buckets=8).collect()}
+    diff = [
+        bkt
+        for bkt in ca
+        if (ca[bkt]["n_rows"], ca[bkt]["xor_hash"], ca[bkt]["sum_hash"])
+        != (cb[bkt]["n_rows"], cb[bkt]["xor_hash"], cb[bkt]["sum_hash"])
+    ]
+    # key bucketing: the one modified row perturbs exactly one bucket,
+    # and counts there still match (no add/drop)
+    assert len(diff) == 1
+    assert ca[diff[0]]["n_rows"] == cb[diff[0]]["n_rows"]
+
+
+def test_table_checksum_order_and_partition_invariant(spark):
+    from bigdata_hits_spark.operators.relops import table_checksum
+
+    rows = [(i, i * 2.0) for i in range(40)]
+    a = spark.createDataFrame(rows, "k long, v double")
+    b = spark.createDataFrame(list(reversed(rows)), "k long, v double").repartition(7)
+    key = lambda r: (r["bucket"],)  # noqa: E731
+    assert sorted(map(tuple, table_checksum(a, ["k"], ["k"]).collect()), key=lambda t: t[0]) == \
+        sorted(map(tuple, table_checksum(b, ["k"], ["k"]).collect()), key=lambda t: t[0])
+
+
+def test_table_checksum_null_vs_empty_string_differ(spark):
+    from bigdata_hits_spark.operators.relops import table_checksum
+
+    a = spark.createDataFrame([(1, None)], "k long, v string")
+    b = spark.createDataFrame([(1, "")], "k long, v string")
+    ra = table_checksum(a, ["k"]).collect()[0]
+    rb = table_checksum(b, ["k"]).collect()[0]
+    assert ra["xor_hash"] != rb["xor_hash"]

@@ -423,3 +423,23 @@ def test_rrf_fuse_rank_ties_break_on_cid(spark):
     )
     got = {r["cid"]: r["rrf"] for r in SIM.rrf_fuse([r1], k0=60).collect()}
     assert got[10] == round(1 / 61, 7) and got[20] == round(1 / 62, 7)
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    from bigdata_hits_spark.operators.similarity import centroid_outliers
+
+    docs = spark.createDataFrame(
+        [(i, "A") for i in range(5)] + [(10 + i, "B") for i in range(4)],
+        "doc_id long, source string",
+    )
+    emb_rows = [(i, [0.0, float(i % 2)]) for i in range(4)] + [(4, [50.0, 0.0])]
+    emb_rows += [(10 + i, [1.0, 1.0]) for i in range(4)]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    out = centroid_outliers(docs, emb, k=1).collect()
+    got = {r["source"]: (r["doc_id"], r["dist"]) for r in out}
+    assert got["A"][0] == 4  # the planted far point
+    # group B is 4 identical vectors: dist 0, tiebreak lowest doc_id
+    assert got["B"] == (10, 0.0)
+    # non-broadcast arm agrees
+    out2 = centroid_outliers(docs, emb, k=1, broadcast_centroids=False).collect()
+    assert {r["source"]: (r["doc_id"], r["dist"]) for r in out2} == got
