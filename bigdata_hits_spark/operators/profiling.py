@@ -424,3 +424,133 @@ def corr_matrix(df: DataFrame, cols: list[str], digits: int = 6) -> DataFrame:
     return wide.select(
         F.expr(f"stack({len(pairs)}, {stack_args}) AS (x, y, corr)")
     )
+
+
+#: Probability floor for PSI terms — the standard guard that keeps the
+#: log defined when a bucket is empty on one side (PSI convention).
+PSI_FLOOR = 1e-6
+
+
+def psi_report(
+    ref: DataFrame,
+    new: DataFrame,
+    col: str,
+    buckets: int = 8,
+    digits: int = 6,
+    floor: float = PSI_FLOOR,
+) -> DataFrame:
+    """Population Stability Index drift report between a REFERENCE
+    snapshot and a NEW snapshot of a numeric column: one row per
+    reference equi-depth bucket with ``(bucket, lo, hi, p_ref, p_new,
+    psi_term)`` where ``psi_term = (p_new - p_ref) * ln(p_new /
+    p_ref)`` — the training-serving-skew / data-drift monitor every ML
+    feature pipeline runs between refreshes (sum the terms: < 0.1
+    stable, > 0.25 investigate).
+
+    Buckets are the reference's EXACT equi-depth edges
+    (:func:`equidepth_histogram` — the distributed quotient/remainder
+    quantile machinery, value domain never centralized), so each
+    reference bucket holds ~1/B mass by construction and the report
+    reads as "where did the mass move".  New rows are assigned by the
+    shared count-edges-strictly-below-x fold over the (B-1)-element
+    rounded inner-edge array (ties to the lower bucket, identically on
+    both engines); values outside the reference range clamp into the
+    first/last bucket — drift OFF the end of the ref distribution is
+    exactly what the edge buckets must catch.  Probabilities are floored
+    at ``floor`` before the log (the PSI convention for empty buckets).
+
+    Plan: the histogram's own aggregates for the reference side, then
+    ONE narrow projection + B-row hash agg over the new snapshot, a
+    B-row join, and two one-row attaches (edge array, new-side total) —
+    nothing row-sized shuffles beyond the histogram's value-distinct
+    agg.  p values are ratios of exact integer counts, psi the only
+    float op, so 6 digits holds with ~1e9x margin."""
+    eh = equidepth_histogram(ref, col, buckets, digits=digits).localCheckpoint(
+        eager=False
+    )
+    w_all = Window.partitionBy()
+    ref_p = eh.select(
+        "bucket",
+        "lo",
+        "hi",
+        (F.col("cnt") / F.sum("cnt").over(w_all)).alias("__pr"),
+    )
+    edges = eh.filter(F.col("bucket") >= 1).agg(
+        F.sort_array(F.collect_list("lo")).alias("__edges")
+    )
+    x = F.col(col).cast("double")
+    assigned = (
+        new.filter(x.isNotNull())
+        .select(x.alias("__x"))
+        .crossJoin(F.broadcast(edges))
+        .select(
+            F.aggregate(
+                "__edges",
+                F.lit(0),
+                lambda acc, e: acc + F.when(e < F.col("__x"), 1).otherwise(0),
+            ).alias("bucket")
+        )
+    )
+    new_counts = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cn"))
+    n_new = new_counts.agg(F.sum("__cn").alias("__N"))
+    pr = F.greatest(F.col("__pr"), F.lit(floor))
+    pn = F.greatest(
+        F.coalesce(F.col("__cn") / F.col("__N"), F.lit(0.0)), F.lit(floor)
+    )
+    return (
+        ref_p.join(new_counts, "bucket", "left")
+        .crossJoin(F.broadcast(n_new))
+        .select(
+            "bucket",
+            "lo",
+            "hi",
+            F.round("__pr", digits).alias("p_ref"),
+            F.round(F.coalesce(F.col("__cn") / F.col("__N"), F.lit(0.0)), digits).alias("p_new"),
+            F.round((pn - pr) * F.log(pn / pr), digits).alias("psi_term"),
+        )
+    )
+
+
+def categorical_profile(
+    df: DataFrame, cols: list[str], k: int = 5, digits: int = 6
+) -> DataFrame:
+    """Top-``k`` values of each categorical column in one pass:
+    ``(column, value, n, share)`` — the sibling of :func:`profile_table`
+    for the categorical side: one glance shows vocabulary collapse
+    (one value at 99%), label typos in the tail, and NULL share (NULL
+    is profiled as a value row, not silently dropped).
+
+    Plan: ONE scan stacks the requested columns to (column, value)
+    pairs (narrow explode, fan-out = len(cols)), one hash agg to the
+    union of the columns' value vocabularies, a per-column window for
+    the top-k cut and the share denominator (partition = one column's
+    distinct values — vocabulary-bounded, never row-bounded).  Ties
+    order on (n desc, value asc NULLS FIRST) — pinned explicitly
+    because the engines' default NULL sort order differs.  Values are
+    rendered via CAST(x AS STRING) so mixed-type column lists profile
+    into one result (the table_checksum portability caveat applies to
+    floats)."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__p")
+    ).select("__p.column", "__p.value")
+    counts = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
+    w_col = Window.partitionBy("column")
+    w_rank = w_col.orderBy(F.desc("n"), F.asc_nulls_first("value"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn(
+            "share", F.round(F.col("n") / F.sum("n").over(w_col), digits)
+        )
+        .filter(F.col("__rn") <= k)
+        .select("column", "value", "n", "share")
+    )

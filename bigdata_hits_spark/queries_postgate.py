@@ -3137,3 +3137,88 @@ def q_embedding_centroid_outliers(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_outliers(docs, emb, k=OUTLIER_K)
+
+
+#: Deterministic planted drift for the PSI declared row: every third
+#: order's price is scaled 1.2x in the "new" snapshot (both engines
+#: derive it identically from orders — the snapshot_diff discipline).
+_PSI_NEW = "o_totalprice * CASE WHEN o_orderkey % 3 = 0 THEN 1.2 ELSE 1.0 END"
+
+
+def _psi_sql() -> str:
+    from bigdata_hits_spark.operators.profiling import PSI_FLOOR
+
+    B = EQUIDEPTH_BUCKETS
+    fr = f"CAST('{PSI_FLOOR!r}' AS DOUBLE)"
+    return (
+        "WITH q AS (SELECT quantile_cont(o_totalprice, "
+        f"[{', '.join(str(j) + '.0/' + str(B) for j in range(B + 1))}]) AS bs FROM orders), "
+        "bounds AS (SELECT i AS bucket, ROUND(CAST(bs[i + 1] AS DOUBLE), 6) AS b "
+        f"FROM q, (SELECT unnest(range({B + 1})) AS i)), "
+        "aref AS (SELECT (SELECT COUNT(*) FROM bounds "
+        f"WHERE bucket BETWEEN 1 AND {B - 1} AND b < o.o_totalprice) AS bucket "
+        "FROM orders o WHERE o_totalprice IS NOT NULL), "
+        "cref AS (SELECT bucket, COUNT(*) AS c FROM aref GROUP BY bucket), "
+        f"newt AS (SELECT {_PSI_NEW} AS x FROM orders WHERE o_totalprice IS NOT NULL), "
+        "anew AS (SELECT (SELECT COUNT(*) FROM bounds "
+        f"WHERE bucket BETWEEN 1 AND {B - 1} AND b < n.x) AS bucket FROM newt n), "
+        "cnew AS (SELECT bucket, COUNT(*) AS c FROM anew GROUP BY bucket), "
+        "base AS (SELECT lo.bucket, lo.b AS lo, hi.b AS hi, "
+        "CAST(COALESCE(cref.c, 0) AS DOUBLE) / (SELECT SUM(c) FROM cref) AS pr, "
+        "CAST(COALESCE(cnew.c, 0) AS DOUBLE) / (SELECT SUM(c) FROM cnew) AS pn "
+        "FROM bounds lo JOIN bounds hi ON hi.bucket = lo.bucket + 1 "
+        "LEFT JOIN cref ON cref.bucket = lo.bucket "
+        "LEFT JOIN cnew ON cnew.bucket = lo.bucket "
+        f"WHERE lo.bucket < {B}) "
+        "SELECT bucket, lo, hi, ROUND(pr, 6) AS p_ref, ROUND(pn, 6) AS p_new, "
+        f"ROUND((GREATEST(pn, {fr}) - GREATEST(pr, {fr})) * "
+        f"LN(GREATEST(pn, {fr}) / GREATEST(pr, {fr})), 6) AS psi_term "
+        "FROM base"
+    )
+
+
+@register("orders_price_psi", _psi_sql())
+def q_orders_price_psi(spark, sf_dir):
+    """PSI drift report between orders prices and a deterministically
+    drifted snapshot (operators/profiling.py psi_report): reference
+    equi-depth edges from the distributed exact-quantile machinery,
+    count-edges-below-x assignment on both sides, floored log terms.
+    p values are exact-integer ratios; psi is the only float op."""
+    from bigdata_hits_spark.operators.profiling import psi_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    new = orders.select(F.expr(_PSI_NEW).alias("price"))
+    return psi_report(orders.select(F.col("o_totalprice").alias("price")), new,
+                      "price", buckets=EQUIDEPTH_BUCKETS)
+
+
+CATPROF_COLS = ["o_orderstatus", "o_orderpriority"]
+CATPROF_K = 4
+
+
+def _catprof_sql() -> str:
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS value FROM orders"
+        for c in CATPROF_COLS
+    )
+    return (
+        f"WITH p AS ({stacked}), "
+        "c AS (SELECT col, value, COUNT(*) AS n FROM p GROUP BY col, value), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY col "
+        "ORDER BY n DESC, value ASC NULLS FIRST) AS rn, "
+        "ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY col), 6) AS share "
+        "FROM c) "
+        f'SELECT col AS "column", value, n, share FROM r WHERE rn <= {CATPROF_K}'
+    )
+
+
+@register("orders_categorical_profile", _catprof_sql())
+def q_orders_categorical_profile(spark, sf_dir):
+    """Top-4 values per categorical orders column
+    (operators/profiling.py categorical_profile): one stacked scan, one
+    vocabulary-sized hash agg, per-column windows with the NULL sort
+    order pinned explicitly (the engines' defaults differ)."""
+    from bigdata_hits_spark.operators.profiling import categorical_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return categorical_profile(orders, CATPROF_COLS, k=CATPROF_K)

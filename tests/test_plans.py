@@ -311,6 +311,8 @@ _BNLJ_ALLOWED = {
     "embedding_neardup_pairs": 1,
     "domain_mix_docs": 1,  # grand-total one-row attach on the host counts
     "keywords_per_source": 1,  # corpus-doc-count one-row attach on tf-idf
+    # equidepth's 3 one-row attaches + PSI's edge-array and new-total
+    "orders_price_psi": 5,
 }
 
 

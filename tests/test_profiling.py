@@ -185,3 +185,58 @@ def test_corr_matrix_signs_and_pairs(spark):
     assert rows[("a", "b")] == 1.0
     assert rows[("a", "c")] == -1.0
     assert rows[("b", "c")] == -1.0
+
+
+def test_psi_report_identical_distributions_score_zero(spark):
+    from bigdata_hits_spark.operators.profiling import psi_report
+
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    out = psi_report(ref, ref, "x", buckets=4).collect()
+    assert len(out) == 4
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert all(abs(r["p_ref"] - 0.25) < 0.02 for r in out)
+
+
+def test_psi_report_detects_planted_shift_and_clamps_range(spark):
+    from bigdata_hits_spark.operators.profiling import psi_report
+
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    # shift everything past the reference max: all mass -> last bucket
+    new = spark.createDataFrame([(float(i + 1000),) for i in range(100)], "x double")
+    out = {r["bucket"]: r for r in psi_report(ref, new, "x", buckets=4).collect()}
+    assert out[3]["p_new"] == 1.0
+    assert all(out[b]["p_new"] == 0.0 for b in (0, 1, 2))
+    total = sum(r["psi_term"] for r in out.values())
+    assert total > 1.0  # massive drift scores massively
+
+
+def test_psi_report_empty_bucket_uses_floor_not_nan(spark):
+    import math
+
+    from bigdata_hits_spark.operators.profiling import PSI_FLOOR, psi_report
+
+    ref = spark.createDataFrame([(float(i),) for i in range(64)], "x double")
+    new = spark.createDataFrame([(1.0,)], "x double")
+    out = psi_report(ref, new, "x", buckets=4).collect()
+    assert all(r["psi_term"] is not None and not math.isnan(r["psi_term"]) for r in out)
+    empty = [r for r in out if r["p_new"] == 0.0]
+    assert empty  # three empty buckets, each floored at PSI_FLOOR
+    for r in empty:
+        expected = (PSI_FLOOR - r["p_ref"]) * math.log(PSI_FLOOR / max(r["p_ref"], PSI_FLOOR))
+        assert abs(r["psi_term"] - round(expected, 6)) <= 1e-6
+
+
+def test_categorical_profile_topk_shares_and_nulls(spark):
+    from bigdata_hits_spark.operators.profiling import categorical_profile
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), (None, 2), (None, 3)],
+        "s string, v int",
+    )
+    out = categorical_profile(df, ["s", "v"], k=2)
+    rows = {(r["column"], r["value"]): r for r in out.collect()}
+    assert rows[("s", "a")]["n"] == 2 and rows[("s", "a")]["share"] == 0.4
+    assert ("s", None) in rows  # NULL profiled as a value
+    # v: 2 appears twice, ties 1 vs 3 broken by value asc -> "1"
+    assert rows[("v", "2")]["n"] == 2
+    assert ("v", "1") in rows and ("v", "3") not in rows
