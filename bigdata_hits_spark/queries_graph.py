@@ -198,3 +198,39 @@ def q_graph_link_prediction(spark, sf_dir):
     return link_prediction(
         g.edges, max_pivot_degree=LP_CAP, min_common=LP_MIN_COMMON, sym=_sym(g)
     )
+
+
+#: Weight ceiling that sparsifies g_pp for the components row: low-
+#: quantity edges only (~4% of lineitem), so the subgraph actually has
+#: a nontrivial component structure instead of one giant blob.
+CC_MAX_WEIGHT = 2
+
+
+def _components_sql() -> str:
+    return (
+        f"WITH RECURSIVE e0 AS ({derived.G_PP_EDGES_SQL}), "
+        f"sp AS (SELECT src, dst FROM e0 WHERE weight <= {CC_MAX_WEIGHT}), "
+        "e AS (SELECT src, dst FROM sp UNION SELECT dst, src FROM sp), "
+        "reach AS (SELECT src AS id, src AS comp FROM e "
+        "UNION SELECT e.dst, r.comp FROM reach r JOIN e ON e.src = r.id) "
+        "SELECT id, MIN(comp) AS component FROM reach GROUP BY id"
+    )
+
+
+@register("graph_connected_components", _components_sql())
+def q_graph_connected_components(spark, sf_dir):
+    """Connected components of the low-weight subgraph of g_pp
+    (operators/components.py connected_components): min-label
+    propagation with the auto-escalating star-contraction fallback —
+    the same machinery the dedup survivor election runs, declared here
+    directly on a graph with real component structure.  The oracle is
+    the recursive-CTE reachability fixpoint (the dedup_semantic
+    pattern); component ids are minimum node ids, a DATA value, so the
+    compare is exact."""
+    from bigdata_hits_spark.operators.components import connected_components
+
+    g = derived.g_pp(spark, sf_dir)
+    pairs = g.edges.filter(F.col("weight") <= CC_MAX_WEIGHT).select(
+        F.col("src").alias("id1"), F.col("dst").alias("id2")
+    )
+    return connected_components(pairs)
