@@ -659,3 +659,34 @@ def levenshtein_neardup_pairs(
             dist.cast("long").alias("dist"),
         )
     )
+
+
+def dedup_rate_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group exact-duplicate pressure: ``(group, n_docs, n_unique,
+    dup_rate)`` where ``n_unique`` counts distinct text hashes WITHIN
+    the group and ``dup_rate = 1 - n_unique / n_docs`` — the one-line
+    answer to "which source is flooding us with copies", read before
+    choosing per-source near-dup budgets and mixture weights.
+
+    Counted within-group on purpose: cross-group duplication is the
+    survivor election's business (:func:`exact_duplicates` +
+    components); this report attributes copy pressure to the source
+    that EMITS it.  Plan: one hash agg keyed by (group, md5) — bodies
+    never shuffle, the md5 collapses map-side — then a group-sized agg;
+    exact integers throughout, the division is the only float."""
+    per_text = docs.groupBy(
+        F.col(group_col).alias("grp"), F.md5(F.col(text_col)).alias("__h")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return per_text.groupBy("grp").agg(
+        F.sum("__n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("__n"), digits
+        ).alias("dup_rate"),
+    ).select(F.col("grp").alias(group_col), "n_docs", "n_unique", "dup_rate")

@@ -489,3 +489,80 @@ def table_checksum(
             F.sum(F.col("__h") % CHECKSUM_SUM_MOD).alias("sum_hash"),
         )
     )
+
+
+def checksum_delta(
+    delta: DataFrame,
+    key_cols: list[str],
+    cols: list[str] | None = None,
+    buckets: int = 64,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Signed digest delta of a retraction batch (``sign`` = +1 insert /
+    -1 retract, the snapshot_delta shape): per bucket ``(bucket, d_n,
+    d_xor, d_sum)`` such that merging into a stored
+    :func:`table_checksum` digest (:func:`apply_delta_checksum`) yields
+    EXACTLY the digest of the net table — every term of the checksum is
+    chosen to be incrementally maintainable: COUNT adds signs, the
+    60-bit XOR is its own inverse (a retraction re-XORs the hash it
+    inserted), and the modular SUM adds ``sign * (h % P)``.  Work is
+    O(|batch|) with one bucket-keyed hash agg; the maintained table is
+    never re-read."""
+    cols = cols if cols is not None else [
+        c for c in delta.columns if c != sign_col
+    ]
+
+    def _canon(cs: list[str]) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "|",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cs],
+            )
+        )
+
+    h = F.conv(F.substring(_canon(cols), 1, 15), 16, 10).cast("long")
+    bucket = (
+        F.conv(F.substring(_canon(key_cols), 1, 8), 16, 10).cast("long") % buckets
+    )
+    return (
+        delta.select(
+            bucket.alias("bucket"),
+            h.alias("__h"),
+            F.col(sign_col).cast("long").alias("__s"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("__s").alias("d_n"),
+            F.bit_xor("__h").alias("d_xor"),
+            F.sum(F.col("__s") * (F.col("__h") % CHECKSUM_SUM_MOD)).alias("d_sum"),
+        )
+    )
+
+
+def apply_delta_checksum(old: DataFrame, delta_digest: DataFrame) -> DataFrame:
+    """Merge a :func:`checksum_delta` into a stored digest: one
+    bucket-keyed full-outer join (buckets-sized on BOTH sides — nothing
+    row-sized moves), XOR/add per term, empty buckets dropped.  The
+    result is bit-identical to :func:`table_checksum` over the net
+    table (pytest-enforced stream-batch equivalence,
+    tests/test_streaming.py)."""
+    d = delta_digest.select(
+        F.col("bucket").alias("__b"), "d_n", "d_xor", "d_sum"
+    )
+    merged = old.join(d, F.col("bucket").eqNullSafe(F.col("__b")), "full_outer")
+    z = F.lit(0)
+    return (
+        merged.select(
+            F.coalesce("bucket", "__b").alias("bucket"),
+            (F.coalesce(F.col("n_rows"), z) + F.coalesce(F.col("d_n"), z)).alias(
+                "n_rows"
+            ),
+            F.coalesce(F.col("xor_hash"), z)
+            .bitwiseXOR(F.coalesce(F.col("d_xor"), z))
+            .alias("xor_hash"),
+            (
+                F.coalesce(F.col("sum_hash"), z) + F.coalesce(F.col("d_sum"), z)
+            ).alias("sum_hash"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

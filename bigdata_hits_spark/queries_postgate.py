@@ -3222,3 +3222,39 @@ def q_orders_categorical_profile(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return categorical_profile(orders, CATPROF_COLS, k=CATPROF_K)
+
+
+_DEDUP_RATE_SQL = (
+    "WITH t AS (SELECT source, md5(text) AS h, COUNT(*) AS n "
+    "FROM documents GROUP BY source, md5(text)) "
+    "SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_unique, "
+    "ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_rate "
+    "FROM t GROUP BY source"
+)
+
+
+@register("dedup_rate_by_source", _DEDUP_RATE_SQL)
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Within-source exact-duplicate pressure (operators/dedup.py
+    dedup_rate_by_group): two stacked hash aggs on (source, md5) keys —
+    bodies never shuffle; the curation readout that sets per-source
+    dedup budgets."""
+    from bigdata_hits_spark.operators.dedup import dedup_rate_by_group
+
+    return dedup_rate_by_group(load_table(spark, sf_dir, "documents"))
+
+
+@register("sketch_token_topk", None)  # MG weights are placement-dependent: rows-only
+def q_sketch_token_topk(spark, sf_dir):
+    """Misra-Gries heavy-hitter tokens over the corpus
+    (operators/sketches.py freq_items_sketch): bounded-memory top-20
+    candidates with count bounds, for the vocabulary-exceeds-memory
+    regime.  Candidate weights depend on row placement, so the row is
+    declared rows-only; the MG invariants are pytest-enforced
+    (tests/test_sketches.py)."""
+    from bigdata_hits_spark.functions.text import tokens
+    from bigdata_hits_spark.operators.sketches import freq_items_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return freq_items_sketch(toks, "token", k=20)

@@ -566,3 +566,77 @@ def rollup_maintenance_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def checksum_maintenance_stream(
+    delta_stream: DataFrame,
+    digest_store: str,
+    checkpoint: str,
+    key_cols: list[str],
+    cols: list[str] | None = None,
+    buckets: int = 64,
+    sign_col: str = "sign",
+    keep_versions: int = 3,
+):
+    """Continuously maintain a stored :func:`~bigdata_hits_spark.
+    operators.relops.table_checksum` digest from a retraction stream —
+    the anti-entropy twin of :func:`rollup_maintenance_stream`: two
+    replicas each maintain their digest incrementally from their own
+    CDC feed and exchange only the bucket rows to detect divergence;
+    neither ever re-scans its table.
+
+    Same exactly-once discipline as the rollup maintainer (digest
+    arithmetic is NOT idempotent — a replayed XOR un-applies itself):
+    the store is versioned by batch id, each batch reads the newest
+    version strictly below its own id and overwrites its own directory,
+    so replays deterministically rewrite identical output.  Per batch
+    the work is O(|batch| + buckets)."""
+    from bigdata_hits_spark.operators.relops import (
+        apply_delta_checksum,
+        checksum_delta,
+    )
+
+    def _versions(spark, path: str) -> list[int]:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dd = checksum_delta(batch_df, key_cols, cols, buckets, sign_col)
+        prev = [v for v in _versions(spark, digest_store) if v < batch_id]
+        if prev:
+            old = spark.read.parquet(f"{digest_store}/v={max(prev)}")
+        else:
+            old = dd.filter(F.lit(False)).select(
+                "bucket",
+                F.col("d_n").alias("n_rows"),
+                F.col("d_xor").alias("xor_hash"),
+                F.col("d_sum").alias("sum_hash"),
+            )
+        new = apply_delta_checksum(old, dd)
+        new.write.mode("overwrite").parquet(f"{digest_store}/v={batch_id}")
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(digest_store)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        done = [v for v in _versions(spark, digest_store) if v <= batch_id]
+        for v in done[:-keep_versions] if keep_versions > 0 else []:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{digest_store}/v={v}"), True)
+
+    return (
+        delta_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

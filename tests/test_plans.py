@@ -313,6 +313,7 @@ _BNLJ_ALLOWED = {
     "keywords_per_source": 1,  # corpus-doc-count one-row attach on tf-idf
     # equidepth's 3 one-row attaches + PSI's edge-array and new-total
     "orders_price_psi": 5,
+    "sketch_token_topk": 1,  # n one-row attach for the MG error bound
 }
 
 

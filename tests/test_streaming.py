@@ -400,3 +400,70 @@ def test_rollup_maintenance_stream_equals_direct_agg(spark, tmp_path):
     }
     # surviving multiset: a:25, b:(5,6), d:1 — c emptied out and dropped
     assert final == {"a": (1, 25.0), "b": (2, 11.0), "d": (1, 1.0)}
+
+
+def test_checksum_maintenance_stream_equals_direct_digest(spark, tmp_path):
+    """Two micro-batches of a retraction stream maintain the stored
+    bucket digest to bit-exactly the direct table_checksum of the
+    surviving rows — XOR un-applies retractions, counts add signs."""
+    from pyspark.sql import types as T
+
+    from bigdata_hits_spark.operators.relops import table_checksum
+    from bigdata_hits_spark.streaming.jobs import checksum_maintenance_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("sign", T.IntegerType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "delta_src")
+    spark.createDataFrame(
+        [(1, i, f"s{i % 3}") for i in range(30)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    # retract 5 rows, mutate one (retract+insert), add two new
+    batch2 = (
+        [(-1, i, f"s{i % 3}") for i in range(5)]
+        + [(-1, 17, "s2"), (1, 17, "MUT"), (1, 100, "x"), (1, 101, "y")]
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    store = str(tmp_path / "digest")
+    q = checksum_maintenance_stream(
+        stream,
+        store,
+        checkpoint=str(tmp_path / "ckpt"),
+        key_cols=["k"],
+        cols=["k", "v"],
+        buckets=8,
+    )
+    q.awaitTermination()
+
+    import os
+
+    versions = sorted(int(d[2:]) for d in os.listdir(store) if d.startswith("v="))
+    maintained = {
+        r["bucket"]: (r["n_rows"], r["xor_hash"], r["sum_hash"])
+        for r in spark.read.parquet(f"{store}/v={versions[-1]}").collect()
+    }
+    survivors = [(i, f"s{i % 3}") for i in range(5, 30) if i != 17] + [
+        (17, "MUT"),
+        (100, "x"),
+        (101, "y"),
+    ]
+    direct = {
+        r["bucket"]: (r["n_rows"], r["xor_hash"], r["sum_hash"])
+        for r in table_checksum(
+            spark.createDataFrame(survivors, "k long, v string"),
+            ["k"],
+            ["k", "v"],
+            buckets=8,
+        ).collect()
+    }
+    assert maintained == direct
