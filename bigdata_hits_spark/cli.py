@@ -72,6 +72,13 @@ Beyond-reference pipeline jobs (no reference twin):
   extrema (HLL++ by default; ``exact`` opts into exact distincts).
 - ``mixture docs.parquet group_col key_col name=rate[,...]`` —
   deterministic per-group mixture rates with upsampling epochs.
+- ``checksum table.parquet key1[,key2...] [buckets]`` — anti-entropy
+  bucket digests (count / 60-bit xor / modular sum) for replica-drift
+  triage; compare two outputs to locate divergent buckets.
+- ``psi ref.parquet new.parquet col [buckets]`` — Population Stability
+  Index drift report on the reference's exact equi-depth edges.
+- ``keywords docs.parquet [group_col] [k]`` — top-k tf-idf keywords per
+  group: the per-source corpus digest.
 - ``tfidf docs.parquet [id_col] [text_col]`` — per-(doc, term) tf-idf
   parquet (join onto an edge list for weighted_hits weights).
 - ``decontaminate docs.parquet benchmark.parquet [n] [max_frac]`` —
@@ -681,6 +688,47 @@ def main(argv: list[str] | None = None) -> None:
         flagged.write.mode("overwrite").parquet(os.path.join(out_dir, "contaminated"))
         clean.write.mode("overwrite").parquet(os.path.join(out_dir, "decontaminated"))
         print(f"decontaminate: kept={clean.count()} flagged={flagged.count()}")
+    elif job == "checksum":
+        # checksum <table.parquet> <key1[,key2...]> [buckets] — anti-
+        # entropy bucket digests; compare two runs' outputs to locate
+        # replica drift without shipping rows.
+        from bigdata_hits_spark.operators.relops import table_checksum
+
+        src = args.take()
+        keys_arg = args.take()
+        if src is None or keys_arg is None:
+            raise SystemExit("checksum needs a parquet path and key columns")
+        buckets = args.take(int, 64, usage="checksum <table.parquet> <keys> [buckets]")
+        table_checksum(
+            spark.read.parquet(src), keys_arg.split(","), buckets=buckets
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "checksum"))
+    elif job == "psi":
+        # psi <ref.parquet> <new.parquet> <col> [buckets] — population
+        # stability drift report on the reference's equi-depth edges.
+        from bigdata_hits_spark.operators.profiling import psi_report
+
+        ref_path = args.take()
+        new_path = args.take()
+        col = args.take()
+        if None in (ref_path, new_path, col):
+            raise SystemExit("psi needs ref and new parquet paths and a column")
+        buckets = args.take(int, 8, usage="psi <ref> <new> <col> [buckets]")
+        psi_report(
+            spark.read.parquet(ref_path), spark.read.parquet(new_path), col, buckets
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "psi"))
+    elif job == "keywords":
+        # keywords <docs.parquet> [group_col] [k] — top-k tf-idf terms
+        # per group (source by default): the corpus-mix digest.
+        from bigdata_hits_spark.operators.textstats import keywords_per_group
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("keywords needs a documents parquet path")
+        group_col = args.take(str, "source")
+        k = args.take(int, 10, usage="keywords <docs.parquet> [group_col] [k]")
+        keywords_per_group(
+            spark.read.parquet(docs_path), group_col=group_col, k=k
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "keywords"))
     else:
         raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")
 

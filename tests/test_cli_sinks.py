@@ -444,3 +444,32 @@ def test_cli_maintain_rollup_and_compact_log(spark, tmp_path):
 
     with _pytest.raises(SystemExit, match="usage"):
         cli.main(["maintain_rollup", "-", d1, "--out", out1])
+
+
+def test_cli_checksum_psi_keywords(spark, tmp_path):
+    import os
+
+    from bigdata_hits_spark import cli
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common", f"src{i % 2}", float(i))
+         for i in range(40)],
+        "doc_id long, text string, source string, score double",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+
+    cli.main(["checksum", src, "doc_id", "8", "--out", out])
+    ck = spark.read.parquet(os.path.join(out, "checksum"))
+    assert ck.count() <= 8 and set(ck.columns) == {
+        "bucket", "n_rows", "xor_hash", "sum_hash"
+    }
+
+    cli.main(["psi", src, src, "score", "4", "--out", out])
+    psi = spark.read.parquet(os.path.join(out, "psi")).collect()
+    assert len(psi) == 4 and all(r["psi_term"] == 0.0 for r in psi)
+
+    cli.main(["keywords", src, "source", "3", "--out", out])
+    kw = spark.read.parquet(os.path.join(out, "keywords"))
+    assert kw.count() == 6  # 3 per source
