@@ -489,3 +489,33 @@ def weighted_sample(
         w < 0, F.raise_error(F.lit("weighted_sample: negative weight"))
     ).otherwise(F.least(F.lit(1.0), w * F.lit(float(rate_scale))))
     return df.filter(u < threshold)
+
+
+def stratified_sample_portable(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str,
+    seed: int = 0,
+    buckets: int = _SPLIT_BUCKETS,
+) -> DataFrame:
+    """Deterministic twin of :func:`stratified_sample`: keep a row iff
+    its key's portable md5 bucket falls below ``round(frac * buckets)``
+    for its stratum — the keep decision is a pure function of (seed,
+    key), so the SAME rows survive across engines, reruns, cluster
+    sizes, and input order (``sampleBy``'s per-partition RNG guarantees
+    none of these; use it when statistical independence from the key
+    matters more than reproducibility).  Strata absent from ``fractions``
+    are dropped, matching ``sampleBy``.  Realized rates are exact to
+    1/buckets granularity in expectation over keys, same as the split
+    machinery this reuses (:func:`portable_hash_bucket`); narrow map,
+    no shuffle."""
+    b = portable_hash_bucket(key_col, seed, buckets)
+    arms = None
+    for v, frac in fractions.items():
+        cut = int(round(float(frac) * buckets))
+        cond = (F.col(strata_col) == v) & (b < cut)
+        arms = cond if arms is None else (arms | cond)
+    if arms is None:
+        return df.filter(F.lit(False))
+    return df.filter(arms)

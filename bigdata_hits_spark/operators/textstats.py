@@ -574,3 +574,42 @@ def keywords_per_group(
         .filter(F.col("__rn") <= k)
         .select(F.col("grp").alias(group_col), "term", "tf", "score")
     )
+
+
+def sentence_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Per-document sentence shape: ``(id, n_sentences, avg_sentence_
+    tokens, max_sentence_tokens)`` — the readability/structure signal
+    quality gates use beside the flat token counts: boilerplate and
+    keyword-stuffed spam skew to degenerate one-token "sentences",
+    machine-merged text to enormous ones.
+
+    Sentences split on the terminator run ``[.!?]+`` followed by
+    whitespace-or-end (a pragmatic segmenter, not a linguistic one —
+    abbreviations split; the declared contract is the regex, identical
+    bytes in Java regex and RE2 so both engines segment identically);
+    empty segments (trailing terminator) are dropped.  Tokens per
+    sentence reuse the corpus' whitespace convention.  Pure Column
+    expressions — narrow map + nothing, no shuffle at all."""
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+( |$)"),
+        lambda s: F.trim(s) != "",
+    )
+    toks_per = F.transform(sents, lambda s: F.size(F.split(F.trim(s), " ")))
+    return df.select(
+        F.col(id_col),
+        F.size(sents).alias("n_sentences"),
+        F.round(
+            F.when(
+                F.size(sents) > 0,
+                F.aggregate(toks_per, F.lit(0), lambda a, x: a + x).cast("double")
+                / F.size(sents),
+            ),
+            digits,
+        ).alias("avg_sentence_tokens"),
+        F.array_max(toks_per).alias("max_sentence_tokens"),
+    )

@@ -3258,3 +3258,64 @@ def q_sketch_token_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
     return freq_items_sketch(toks, "token", k=20)
+
+
+STRAT_FRACS = {"src0": 1.0, "src3": 0.5, "src7": 0.25}
+_STRAT_SEED = 4
+
+
+def _stratified_sql() -> str:
+    from bigdata_hits_spark.operators.sampling import _SPLIT_BUCKETS
+
+    h = duck_hex_to_long(
+        f"md5('{_STRAT_SEED}|' || CAST(doc_id AS VARCHAR))", 8
+    )
+    arms = " OR ".join(
+        f"(source = '{v}' AND {h} % {_SPLIT_BUCKETS} < "
+        f"{int(round(f * _SPLIT_BUCKETS))})"
+        for v, f in STRAT_FRACS.items()
+    )
+    return f"SELECT doc_id, source FROM documents WHERE {arms}"
+
+
+@register("stratified_sample_docs", _stratified_sql())
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic per-stratum sampling (operators/sampling.py
+    stratified_sample_portable): keep decisions are a pure function of
+    (seed, doc_id) via the portable md5 bucket, so BOTH engines keep the
+    identical row set — the reproducible twin of sampleBy for mixture
+    construction.  Narrow map, no shuffle; exact row compare."""
+    from bigdata_hits_spark.operators.sampling import stratified_sample_portable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample_portable(
+        docs, "source", STRAT_FRACS, "doc_id", seed=_STRAT_SEED
+    )
+
+
+_SENTENCE_SQL = (
+    "WITH p AS (SELECT doc_id, list_filter("
+    "string_split_regex(text, '[.!?]+( |$)'), s -> TRIM(s) <> '') AS sents "
+    "FROM documents), "
+    "t AS (SELECT doc_id, sents, list_transform(sents, "
+    "s -> len(string_split(TRIM(s), ' '))) AS tp FROM p) "
+    "SELECT doc_id, len(sents) AS n_sentences, "
+    "ROUND(CASE WHEN len(sents) > 0 THEN "
+    "CAST(list_aggregate(tp, 'sum') AS DOUBLE) / len(sents) END, 6) "
+    "AS avg_sentence_tokens, "
+    "list_aggregate(tp, 'max') AS max_sentence_tokens FROM t"
+)
+
+
+@register("sentence_stats_docs", _SENTENCE_SQL)
+def q_sentence_stats_docs(spark, sf_dir):
+    """Per-document sentence shape (operators/textstats.py
+    sentence_stats): pragmatic regex segmentation — the declared
+    contract is the regex itself, byte-identical in Java regex and RE2
+    (split parity probed on terminator runs, trailing terminators, and
+    unterminated text) — with empty segments dropped and the corpus'
+    whitespace token convention per sentence.  Pure Column expressions,
+    zero shuffles."""
+    from bigdata_hits_spark.operators.textstats import sentence_stats
+
+    return sentence_stats(load_table(spark, sf_dir, "documents"))

@@ -435,3 +435,65 @@ def test_ntile_exact_matches_sql_semantics(spark, data):
                 want[order[rank]] = tile
                 rank += 1
     assert got == want
+
+
+wm_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # group
+        st.integers(min_value=-20, max_value=20),  # value
+        st.integers(min_value=0, max_value=5),  # weight (0 = dropped)
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=wm_strategy)
+def test_weighted_median_matches_bruteforce(spark, rows):
+    from bigdata_hits_spark.operators.ranks import weighted_median
+
+    df = spark.createDataFrame(
+        [(g, float(v), float(w)) for g, v, w in rows], "g int, v double, w double"
+    )
+    got = {
+        r["g"]: r["wmedian_v"]
+        for r in weighted_median(df, "v", "w", "g").collect()
+    }
+    expected = {}
+    by_g = {}
+    for g, v, w in rows:
+        if w > 0:
+            by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= tot:
+                expected[g] = float(v)
+                break
+    assert got == expected
+
+
+psi_strategy = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=100), min_size=16, max_size=60),
+    st.lists(st.integers(min_value=-50, max_value=150), min_size=1, max_size=60),
+)
+
+
+@settings(**_SETTINGS)
+@given(data=psi_strategy)
+def test_psi_terms_nonnegative_and_probabilities_sum(spark, data):
+    from bigdata_hits_spark.operators.profiling import psi_report
+
+    ref_vals, new_vals = data
+    ref = spark.createDataFrame([(float(v),) for v in ref_vals], "x double")
+    new = spark.createDataFrame([(float(v),) for v in new_vals], "x double")
+    out = psi_report(ref, new, "x", buckets=4).collect()
+    assert len(out) == 4
+    # (p-q)ln(p/q) >= 0 for any p,q > 0 — each floored term is nonneg
+    assert all(r["psi_term"] >= 0 for r in out)
+    assert abs(sum(r["p_ref"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["p_new"] for r in out) - 1.0) < 1e-4

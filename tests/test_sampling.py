@@ -425,3 +425,30 @@ def test_sample_to_token_budget_custom_order_key(spark, sf_dir):
         if cum <= budget:
             want.add(r["doc_id"])
     assert got == want and 0 < len(got) < len(rows)
+
+
+def test_stratified_sample_portable_deterministic_and_rate_bounded(spark):
+    from bigdata_hits_spark.operators.sampling import stratified_sample_portable
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)], "k long, s string"
+    )
+    out1 = stratified_sample_portable(df, "s", {"a": 0.3, "b": 1.0}, "k", seed=1)
+    out2 = stratified_sample_portable(
+        df.repartition(13), "s", {"a": 0.3, "b": 1.0}, "k", seed=1
+    )
+    ids1 = sorted(r["k"] for r in out1.collect())
+    assert ids1 == sorted(r["k"] for r in out2.collect())  # order/partition invariant
+    by_s = {r["s"]: r["n"] for r in out1.groupBy("s").count().withColumnRenamed("count", "n").collect()}
+    assert by_s["b"] == 1000  # frac 1.0 keeps everything
+    assert abs(by_s["a"] - 300) < 60  # ~30% of 1000
+    # stratum absent from fractions is dropped
+    df2 = df.withColumn("s", F.lit("zzz"))
+    assert stratified_sample_portable(df2, "s", {"a": 0.5}, "k").count() == 0
+
+
+def test_stratified_sample_portable_empty_fractions(spark):
+    from bigdata_hits_spark.operators.sampling import stratified_sample_portable
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    assert stratified_sample_portable(df, "s", {}, "k").count() == 0

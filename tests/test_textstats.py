@@ -395,3 +395,22 @@ def test_keywords_per_group_scores_and_topk(spark):
     assert counts == {"A": 2, "B": 2}
     # dates (idf ln4) outranks banana (tf2 * ln2 = 1.386 < 2.77)
     assert ("B", "dates") in rows and ("B", "banana") in rows
+
+
+def test_sentence_stats_shapes(spark):
+    from bigdata_hits_spark.operators.textstats import sentence_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "One two. Three four five! Six?"),
+            (2, "No terminator here at all"),
+            (3, "Trailing. "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sentence_stats(docs).collect()}
+    assert out[1]["n_sentences"] == 3
+    assert out[1]["avg_sentence_tokens"] == round((2 + 3 + 1) / 3, 6)
+    assert out[1]["max_sentence_tokens"] == 3
+    assert out[2]["n_sentences"] == 1 and out[2]["avg_sentence_tokens"] == 5.0
+    assert out[3]["n_sentences"] == 1 and out[3]["max_sentence_tokens"] == 1
