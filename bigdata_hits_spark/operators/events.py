@@ -678,3 +678,79 @@ def session_path_ngrams(
         "p",
         F.round(F.col("count") / F.sum("count").over(w_prefix), digits),
     )
+
+
+def rolling_distinct_users(
+    events: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Exact rolling ``window_days``-day distinct users per day:
+    ``(day, n_users)`` for every day in the observed span — the DAU/WAU
+    family's hard member: COUNT(DISTINCT) does not decompose over a
+    sliding frame, so a window function cannot produce it and an
+    approximate sketch is the usual surrender.
+
+    Exact AND distributed: events collapse to the distinct (user, day)
+    relation FIRST (one event-sized hash agg — the only time event rows
+    move), then each (user, day) replicates to the <= ``window_days``
+    day-buckets whose trailing window contains it (bounded sequence
+    explode, fan-out = window size) and a (day, user)-keyed distinct +
+    day-keyed count finish the job.  Work after the first agg is
+    O(active-users-per-day x window) — never a function of event
+    volume; no day ever funnels through one task.  Days with no active
+    users inside the span appear with 0 (the gap-filled grid
+    discipline)."""
+    day = (F.col("ts_ns") / F.lit(DAY_NS)).cast("long")
+    user_days = events.select(
+        F.col("user_id"), day.alias("__d")
+    ).distinct().localCheckpoint(eager=False)
+    span = user_days.agg(
+        F.min("__d").alias("__lo"), F.max("__d").alias("__hi")
+    )
+    contributions = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("__d"), F.col("__d") + F.lit(int(window_days) - 1)
+            )
+        ).alias("day"),
+    ).distinct()
+    counts = contributions.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    grid = span.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("day")
+    )
+    return grid.join(counts, "day", "left").select(
+        "day", F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users")
+    )
+
+
+def period_over_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    period: str = "month",
+    digits: int = 6,
+) -> DataFrame:
+    """Period rollup with growth: ``(period_start, total, pct_change)``
+    — the month-over-month / week-over-week report every revenue or
+    volume dashboard opens with.  ``pct_change`` is vs the previous
+    PRESENT period (a NULL for the first row); periods with no rows are
+    absent, as in the SQL idiom.
+
+    One event-sized hash agg to period grain, then a lag window over
+    the period-count-sized rollup — the documented free single-partition
+    case (a century of months is 1200 rows).  The total is rounded
+    before the ratio on BOTH sides so the division consumes identical
+    doubles cross-engine."""
+    rolled = (
+        df.groupBy(F.date_trunc(period, F.col(ts_col)).alias("period_start"))
+        .agg(F.round(F.sum(value_col), digits).alias("total"))
+    )
+    w = Window.orderBy("period_start")
+    prev = F.lag("total").over(w)
+    return rolled.select(
+        "period_start",
+        "total",
+        F.round((F.col("total") - prev) / prev, digits).alias("pct_change"),
+    )

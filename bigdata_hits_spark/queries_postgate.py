@@ -3319,3 +3319,58 @@ def q_sentence_stats_docs(spark, sf_dir):
     from bigdata_hits_spark.operators.textstats import sentence_stats
 
     return sentence_stats(load_table(spark, sf_dir, "documents"))
+
+
+ROLLING_DAYS = 7
+
+
+def _rolling_users_sql() -> str:
+    from bigdata_hits_spark.operators.events import DAY_NS
+
+    return (
+        f"WITH ud AS (SELECT DISTINCT user_id, epoch_ns(ts) // {DAY_NS} AS d "
+        "FROM events), "
+        "s AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud), "
+        "c AS (SELECT DISTINCT user_id, unnest(range(d, d + "
+        f"{ROLLING_DAYS})) AS day FROM ud), "
+        "n AS (SELECT day, COUNT(*) AS n_users FROM c GROUP BY day), "
+        "g AS (SELECT unnest(range(lo, hi + 1)) AS day FROM s) "
+        "SELECT g.day, COALESCE(n.n_users, 0) AS n_users "
+        "FROM g LEFT JOIN n ON n.day = g.day"
+    )
+
+
+@register("events_rolling_7d_users", _rolling_users_sql())
+def q_events_rolling_7d_users(spark, sf_dir):
+    """Exact rolling 7-day distinct users per day (operators/events.py
+    rolling_distinct_users): sliding COUNT DISTINCT does not decompose
+    over a window frame, so the plan replicates the distinct (user,
+    day) relation to its <= 7 trailing day-buckets — work after the one
+    event-sized agg is users-per-day x 7, independent of event volume.
+    Exact integer counts; exact compare."""
+    from bigdata_hits_spark.operators.events import rolling_distinct_users
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return rolling_distinct_users(_events_us(spark, sf_dir), ROLLING_DAYS)
+
+
+_MONTHLY_GROWTH_SQL = (
+    "WITH m AS (SELECT date_trunc('month', o_orderdate) AS period_start, "
+    "ROUND(SUM(o_totalprice), 6) AS total FROM orders GROUP BY 1) "
+    "SELECT period_start, total, "
+    "ROUND((total - LAG(total) OVER (ORDER BY period_start)) / "
+    "LAG(total) OVER (ORDER BY period_start), 6) AS pct_change FROM m"
+)
+
+
+@register("orders_monthly_growth", _MONTHLY_GROWTH_SQL)
+def q_orders_monthly_growth(spark, sf_dir):
+    """Month-over-month revenue growth (operators/events.py
+    period_over_period): one hash agg to month grain + a lag window
+    over the month-sized rollup (the documented free single-partition
+    case).  Totals round BEFORE the ratio so both engines divide
+    identical doubles."""
+    from bigdata_hits_spark.operators.events import period_over_period
+
+    orders = load_table(spark, sf_dir, "orders")
+    return period_over_period(orders, "o_orderdate", "o_totalprice", "month")

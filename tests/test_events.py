@@ -337,3 +337,48 @@ def test_session_path_ngrams_prefix_normalization(spark):
            session_path_ngrams(_ev(spark, rows), n=3).collect()}
     assert out[("A", "B", "D")] == round(2 / 3, 6)
     assert out[("A", "B", "C")] == round(1 / 3, 6)
+
+
+def test_rolling_distinct_users_bruteforce(spark):
+    from bigdata_hits_spark.operators.events import DAY_NS, rolling_distinct_users
+
+    # user 1 active days 0,2; user 2 day 2; user 3 day 9
+    rows = [
+        (1, 5, 1, "A", 0.0),
+        (2, 2 * DAY_NS + 5, 1, "A", 0.0),
+        (3, 2 * DAY_NS + 9, 1, "B", 0.0),  # same user+day twice
+        (4, 2 * DAY_NS + 7, 2, "A", 0.0),
+        (5, 9 * DAY_NS + 1, 3, "A", 0.0),
+    ]
+    out = {r["day"]: r["n_users"] for r in
+           rolling_distinct_users(_ev(spark, rows), 3).collect()}
+    # brute force over days 0..9 with 3-day trailing windows
+    active = {0: {1}, 2: {1, 2}, 9: {3}}
+    expect = {}
+    for d in range(0, 10):
+        users = set()
+        for k in range(d - 2, d + 1):
+            users |= active.get(k, set())
+        expect[d] = len(users)
+    assert out == expect
+    assert out[5] == 0  # quiet day materialized as zero
+
+
+def test_period_over_period_monthly(spark):
+    import datetime
+
+    from bigdata_hits_spark.operators.events import period_over_period
+
+    rows = [
+        (datetime.datetime(2024, 1, 5), 10.0),
+        (datetime.datetime(2024, 1, 20), 10.0),
+        (datetime.datetime(2024, 2, 3), 30.0),
+        (datetime.datetime(2024, 4, 1), 15.0),  # March absent
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r["period_start"].month: r for r in
+           period_over_period(df, "ts", "v").collect()}
+    assert out[1]["total"] == 20.0 and out[1]["pct_change"] is None
+    assert out[2]["pct_change"] == 0.5
+    # April compares to the previous PRESENT period (Feb)
+    assert out[4]["pct_change"] == round((15.0 - 30.0) / 30.0, 6)
