@@ -888,3 +888,60 @@ def centroid_outliers(
         .filter(F.col("__rn") <= k)
         .select(F.col(group_col), "doc_id", "dist")
     )
+
+
+def group_centroid_similarity(
+    docs: DataFrame,
+    emb: DataFrame,
+    group_col: str = "source",
+    digits: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between GROUP centroids: ``(g1, g2,
+    cosine)`` for g1 < g2 — the source-affinity matrix a mixture
+    designer reads to spot redundant corpora (two crawls of the same
+    site) and to pick complementary slices; the k x k summary of an
+    any-size corpus.
+
+    Plan: the same pinned doc-embedding join and (group, dim) centroid
+    hash agg as :func:`centroid_outliers`; the pairwise step then works
+    ONLY on the n_groups x dims centroid relation — a self equi-join on
+    the dimension index and a (g1, g2)-keyed agg, so the cross-group
+    comparison costs groups^2 x dims regardless of corpus size.
+    Cosines round at ``digits``; a zero-norm centroid (all-zero
+    vectors) yields NULL, guarded."""
+    j = (
+        docs.select("doc_id", group_col)
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+    )
+    el = j.select(
+        F.col(group_col).alias("g"), F.posexplode("embedding").alias("i", "__xf")
+    ).select("g", "i", F.col("__xf").cast("double").alias("__x"))
+    cent = (
+        el.groupBy("g", "i")
+        .agg(F.avg("__x").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = cent.select(F.col("g").alias("g1"), "i", F.col("c").alias("c1"))
+    b = cent.select(F.col("g").alias("g2"), "i", F.col("c").alias("c2"))
+    pairs = a.join(b, "i").filter(F.col("g1") < F.col("g2"))
+    dots = pairs.groupBy("g1", "g2").agg(
+        F.sum(F.col("c1") * F.col("c2")).alias("__dot")
+    )
+    norms = cent.groupBy("g").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("__n"))
+    n1 = norms.select(F.col("g").alias("g1"), F.col("__n").alias("__n1"))
+    n2 = norms.select(F.col("g").alias("g2"), F.col("__n").alias("__n2"))
+    return (
+        dots.join(n1, "g1")
+        .join(n2, "g2")
+        .select(
+            "g1",
+            "g2",
+            F.round(
+                F.when(
+                    (F.col("__n1") > 0) & (F.col("__n2") > 0),
+                    F.col("__dot") / (F.col("__n1") * F.col("__n2")),
+                ),
+                digits,
+            ).alias("cosine"),
+        )
+    )

@@ -240,3 +240,35 @@ def q_graph_connected_components(spark, sf_dir):
         F.col("src").alias("id1"), F.col("dst").alias("id2")
     )
     return connected_components_star(pairs)
+
+
+def _clustering_sql() -> str:
+    return (
+        f"WITH e0 AS ({derived.G_PP_EDGES_SQL}), "
+        f"{_SYM_CTE}, "
+        "deg AS (SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a), "
+        "tri AS (SELECT s1.a AS x, s1.b AS y, s2.b AS z "
+        "FROM sym s1 JOIN sym s2 ON s1.b = s2.a "
+        "JOIN sym s3 ON s3.a = s1.a AND s3.b = s2.b "
+        "WHERE s1.a < s1.b AND s2.a < s2.b), "
+        "members AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri "
+        "UNION ALL SELECT z FROM tri), "
+        "counts AS (SELECT id, COUNT(*) AS triangles FROM members GROUP BY id) "
+        "SELECT d.id, d.degree, COALESCE(c.triangles, 0) AS triangles, "
+        "ROUND(CASE WHEN d.degree >= 2 THEN 2.0 * COALESCE(c.triangles, 0) / "
+        "(d.degree * (d.degree - 1)) END, 6) AS coeff "
+        "FROM deg d LEFT JOIN counts c ON c.id = d.id"
+    )
+
+
+@register("graph_clustering_coefficient", _clustering_sql())
+def q_graph_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient on the part->part graph
+    (operators/graphalgs.py clustering_coefficient): degrees joined to
+    the degree-ordered triangle counts; coeff = 2T/(d(d-1)) with the
+    0/0 NULL pinned.  The ratio divides exact integers, so 6 digits is
+    drift-free."""
+    from bigdata_hits_spark.operators.graphalgs import clustering_coefficient
+
+    g = derived.g_pp(spark, sf_dir)
+    return clustering_coefficient(g.edges, sym=_sym(g))

@@ -3374,3 +3374,34 @@ def q_orders_monthly_growth(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return period_over_period(orders, "o_orderdate", "o_totalprice", "month")
+
+
+def _centroid_sim_sql() -> str:
+    return (
+        "WITH j AS (SELECT d.source AS g, e.embedding AS v "
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id), "
+        "el AS (SELECT g, unnest(range(len(v))) AS i, v FROM j), "
+        "x AS (SELECT g, i, CAST(v[i + 1] AS DOUBLE) AS x FROM el), "
+        "c AS (SELECT g, i, AVG(x) AS c FROM x GROUP BY g, i), "
+        "dots AS (SELECT a.g AS g1, b.g AS g2, SUM(a.c * b.c) AS dot "
+        "FROM c a JOIN c b ON a.i = b.i AND a.g < b.g GROUP BY a.g, b.g), "
+        "norms AS (SELECT g, SQRT(SUM(c * c)) AS n FROM c GROUP BY g) "
+        "SELECT g1, g2, ROUND(CASE WHEN n1.n > 0 AND n2.n > 0 "
+        "THEN dot / (n1.n * n2.n) END, 6) AS cosine "
+        "FROM dots JOIN norms n1 ON n1.g = g1 JOIN norms n2 ON n2.g = g2"
+    )
+
+
+@register("source_centroid_similarity", _centroid_sim_sql())
+def q_source_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine between source centroids
+    (operators/similarity.py group_centroid_similarity): the k x k
+    source-affinity matrix — after the one corpus-sized centroid agg,
+    every comparison runs on the groups x dims relation.  Centroid
+    averages drift ~1e-13 cross-engine and cosine is scale-free, so 6
+    digits holds with wide margin."""
+    from bigdata_hits_spark.operators.similarity import group_centroid_similarity
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return group_centroid_similarity(docs, emb)

@@ -280,3 +280,18 @@ def test_link_prediction_excludes_existing_edges_and_hub_pivots(spark):
     # (1, 2) is an existing edge -> excluded even though hub 0 pivots it.
     assert (1, 2) not in got
     assert got[(3, 4)] == 1 and got[(1, 3)] == 1
+
+
+def test_clustering_coefficient_known_shapes(spark):
+    from bigdata_hits_spark.operators.graphalgs import clustering_coefficient
+
+    # triangle 1-2-3 plus pendant 4 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src INT, dst INT"
+    )
+    out = {r["id"]: r for r in clustering_coefficient(edges).collect()}
+    assert out[2]["coeff"] == 1.0 and out[3]["coeff"] == 1.0
+    # node 1: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
+    assert out[1]["degree"] == 3 and out[1]["coeff"] == round(1 / 3, 6)
+    # pendant: degree 1 -> NULL, not 0
+    assert out[4]["coeff"] is None and out[4]["triangles"] == 0

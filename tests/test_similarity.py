@@ -443,3 +443,25 @@ def test_centroid_outliers_flags_planted_outlier(spark):
     # non-broadcast arm agrees
     out2 = centroid_outliers(docs, emb, k=1, broadcast_centroids=False).collect()
     assert {r["source"]: (r["doc_id"], r["dist"]) for r in out2} == got
+
+
+def test_group_centroid_similarity_known_vectors(spark):
+    from bigdata_hits_spark.operators.similarity import group_centroid_similarity
+
+    docs = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C")], "doc_id long, source string"
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),  # centroid A = (1, 0)
+            (3, [0.0, 2.0]),  # centroid B = (0, 2)
+            (4, [1.0, 1.0]),  # centroid C = (1, 1)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r["g1"], r["g2"]): r["cosine"]
+           for r in group_centroid_similarity(docs, emb).collect()}
+    assert out[("A", "B")] == 0.0
+    assert out[("A", "C")] == round(1 / 2 ** 0.5, 6)
+    assert out[("B", "C")] == round(1 / 2 ** 0.5, 6)
