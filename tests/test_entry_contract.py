@@ -22,6 +22,7 @@ def test_every_oracle_key_is_a_declared_query():
         "ann_lsh_topk",
         "ann_ivf_topk",
         "kmeans_parallel_embeddings",
+        "sketch_token_topk",
     }, rows_only
 
 
