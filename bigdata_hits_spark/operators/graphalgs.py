@@ -457,26 +457,26 @@ def clustering_coefficient(
     (0/0), not 0 — "no signal" and "open neighborhood" are different
     facts.
 
-    Pure composition: the degree relation and the degree-ordered
-    triangle counts (:func:`triangle_counts` machinery — O(m^1.5),
-    hub-skew immune) joined on the node id; nodes without triangles get
-    0 via the same left join that triangle_counts' own declared row
-    uses.  Cost is the triangle count's; the join adds one node-sized
-    exchange."""
+    Pure composition: the degree relation joined on the node id to
+    :func:`triangle_counts` — NOT the raw wedge machinery: the full
+    operator carries the xxhash64 long-id encoding whose wedge shuffles
+    beat string keys by ~43% (measured, ab_triangles.py; a first cut
+    here on raw string ids benched 16.4 s vs 5.5 s for triangles on the
+    same graph — the encode IS the triangle cost model) plus the
+    collision guard.  Nodes without triangles arrive as 0 from
+    triangle_counts' own left join; cost is the triangle count's; the
+    degree join adds one node-sized exchange."""
     if sym is None:
         sym = symmetric_edges(edges, src, dst)
     deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
-    tri = _wedge_counts(sym)
+    tri = triangle_counts(edges, src, dst, sym=sym)
     d = F.col("degree")
-    return deg.join(tri, "id", "left").select(
+    return tri.join(deg, "id").select(
         "id",
         "degree",
-        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        F.col("triangles").cast("long").alias("triangles"),
         F.round(
-            F.when(
-                d >= 2,
-                F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0)) / (d * (d - 1)),
-            ),
+            F.when(d >= 2, F.lit(2.0) * F.col("triangles") / (d * (d - 1))),
             digits,
         ).alias("coeff"),
     )
