@@ -497,3 +497,79 @@ def test_psi_terms_nonnegative_and_probabilities_sum(spark, data):
     assert all(r["psi_term"] >= 0 for r in out)
     assert abs(sum(r["p_ref"] for r in out) - 1.0) < 1e-4
     assert abs(sum(r["p_new"] for r in out) - 1.0) < 1e-4
+
+
+trigram_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),  # user
+        st.integers(min_value=0, max_value=60),  # ts step
+        st.sampled_from("ABC"),  # type
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(raw=trigram_strategy)
+def test_session_path_ngrams_matches_bruteforce(spark, raw):
+    from bigdata_hits_spark.operators.events import session_path_ngrams
+
+    GAP = 10  # session gap in the same small units
+    rows = [(i, u, t, ty) for i, (u, t, ty) in enumerate(raw)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, event_type string"
+    )
+    got = {
+        (r.t1, r.t2, r.t3): r["count"]
+        for r in session_path_ngrams(df, n=3, gap_ns=GAP).collect()
+    }
+    # brute force: per user, order by (ts, event_id), split on gap > GAP,
+    # count trigrams inside each session
+    expect = {}
+    for u in {r[1] for r in rows}:
+        evs = sorted([r for r in rows if r[1] == u], key=lambda r: (r[2], r[0]))
+        sessions, cur, prev_t = [], [], None
+        for eid, _, t, ty in evs:
+            if prev_t is not None and t - prev_t > GAP:
+                sessions.append(cur)
+                cur = []
+            cur.append(ty)
+            prev_t = t
+        sessions.append(cur)
+        for sess in sessions:
+            for i in range(len(sess) - 2):
+                k = (sess[i], sess[i + 1], sess[i + 2])
+                expect[k] = expect.get(k, 0) + 1
+    assert got == expect
+
+
+checksum_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.sampled_from("xyz")),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=checksum_strategy)
+def test_table_checksum_is_multiset_invariant(spark, rows):
+    from bigdata_hits_spark.operators.relops import table_checksum
+
+    import random as _r
+
+    schema = "k long, v string"
+    a = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    shuffled = list(rows)
+    _r.Random(3).shuffle(shuffled)
+    b = (
+        spark.createDataFrame(shuffled, schema).repartition(5)
+        if rows
+        else spark.createDataFrame([], schema)
+    )
+    key = lambda df: sorted(map(tuple, table_checksum(df, ["k"], buckets=4).collect()))  # noqa: E731
+    assert key(a) == key(b)  # multiset-equal inputs digest identically
+    if rows:
+        # dropping one row must change SOME bucket's digest triple
+        c = spark.createDataFrame(rows[1:], schema) if rows[1:] else spark.createDataFrame([], schema)
+        assert key(a) != key(c)
