@@ -40,6 +40,9 @@ Beyond-reference pipeline jobs (no reference twin):
 
 - ``pagerank [num_iter [beta [nodes edges]]]`` — textbook PageRank
   scores as ``pagerank_scores.txt``.
+- ``link_predict [cap [min_common [nodes edges]]]`` — Adamic-Adar
+  link prediction; ``clustering nodes edges`` — local clustering
+  coefficients.
 - ``triangles nodes edges`` / ``label_propagation [k [nodes edges]]`` /
   ``kcore [k [nodes edges]]`` / ``bfs seed1,seed2 [depth [nodes edges]]``
   — graph analytics written as parquet.
@@ -281,6 +284,25 @@ def main(argv: list[str] | None = None) -> None:
         g = _load_graph(spark, *args.take_paths())
         triangle_counts(g.edges).write.mode("overwrite").parquet(
             os.path.join(out_dir, "triangles")
+        )
+    elif job == "link_predict":
+        # link_predict [cap [min_common [nodes edges]]] — Adamic-Adar
+        # candidate non-edges with the pivot-degree cap as semantics
+        from bigdata_hits_spark.operators.graphalgs import link_prediction
+
+        cap = args.take(int, 64, usage="link_predict [cap [min_common [nodes edges]]]")
+        min_common = args.take(int, 2, usage="link_predict [cap [min_common [nodes edges]]]")
+        g = _load_graph(spark, *args.take_paths())
+        link_prediction(
+            g.edges, max_pivot_degree=cap, min_common=min_common
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "link_predict"))
+    elif job == "clustering":
+        # clustering <nodes> <edges> — per-node local clustering coeff
+        from bigdata_hits_spark.operators.graphalgs import clustering_coefficient
+
+        g = _load_graph(spark, *args.take_paths())
+        clustering_coefficient(g.edges).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "clustering")
         )
     elif job == "label_propagation":
         # label_propagation [k [nodes edges]] — deterministic communities

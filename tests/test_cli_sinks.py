@@ -473,3 +473,19 @@ def test_cli_checksum_psi_keywords(spark, tmp_path):
     cli.main(["keywords", src, "source", "3", "--out", out])
     kw = spark.read.parquet(os.path.join(out, "keywords"))
     assert kw.count() == 6  # 3 per source
+
+
+def test_cli_link_predict_and_clustering(spark, csv_graph, tmp_path):
+    import os
+
+    from bigdata_hits_spark import cli
+
+    nodes, edges, _ = csv_graph
+    out = str(tmp_path / "out")
+    cli.main(["link_predict", "64", "1", nodes, edges, "--out", out])
+    lp = spark.read.parquet(os.path.join(out, "link_predict"))
+    assert set(lp.columns) == {"a", "b", "common_neighbors", "adamic_adar"}
+    cli.main(["clustering", nodes, edges, "--out", out])
+    cc = spark.read.parquet(os.path.join(out, "clustering"))
+    assert set(cc.columns) == {"id", "degree", "triangles", "coeff"}
+    assert cc.count() > 0
