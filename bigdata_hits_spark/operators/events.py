@@ -754,3 +754,42 @@ def period_over_period(
         "total",
         F.round((F.col("total") - prev) / prev, digits).alias("pct_change"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    digits: int = 6,
+) -> DataFrame:
+    """Time-weighted average of ``value_col`` per group: ``(group,
+    n_intervals, twa)`` where each reading is weighted by HOW LONG it
+    held (last-observation-carried-forward until the user's next event)
+    — the irregular-sampling average a sensor/price/engagement series
+    needs: the arithmetic mean over-counts bursts of rapid updates, TWA
+    does not (the classic hypertable/finance ``time_weight``
+    aggregate).
+
+    Each user's stream is ordered by (ts, id); a reading's weight is
+    the exact int64-nanosecond gap to the user's next event, and the
+    final reading of each user holds no interval (dropped — the LOCF
+    convention over the half-open observation span).  twa =
+    sum(value * dt) / sum(dt), associated identically on both engines.
+
+    Plan: ONE user-keyed window shuffle (the engine's standard
+    event-time shape, skew-bounded by the busiest user) then a hash agg
+    to group-count rows.  dt stays an exact long; value * dt is the
+    only float product."""
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ns"), F.asc("event_id"))
+    dt = (F.lead("ts_ns").over(w) - F.col("ts_ns")).alias("__dt")
+    rows = events.select(F.col(group_col), F.col(value_col).alias("__v"), dt).filter(
+        F.col("__dt").isNotNull()
+    )
+    return rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("__v") * F.col("__dt"))
+            / F.sum(F.col("__dt").cast("double")),
+            digits,
+        ).alias("twa"),
+    )

@@ -3405,3 +3405,27 @@ def q_source_centroid_similarity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     return group_centroid_similarity(docs, emb)
+
+
+_TWA_SQL = (
+    "WITH o AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type, "
+    "value FROM events), "
+    "l AS (SELECT event_type, value, LEAD(ts_ns) OVER (PARTITION BY user_id "
+    "ORDER BY ts_ns, event_id) - ts_ns AS dt FROM o) "
+    "SELECT event_type, COUNT(*) AS n_intervals, "
+    "ROUND(SUM(value * dt) / SUM(CAST(dt AS DOUBLE)), 6) AS twa "
+    "FROM l WHERE dt IS NOT NULL GROUP BY event_type"
+)
+
+
+@register("events_time_weighted_avg", _TWA_SQL)
+def q_events_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average event value per type (operators/events.py
+    time_weighted_avg): LOCF weighting by the exact nanosecond gap to
+    the user's next event — the irregular-sampling mean.  One user-keyed
+    window shuffle + one hash agg; weights are exact longs, so the
+    ratio drifts ~1e-12 and 6 digits holds with wide margin."""
+    from bigdata_hits_spark.operators.events import time_weighted_avg
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return time_weighted_avg(_events_us(spark, sf_dir))

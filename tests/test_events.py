@@ -382,3 +382,20 @@ def test_period_over_period_monthly(spark):
     assert out[2]["pct_change"] == 0.5
     # April compares to the previous PRESENT period (Feb)
     assert out[4]["pct_change"] == round((15.0 - 30.0) / 30.0, 6)
+
+
+def test_time_weighted_avg_weights_by_holding_time(spark):
+    from bigdata_hits_spark.operators.events import time_weighted_avg
+
+    # user 1: A=10.0 held 3 units, A=2.0 held 1 unit, final B dropped
+    rows = [
+        (1, 0, 1, "A", 10.0),
+        (2, 3, 1, "A", 2.0),
+        (3, 4, 1, "B", 99.0),
+        # user 2: single event -> no interval at all
+        (4, 0, 2, "A", 1000.0),
+    ]
+    out = {r["event_type"]: r for r in time_weighted_avg(_ev(spark, rows)).collect()}
+    assert out["A"]["n_intervals"] == 2
+    assert out["A"]["twa"] == round((10.0 * 3 + 2.0 * 1) / 4, 6)
+    assert "B" not in out  # terminal reading holds no interval
