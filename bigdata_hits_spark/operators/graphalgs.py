@@ -19,9 +19,10 @@ Scale notes:
 - Label propagation is synchronous min-of-mode: per round every node
   adopts the smallest among its neighbors' most frequent labels (the
   min tiebreak makes the textbook-nondeterministic algorithm fully
-  deterministic and engine-portable).  Each round is two key-only
-  shuffles ((edge, label) attach + per-node mode), with localCheckpoint
-  lineage truncation per round exactly like ranking/components.
+  deterministic and engine-portable).  Each round is the (edge, label)
+  attach plus two codegen hash-aggregates ((id, community) count, then
+  per-node struct-min), with localCheckpoint lineage truncation on a
+  cadence exactly like ranking/components.
 """
 
 from __future__ import annotations
@@ -32,6 +33,17 @@ from bigdata_hits_spark.plans.iterate import materialize
 
 #: Label-propagation rounds between lineage truncations (see loop note).
 _LP_CHECKPOINT_EVERY = 4
+
+
+def _lp_round_body() -> str:
+    """Which label-propagation round body to run: ``"two_stage"``
+    (default — the recorded full-bench winner) or ``"fused"`` (the
+    single deterministic-mode aggregate, kept selectable via
+    ``SPARK_GRAFT_LP_BODY=fused`` so the A/B stays reproducible under
+    full-session pressure; see the in-loop comments for the record)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_LP_BODY", "two_stage")
 
 
 def symmetric_edges(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -148,9 +160,10 @@ def triangle_counts(
 #: k=8 string 11.4s vs encoded 8.76s (-23%); under multi-query memory
 #: pressure the encoded plan ties-or-wins even at k=3 (4.79 vs 4.97 min,
 #: 5.87 vs 7.49 worst).  Crossover ~k=4-5.  (Measured under the
-#: pre-round-6 two-stage round body; the fused deterministic-mode body
-#: — scripts/ab_lp_mode.py — improved BOTH regimes by ~28%, leaving the
-#: crossover shape unchanged.)
+#: two-stage round body, which is again the default: the fused
+#: deterministic-mode body won quiet interleaved A/Bs by ~28% but
+#: regressed 2.2-2.8x in BOTH round-6 full-bench records — see the
+#: round-body comments inside label_propagation.)
 _LP_ENCODE_MIN_K = 4
 
 
@@ -212,23 +225,48 @@ def label_propagation(
         "community", F.col("id")
     )
     for i in range(k):
-        # min-of-mode as ONE deterministic-mode aggregate: Spark's
-        # mode(col, deterministic=true) returns the LOWEST value among
-        # the most-frequent — exactly the loop's tiebreak — as a single
-        # ObjectHashAggregate (per-id count-map buffer, partial-merge
-        # capable).  This fuses the former two-stage body
-        # (groupBy(id, community) count -> per-id min(-freq, community)
-        # struct), replacing two hash-agg exchanges per round with one
-        # id-keyed exchange.  Interleaved A/B at sf0.1
-        # (scripts/ab_lp_mode.py, results asserted equal first):
-        # k=3 string 6.05s -> 4.37s, k=6 rank-encoded 8.37s -> 5.91s
-        # (~-28% both regimes; fused won every quiet-pass cell).
-        labels = (
-            work.join(labels, work["b"] == labels["id"])
-            .select(F.col("a").alias("id"), "community")
-            .groupBy("id")
-            .agg(F.mode("community", True).alias("community"))
+        attach = work.join(labels, work["b"] == labels["id"]).select(
+            F.col("a").alias("id"), "community"
         )
+        if _lp_round_body() == "fused":
+            # min-of-mode as ONE deterministic-mode aggregate: Spark's
+            # mode(col, deterministic=true) returns the LOWEST value
+            # among the most-frequent — a single ObjectHashAggregate
+            # (per-id count-map buffer) replacing two hash-agg exchanges
+            # per round with one id-keyed exchange.  A quiet interleaved
+            # A/B (scripts/ab_lp_mode.py) had this winning by ~28%, but
+            # BOTH round-6 full-run records moved the other way — driver
+            # k=6 6.92s -> 19.33s (2.8x), k=3 4.86s -> 10.52s — because
+            # ObjectHashAggregate's per-group map buffers fall back to
+            # sort-based aggregation past
+            # spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+            # (default 128 groups) and thrash object memory in a warm
+            # ~157-query session, conditions the quiet A/B never hit.
+            # Kept selectable for measurement; NOT the default.
+            labels = attach.groupBy("id").agg(
+                F.mode("community", True).alias("community")
+            )
+        else:
+            # Two-stage round body — the recorded full-bench winner
+            # (see the fused branch's history): a codegen'd
+            # (id, community) count with primitive buffers, then a
+            # per-id struct-min.  Two exchanges per round, but both
+            # stay inside whole-stage codegen with map-side partials
+            # and never touch ObjectHashAggregate's fallback path.
+            labels = (
+                attach.groupBy("id", "community")
+                .agg(F.count(F.lit(1)).alias("freq"))
+                .groupBy("id")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (F.lit(0) - F.col("freq")).alias("neg_freq"),
+                            F.col("community").alias("community"),
+                        )
+                    ).alias("best")
+                )
+                .select("id", F.col("best.community").alias("community"))
+            )
         # Unlike the ranking loop there is NO per-round driver scalar, so
         # rounds compose into one lazy plan and the whole propagation runs
         # as a single job; checkpoint on a cadence only to bound plan
