@@ -331,25 +331,40 @@ def kmeans_parallel_seeds(
         )["dist"]
         # Pin the scored relation: the distance expression is a
         # candidate-count-sized interpreted evaluation per row, and both
-        # the cost scalar and the draw need it — materialized once on
-        # the phi job instead of evaluated twice per round.
+        # the cost scalar and the draw need it — materialized once.
         scored = pts.select("__id", dist.alias("__d")).localCheckpoint(eager=False)
-        # Rounded like every cross-boundary scalar: phi's float-sum order
+        # Fused phi + draw (the ranking loop's fused-scalar trick): the
+        # cost scalar phi is attached IN-PLAN as a broadcast one-row
+        # aggregate instead of a separate collected action, so the
+        # common path is one action per round instead of two (round-6
+        # bench had this operator at 5.6 s across 9+ jobs).  phi is
+        # rounded like every cross-boundary scalar: its float-sum order
         # depends on partitioning, and the sampling probabilities below
         # must not — at the round, the residual noise (~1e-12 relative)
         # vanishes except at measure-zero boundary coincidences.
-        phi = scored.agg(F.round(F.sum("__d"), digits)).first()[0]
-        if not phi:  # every point IS a candidate already
-            break
-        p = F.least(F.lit(1.0), F.lit(float(l)) * F.col("__d") / F.lit(float(phi)))
+        phi_row = scored.agg(F.round(F.sum("__d"), digits).alias("__phi"))
+        p = F.least(
+            F.lit(1.0), F.lit(float(l)) * F.col("__d") / F.col("__phi")
+        )
         drawn = (
-            scored.filter(~F.col("__id").isin(list(cand)))
+            scored.crossJoin(F.broadcast(phi_row))
+            .filter(F.col("__phi") > 0)
+            .filter(~F.col("__id").isin(list(cand)))
             .filter(_u(r) < p)
             .orderBy("__id")
             .limit(8 * l)
             .join(pts, "__id")
             .collect()
         )
+        if not drawn:
+            # Rare: either phi == 0 (every point IS a candidate — stop)
+            # or a genuinely empty draw (continue; next round's coin
+            # differs).  Disambiguate with the phi scalar, cheap now
+            # that the fused job materialized the checkpointed scored
+            # relation.
+            if not scored.agg(F.round(F.sum("__d"), digits)).first()[0]:
+                break
+            continue
         for row in drawn:
             cand[row["__id"]] = list(row["__v"])
     ids = sorted(cand)

@@ -242,7 +242,13 @@ def label_propagation(
             # spark.sql.objectHashAggregate.sortBased.fallbackThreshold
             # (default 128 groups) and thrash object memory in a warm
             # ~157-query session, conditions the quiet A/B never hit.
-            # Kept selectable for measurement; NOT the default.
+            # Round-7 full-session re-A/B (scripts/ab_lp_fullsession.py:
+            # one 156-query pressure pass, then 3 interleaved passes
+            # with a per-pass canary): fused k6 = 56.2/6.8/5.5 s vs
+            # two-stage 8.0/9.5/11.0 s — fused wins the min but its
+            # worst pass is catastrophic ON AN IDLE-CANARY PASS (0.162),
+            # reproducing the driver-record pathology.  Stability wins
+            # for a gated bench: kept selectable, NOT the default.
             labels = attach.groupBy("id").agg(
                 F.mode("community", True).alias("community")
             )

@@ -307,6 +307,69 @@ def pack_documents(
     )
 
 
+def pack_documents_nextfit(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, pack_id): DETERMINISTIC next-fit sequence
+    packing — the declarable twin of :func:`pack_documents`, whose
+    greedy first-fit bins depend on which physical partition a row lands
+    in (honest rows-only-at-best).  Here placement is a pure function of
+    the data: documents are laid out in global md5(id) order, that order
+    is cut into 16^``bucket_hex`` contiguous BUCKETS by md5 prefix, and
+    each bucket is packed sequentially next-fit (a doc joins the current
+    pack if the running total stays within ``max_tokens``, else opens a
+    new one; an oversized doc gets a pack of its own).  Pack ids are
+    ``f"{bucket}_{index}"`` — globally unique and reproducible across
+    runs, partitionings, and engines, so the operator carries a full
+    DuckDB oracle (a grouped-reset recursive CTE over the same order).
+
+    Scale: the packed relation is METADATA-ONLY — (id, token_count)
+    pairs, never document bodies — so the single bucket-keyed shuffle
+    moves ~16 bytes/doc.  Each task packs one bucket sequentially:
+    at 10^9 docs and ``bucket_hex=3`` (4096 buckets) a bucket is
+    ~244k (id, n) rows ≈ 4 MB of pandas — raise ``bucket_hex`` with
+    corpus size to keep buckets bounded (boundaries only move between
+    prefix lengths, and packing never crosses a bucket).  Next-fit
+    wastes at most one doc's tokens per boundary vs first-fit-decreasing
+    but buys engine-portable determinism; use :func:`pack_documents`
+    when bin tightness matters more than reproducibility."""
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(token_col).cast("long").alias("n"),
+    ).withColumn("__key", F.md5(F.col("id").cast("string").cast("binary")))
+    src = src.withColumn("__bucket", F.substring("__key", 1, bucket_hex))
+
+    def pack(key, pdf):
+        bucket = key[0]
+        pdf = pdf.sort_values(["__key", "id"]).reset_index(drop=True)
+        idx = []
+        cur, run = -1, 0
+        for n in pdf["n"]:
+            if cur < 0 or run + n > max_tokens:
+                cur, run = cur + 1, int(n)
+            else:
+                run += int(n)
+            idx.append(cur)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["id"],
+                "n_tokens": pdf["n"],
+                "pack_id": [f"{bucket}_{i}" for i in idx],
+            }
+        )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return src.groupBy("__bucket").applyInPandas(
+        pack, schema=f"doc_id {id_type}, n_tokens long, pack_id string"
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     max_tokens: int,

@@ -3429,3 +3429,56 @@ def q_events_time_weighted_avg(spark, sf_dir):
     from bigdata_hits_spark.queries_events import _events_us
 
     return time_weighted_avg(_events_us(spark, sf_dir))
+
+
+# --- round 7: deterministic sequence packing ------------------------------
+
+PACK_MAX_TOKENS = 512
+
+
+def _pack_nextfit_sql(max_tokens: int = PACK_MAX_TOKENS) -> str:
+    # Grouped-reset recursive CTE: walk the documents in global md5(id)
+    # order (bucket = 2-hex md5 prefix, so buckets are contiguous ranges
+    # of that order) carrying (pack index, running token total) as the
+    # recursion state; a bucket change or an overflow opens a new pack —
+    # exactly the operator's sequential next-fit, O(n) iterations on the
+    # 500-doc gate corpus.
+    return (
+        "WITH RECURSIVE d AS ("
+        "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key, "
+        "substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket, "
+        "len(string_split(text, ' ')) AS n, "
+        "row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+        "FROM documents), "
+        "p AS ("
+        "SELECT rn, doc_id, bucket, n, 0 AS pk, n AS run FROM d WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT d.rn, d.doc_id, d.bucket, d.n, "
+        "CASE WHEN d.bucket <> p.bucket THEN 0 "
+        f"WHEN p.run + d.n > {max_tokens} THEN p.pk + 1 ELSE p.pk END, "
+        f"CASE WHEN d.bucket <> p.bucket OR p.run + d.n > {max_tokens} "
+        "THEN d.n ELSE p.run + d.n END "
+        "FROM d JOIN p ON d.rn = p.rn + 1) "
+        "SELECT doc_id, n AS n_tokens, "
+        "bucket || '_' || CAST(pk AS VARCHAR) AS pack_id FROM p"
+    )
+
+
+@register("pack_docs_nextfit", _pack_nextfit_sql())
+def q_pack_docs_nextfit(spark, sf_dir):
+    """Deterministic next-fit sequence packing over the documents table
+    (operators/sampling.py pack_documents_nextfit) — the declarable twin
+    of the greedy per-partition packer, whose bins are a pure function
+    of the data (md5-order buckets) instead of physical placement.
+    Token counts are the whitespace tokenizer already proven portable by
+    text_token_count."""
+    from bigdata_hits_spark.functions import text as TX
+    from bigdata_hits_spark.operators.sampling import pack_documents_nextfit
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_n = docs.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return pack_documents_nextfit(
+        with_n, PACK_MAX_TOKENS, token_col="n_tokens", id_col="doc_id"
+    )

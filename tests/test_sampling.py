@@ -452,3 +452,38 @@ def test_stratified_sample_portable_empty_fractions(spark):
 
     df = spark.createDataFrame([(1, "a")], "k long, s string")
     assert stratified_sample_portable(df, "s", {}, "k").count() == 0
+
+
+def test_pack_documents_nextfit_budget_coverage_and_determinism(spark, sf_dir):
+    from bigdata_hits_spark.operators.sampling import pack_documents_nextfit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    out = pack_documents_nextfit(docs, 500, "n_tok").collect()
+    # exact partition of the corpus: every doc assigned exactly once
+    assert len(out) == docs.count()
+    assert len({r["doc_id"] for r in out}) == len(out)
+    # every pack within budget unless it is a single oversized doc
+    totals: dict = {}
+    for r in out:
+        totals.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    for ns in totals.values():
+        assert sum(ns) <= 500 or len(ns) == 1
+    # placement is a pure function of the data: physical partitioning
+    # must not move a single assignment (the greedy packer can't say this)
+    again = pack_documents_nextfit(docs.repartition(7), 500, "n_tok").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_documents_nextfit_oversized_doc_isolated(spark):
+    from bigdata_hits_spark.operators.sampling import pack_documents_nextfit
+
+    df = spark.createDataFrame(
+        [(i, 10_000 if i == 3 else 50) for i in range(10)], "doc_id long, n long"
+    )
+    out = pack_documents_nextfit(df, 500, "n").collect()
+    big = [r for r in out if r["doc_id"] == 3]
+    assert len(big) == 1
+    # the oversized doc shares its pack with nobody
+    assert sum(1 for r in out if r["pack_id"] == big[0]["pack_id"]) == 1
