@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Scale smoke (VERDICT r6 #6): time the flagship, the graph family,
+the dedup family, and the corpus-cleaning composite at a LARGER scale
+factor than the per-round bench, and record the result as
+``BENCH_sf1_r{N}.json``.
+
+The point is not another headline — it is converting the "plans you'd
+want at 100x scale" design arguments into at least one 10x measurement:
+does anything fall over (OOM, spill storm, quadratic blow-up) on the
+step from ~600k to ~6M rows?  Two passes, min per query, with the
+scan_project canary per pass for host-speed context.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/repo/.scale/sf1 python scripts/bench_scale.py \
+           [--out BENCH_sf1_r07.json] [--passes 2]
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigdata_hits_spark import queries as q
+from bigdata_hits_spark.session import get_spark
+
+#: The scale-sensitive families: iterative ranking (flagship), the whole
+#: graph-analytics family, every near-dup/dedup path, similarity/
+#: clustering, and the end-to-end cleaning composite.
+SMOKE = [
+    "scan_project",
+    "base_hits_k8",
+    "pagerank_k3",
+    "graph_triangles",
+    "graph_clustering_coefficient",
+    "graph_label_propagation",
+    "graph_label_propagation_k6",
+    "graph_connected_components",
+    "graph_bfs_distance",
+    "kcore",
+    "graph_link_prediction",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_semantic",
+    "dedup_minhash_incremental",
+    "contamination_ngrams",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "kmeans_embeddings",
+    "kmeans_parallel_embeddings",
+    "clean_corpus_docs",
+    "pack_docs_nextfit",
+    "events_sessionize",
+    "events_cooccurrence_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.scale/sf1")
+    out = "BENCH_sf1_r07.json"
+    if "--out" in sys.argv:
+        out = sys.argv[sys.argv.index("--out") + 1]
+    passes = 2
+    if "--passes" in sys.argv:
+        passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    spark = get_spark("bigdata-hits-spark-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.queries()
+    from bigdata_hits_spark.operators.ranking import hits
+    from bigdata_hits_spark.sources.derived import g_ps
+
+    registry = {
+        "base_hits_k8": lambda s, d: q.rank_union(hits(g_ps(s, d), k=8)),
+        **registry,
+    }
+
+    def canary() -> float:
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            registry["scan_project"](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(time.time() - t0)
+        return round(sorted(ts)[1], 3)
+
+    timings: dict[str, float] = {}
+    canaries: list[float] = []
+    for p in range(passes):
+        canaries.append(canary())
+        print(f"scale canary {p}: {canaries[-1]}", file=sys.stderr)
+        for name in SMOKE:
+            gc.collect()
+            t0 = time.time()
+            try:
+                registry[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.time() - t0, 3)
+            except Exception as e:
+                print(f"scale smoke FAILED {name}: {e}", file=sys.stderr)
+                dt = -1.0
+            print(f"scale pass {p} {name}: {dt}", file=sys.stderr)
+            prev = timings.get(name)
+            timings[name] = dt if prev is None or prev < 0 else (
+                min(prev, dt) if dt >= 0 else prev
+            )
+    rec = {
+        "metric": "scale_smoke_query_sec",
+        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "unit": "sec",
+        "queries": timings,
+        "canary_sec": canaries,
+        "sf_dir": sf_dir,
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), out
+    )
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print(json.dumps(rec))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
