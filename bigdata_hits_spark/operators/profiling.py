@@ -554,3 +554,118 @@ def categorical_profile(
         .filter(F.col("__rn") <= k)
         .select("column", "value", "n", "share")
     )
+
+
+def array_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """(i, j, cov) for i <= j: the upper triangle of the POPULATION
+    covariance matrix of an ``array<float>`` column — the input to
+    whitening transforms and PCA, and the correlation structure a
+    pipeline inspects when an encoder's dimensions stop being
+    independent.
+
+    Plan: double posexplode fans each vector to its dims^2/2 upper
+    pairs, then ONE hash aggregate keyed by (i, j) accumulates
+    (n, sum xy, sum x, sum y); cov = (sxy - sx*sy/n) / n is assembled
+    from the sums identically on both engines, so drift is ~1e-15 and 6
+    digits holds with wide margin.  Partial aggregation collapses every
+    task's fan-out to dims^2/2 partial rows before the exchange — the
+    shuffle moves O(partitions x dims^2) regardless of corpus size.
+    The fan-out itself is dims^2/2 per row: fine to a few hundred dims;
+    for 1k+ dims prefer an Arrow-batched X^T X kernel per partition
+    (the same merge shape, numpy matmul instead of explode) — this
+    operator deliberately stays JVM-only for the profile-sized regime.
+    """
+    el = df.select(F.col(vec_col).alias("__v")).select(
+        F.posexplode("__v").alias("i", "__x"), F.col("__v")
+    )
+    pairs = el.select(
+        "i",
+        F.col("__x").cast("double").alias("x"),
+        F.posexplode("__v").alias("j", "__y"),
+    ).filter(F.col("j") >= F.col("i"))
+    agg = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x") * F.col("__y").cast("double")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("__y").cast("double")).alias("sy"),
+    )
+    return agg.select(
+        "i",
+        "j",
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n"),
+            digits,
+        ).alias("cov"),
+    )
+
+
+#: Power-iteration rounding: the per-iteration matrix-vector product and
+#: norm are rounded to this many decimals on BOTH engines so the
+#: 15-step trajectory is engine-exact (the kmeans trajectory-oracle
+#: discipline: cross-engine float-sum-order drift is ~1e-15/step, nine
+#: digits pins it without touching the math).
+PCA_ITER_DIGITS = 9
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 15,
+    digits: int = 6,
+) -> DataFrame:
+    """(dim, loading): the top principal component of an
+    ``array<float>`` column by DISTRIBUTED power iteration over the
+    covariance relation — the "which direction carries the variance"
+    profile read before dimensionality reduction, and the cheap
+    degenerate-encoder detector (a single dominant loading means a
+    dimension swallowed the space).
+
+    The covariance matrix never leaves the cluster and no eigensolver
+    runs on the driver: C is the :func:`array_covariance` relation
+    mirrored to full symmetry, v_0 is the uniform unit vector, and each
+    of ``iters`` rounds is w = C v (one dims-sized equi-join + hash agg)
+    normalized in-plan by a broadcast one-row norm aggregate — the same
+    fused-scalar shape as the ranking loop, composed lazily with
+    periodic lineage truncation.  Every relation after the covariance
+    agg is dims-sized, so the whole iteration is free at any corpus
+    scale.  Fixed start + fixed iteration count + per-step rounding
+    (``PCA_ITER_DIGITS``) make the trajectory a pure function of the
+    data — deterministic across runs, partitionings, and engines (the
+    declared oracle unrolls the same recurrence as a CTE chain)."""
+    cov = array_covariance(df, vec_col=vec_col, digits=PCA_ITER_DIGITS)
+    cfull = cov.unionByName(
+        cov.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=False)
+    d_row = cfull.agg((F.countDistinct("i")).alias("d"))
+    v = cfull.select(F.col("i").alias("dim")).distinct().crossJoin(
+        F.broadcast(d_row)
+    ).select("dim", F.round(F.lit(1.0) / F.sqrt(F.col("d")), PCA_ITER_DIGITS).alias("v"))
+    for t in range(iters):
+        w = (
+            cfull.join(v, cfull["j"] == v["dim"])
+            .groupBy(cfull["i"].alias("dim2"))
+            .agg(F.round(F.sum(F.col("cov") * F.col("v")), PCA_ITER_DIGITS).alias("w"))
+            # Pinned EVERY iteration: w feeds both the norm aggregate
+            # and the division, and without the pin each reference
+            # duplicates the whole upstream subtree — plan (and
+            # recompute) growth is 2^iters.  The checkpoint keeps both
+            # readers on one dims-sized RDD and the lineage flat; lazy,
+            # so the loop still composes into one job per block.
+            .localCheckpoint(eager=False)
+        )
+        norm = w.agg(
+            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), PCA_ITER_DIGITS).alias(
+                "__n"
+            )
+        )
+        v = w.crossJoin(F.broadcast(norm)).select(
+            F.col("dim2").alias("dim"),
+            F.round(F.col("w") / F.col("__n"), PCA_ITER_DIGITS).alias("v"),
+        )
+    return v.select("dim", F.round(F.col("v"), digits).alias("loading"))

@@ -945,3 +945,51 @@ def group_centroid_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def standardize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """(id, zvec): per-dimension z-score standardization (whitening
+    without rotation) of an ``array<float>`` column — the normalization
+    step run before distance-based dedup/clustering when dimensions
+    carry wildly different scales, and the canonical "fix the encoder's
+    variance collapse" transform flagged by the dim-stats profile.
+
+    Plan: ONE dims-keyed hash aggregate computes per-dimension
+    (mean, stddev) — partial aggregation collapses the posexplode
+    fan-out to dims-sized partials per task, the same shape as
+    profiling.array_dim_stats — and the dims-sized result (bounded by
+    the embedding width, never the corpus) is collected and inlined as
+    LITERAL arrays into a single ``transform`` projection: the
+    standardization itself is shuffle-free whole-stage codegen over the
+    scan, exactly like the k-means literal-centroid assignment.
+    Zero-variance dimensions standardize to 0.0 (the drop-a-dead-dim
+    convention) instead of dividing by zero; values round to ``digits``
+    so the output is engine-portable."""
+    stats = (
+        emb.select(F.posexplode(vec_col).alias("dim", "__v"))
+        .select("dim", F.col("__v").cast("double").alias("__v"))
+        .groupBy("dim")
+        .agg(F.avg("__v").alias("mu"), F.stddev_samp("__v").alias("sd"))
+        .collect()
+    )
+    by_dim = {r["dim"]: (r["mu"], r["sd"]) for r in stats}
+    dims = sorted(by_dim)
+    mu_lit = F.array(*[F.lit(float(by_dim[d][0])) for d in dims])
+    sd_lit = F.array(*[F.lit(float(by_dim[d][1] or 0.0)) for d in dims])
+
+    def z(x, i):
+        sd = F.element_at(sd_lit, i + 1)
+        mu = F.element_at(mu_lit, i + 1)
+        return F.round(
+            F.when(sd > 0, (x.cast("double") - mu) / sd).otherwise(F.lit(0.0)),
+            digits,
+        )
+
+    return emb.select(
+        F.col(id_col).alias("id"), F.transform(F.col(vec_col), z).alias("zvec")
+    )

@@ -613,3 +613,43 @@ def sentence_stats(
         ).alias("avg_sentence_tokens"),
         F.array_max(toks_per).alias("max_sentence_tokens"),
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """(id, n_words, n_sentences, n_syllables, flesch): Flesch
+    reading-ease per document — the classic readability gate a corpus
+    cleaner applies alongside the length/stopword quality score
+    (a wall of legalese and a keyword-stuffed spam page both fall out
+    of the mid-band).
+
+    All three counts are JVM-side regexp aggregates over one scan:
+    words = whitespace tokens, sentences = runs of ``[.!?]`` (floored
+    at 1 so headline-like fragments don't divide by zero), syllables =
+    vowel-group runs per lowercased text, the standard dictionary-free
+    approximation.  flesch = 206.835 - 1.015 w/s - 84.6 syl/w, rounded
+    to ``digits`` — both ratios are exact-integer divisions widened to
+    double in the same op shape on both engines, so 6 digits holds with
+    wide margin.  Column exprs only: shuffle-free, pipelined with any
+    downstream quality filter."""
+    words = F.size(F.split(F.col(text_col), " "))
+    sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit("[.!?]+")), F.lit(1)
+    )
+    syl = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+"))
+    return df.select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * words.cast("double") / sents.cast("double")
+            - F.lit(84.6) * syl.cast("double") / words.cast("double"),
+            digits,
+        ).alias("flesch"),
+    )

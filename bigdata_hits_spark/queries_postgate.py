@@ -3482,3 +3482,143 @@ def q_pack_docs_nextfit(spark, sf_dir):
     return pack_documents_nextfit(
         with_n, PACK_MAX_TOKENS, token_col="n_tokens", id_col="doc_id"
     )
+
+
+# --- round 7: embedding whitening / covariance / PCA, readability --------
+
+_STANDARDIZE_SQL = (
+    "WITH el AS (SELECT vec_id, unnest(range(len(embedding))) AS i, "
+    "embedding AS v FROM embeddings), "
+    "x AS (SELECT vec_id, i, CAST(v[i + 1] AS DOUBLE) AS x FROM el), "
+    "s AS (SELECT i, AVG(x) AS mu, STDDEV_SAMP(x) AS sd FROM x GROUP BY i) "
+    "SELECT x.vec_id AS id, x.i AS dim, "
+    "ROUND(CASE WHEN s.sd > 0 THEN (x.x - s.mu) / s.sd ELSE 0.0 END, 6) AS z "
+    "FROM x JOIN s ON s.i = x.i"
+)
+
+
+@register("embedding_standardize", _STANDARDIZE_SQL)
+def q_embedding_standardize(spark, sf_dir):
+    """Per-dimension z-score whitening (operators/similarity.py
+    standardize_embeddings), exploded to (id, dim, z) rows so every
+    standardized cell is compared — the library operator returns the
+    array form; one dims-keyed agg + a literal-stats shuffle-free
+    projection."""
+    from bigdata_hits_spark.operators.similarity import standardize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = standardize_embeddings(emb)
+    return out.select("id", F.posexplode("zvec").alias("dim", "z"))
+
+
+_COVARIANCE_SQL = (
+    "WITH el AS (SELECT unnest(range(len(embedding))) AS i, "
+    "embedding AS v FROM embeddings), "
+    "p AS (SELECT i, CAST(v[i + 1] AS DOUBLE) AS x, "
+    "unnest(range(len(v))) AS j, v FROM el), "
+    "q AS (SELECT i, j, x, CAST(v[j + 1] AS DOUBLE) AS y FROM p WHERE j >= i), "
+    "a AS (SELECT i, j, COUNT(*) AS n, SUM(x * y) AS sxy, SUM(x) AS sx, "
+    "SUM(y) AS sy FROM q GROUP BY i, j) "
+    "SELECT i, j, ROUND((sxy - sx * sy / n) / n, 6) AS cov FROM a"
+)
+
+
+@register("embedding_covariance", _COVARIANCE_SQL)
+def q_embedding_covariance(spark, sf_dir):
+    """Upper-triangle population covariance of the embedding space
+    (operators/profiling.py array_covariance): double-posexplode fan-out
+    collapsed by map-side partials into ONE (i, j)-keyed exchange; cov
+    assembled from the same four sums on both engines."""
+    from bigdata_hits_spark.operators.profiling import array_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return array_covariance(emb)
+
+
+PCA_ITERS = 15
+
+
+def _pca_sql(iters: int = PCA_ITERS) -> str:
+    # The Spark power iteration unrolled as a CTE chain: identical
+    # recurrence, identical per-step ROUND(..., 9) pins (operators/
+    # profiling.py PCA_ITER_DIGITS), so the trajectory is engine-exact.
+    parts = [
+        "WITH el AS (SELECT unnest(range(len(embedding))) AS i, "
+        "embedding AS v FROM embeddings), "
+        "p AS (SELECT i, CAST(v[i + 1] AS DOUBLE) AS x, "
+        "unnest(range(len(v))) AS j, v FROM el), "
+        "q AS (SELECT i, j, x, CAST(v[j + 1] AS DOUBLE) AS y FROM p "
+        "WHERE j >= i), "
+        "a AS (SELECT i, j, COUNT(*) AS n, SUM(x * y) AS sxy, SUM(x) AS sx, "
+        "SUM(y) AS sy FROM q GROUP BY i, j), "
+        # cf is referenced by every unrolled iteration: MATERIALIZED, or
+        # DuckDB re-expands the whole covariance pipeline (and re-opens
+        # the parquet) per reference — 15 iterations blew EMFILE.
+        "cov AS MATERIALIZED (SELECT i, j, "
+        "ROUND((sxy - sx * sy / n) / n, 9) AS c FROM a), "
+        "cf AS MATERIALIZED (SELECT i, j, c FROM cov "
+        "UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i < j), "
+        "v0 AS (SELECT DISTINCT i AS dim, "
+        "ROUND(1.0 / SQRT((SELECT COUNT(DISTINCT i) FROM cf)), 9) AS v FROM cf)"
+    ]
+    prev = "v0"
+    # Every w/v CTE is MATERIALIZED: w{t} is referenced twice (norm +
+    # division) and v{t} feeds the next round, so inlined CTEs re-expand
+    # the whole chain — 2^iters work (measured: 3 iters 0.2 s, 6 iters
+    # 4.0 s, 9 iters minutes).  Materialization makes each step O(dims),
+    # the same reason the Spark loop pins w per iteration.
+    for t in range(1, iters + 1):
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT cf.i AS dim, "
+            f"ROUND(SUM(cf.c * {prev}.v), 9) AS w "
+            f"FROM cf JOIN {prev} ON {prev}.dim = cf.j GROUP BY cf.i)"
+        )
+        parts.append(
+            f"n{t} AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS n FROM w{t})"
+        )
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT dim, "
+            f"ROUND(w / (SELECT n FROM n{t}), 9) AS v FROM w{t})"
+        )
+        prev = f"v{t}"
+    return ", ".join(parts) + (
+        f" SELECT dim, ROUND(v, 6) AS loading FROM {prev}"
+    )
+
+
+@register("embedding_pca_top", _pca_sql())
+def q_embedding_pca_top(spark, sf_dir):
+    """Top principal component by distributed power iteration
+    (operators/profiling.py pca_top_component): the covariance relation
+    never leaves the cluster; 15 dims-sized join+agg rounds with
+    in-plan broadcast norm scalars, trajectory pinned per step at 9
+    digits on both engines."""
+    from bigdata_hits_spark.operators.profiling import pca_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, iters=PCA_ITERS)
+
+
+_READABILITY_SQL = (
+    "SELECT doc_id, "
+    "len(string_split(text, ' ')) AS n_words, "
+    "GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences, "
+    "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables, "
+    "ROUND(206.835 "
+    "- 1.015 * CAST(len(string_split(text, ' ')) AS DOUBLE) "
+    "/ CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE) "
+    "- 84.6 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) "
+    "/ CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS flesch "
+    "FROM documents"
+)
+
+
+@register("readability_docs", _READABILITY_SQL)
+def q_readability_docs(spark, sf_dir):
+    """Flesch reading-ease per document (operators/textstats.py
+    readability): three JVM-side regexp counts over one scan,
+    shuffle-free."""
+    from bigdata_hits_spark.operators.textstats import readability
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability(docs)

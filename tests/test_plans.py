@@ -314,6 +314,9 @@ _BNLJ_ALLOWED = {
     # equidepth's 3 one-row attaches + PSI's edge-array and new-total
     "orders_price_psi": 5,
     "sketch_token_topk": 1,  # n one-row attach for the MG error bound
+    # per-iteration norm attach in the power-iteration loop (one per
+    # round; the d-count attach on v0 makes iters + 1)
+    "embedding_pca_top": 16,
 }
 
 

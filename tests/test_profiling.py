@@ -240,3 +240,51 @@ def test_categorical_profile_topk_shares_and_nulls(spark):
     # v: 2 appears twice, ties 1 vs 3 broken by value asc -> "1"
     assert rows[("v", "2")]["n"] == 2
     assert ("v", "1") in rows and ("v", "3") not in rows
+
+
+def test_array_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from bigdata_hits_spark.operators.profiling import array_covariance
+
+    rng = [[float(((i * 7 + j * 13) % 10) - 4.5) for j in range(4)] for i in range(30)]
+    df = spark.createDataFrame([(r,) for r in rng], "embedding array<double>")
+    got = {(r["i"], r["j"]): r["cov"] for r in array_covariance(df).collect()}
+    want = np.cov(np.array(rng).T, bias=True)
+    assert len(got) == 10  # 4*5/2 upper-triangle cells
+    for (i, j), c in got.items():
+        assert i <= j
+        assert abs(c - want[i][j]) < 1e-6
+
+
+def test_pca_top_component_matches_numpy_eigh(spark):
+    import numpy as np
+
+    from bigdata_hits_spark.operators.profiling import pca_top_component
+
+    # anisotropic cloud: a dominant direction along (1, 1, 0, 0)
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(200, 4)) * np.array([1.0, 1.0, 0.2, 0.1])
+    base[:, 1] = base[:, 0] * 0.9 + base[:, 1] * 0.1
+    df = spark.createDataFrame(
+        [(r.tolist(),) for r in base], "embedding array<double>"
+    )
+    got = pca_top_component(df, iters=15).collect()
+    v = np.zeros(4)
+    for r in got:
+        v[r["dim"]] = r["loading"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+    cov = np.cov(base.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(abs(float(np.dot(v, top))) - 1.0) < 1e-3
+
+
+def test_pca_top_component_deterministic_across_partitionings(spark):
+    from bigdata_hits_spark.operators.profiling import pca_top_component
+
+    rows = [([float((i * 3 + d) % 7) for d in range(5)],) for i in range(50)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    a = sorted(map(tuple, pca_top_component(df, iters=8).collect()))
+    b = sorted(map(tuple, pca_top_component(df.repartition(9), iters=8).collect()))
+    assert a == b

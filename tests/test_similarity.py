@@ -465,3 +465,25 @@ def test_group_centroid_similarity_known_vectors(spark):
     assert out[("A", "B")] == 0.0
     assert out[("A", "C")] == round(1 / 2 ** 0.5, 6)
     assert out[("B", "C")] == round(1 / 2 ** 0.5, 6)
+
+
+def test_standardize_embeddings_moments_and_dead_dim(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.operators.similarity import standardize_embeddings
+
+    rows = [(i, [float(i), 5.0, float(i % 3)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = standardize_embeddings(df)
+    el = out.select("id", F.posexplode("zvec").alias("dim", "z"))
+    stats = {
+        r["dim"]: (r["mu"], r["sd"])
+        for r in el.groupBy("dim")
+        .agg(F.avg("z").alias("mu"), F.stddev_samp("z").alias("sd"))
+        .collect()
+    }
+    for d in (0, 2):  # real dims: mean ~0, sd ~1 (rounding noise only)
+        assert abs(stats[d][0]) < 1e-4
+        assert abs(stats[d][1] - 1.0) < 1e-4
+    # constant dim standardizes to exactly 0.0, not a division error
+    assert stats[1] == (0.0, 0.0)

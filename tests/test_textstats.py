@@ -414,3 +414,20 @@ def test_sentence_stats_shapes(spark):
     assert out[1]["max_sentence_tokens"] == 3
     assert out[2]["n_sentences"] == 1 and out[2]["avg_sentence_tokens"] == 5.0
     assert out[3]["n_sentences"] == 1 and out[3]["max_sentence_tokens"] == 1
+
+
+def test_readability_hand_example(spark):
+    from bigdata_hits_spark.operators.textstats import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "word")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability(df).collect()}
+    r1 = rows[1]
+    # 6 words, 2 sentence runs, syllable groups: e/a/a/e/o/a -> 6
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 6
+    assert abs(r1["flesch"] - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-6
+    # fragment with no terminator: sentence count floored at 1
+    assert rows[2]["n_sentences"] == 1
