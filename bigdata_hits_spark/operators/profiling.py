@@ -603,12 +603,21 @@ def array_covariance(
     )
 
 
-#: Power-iteration rounding: the per-iteration matrix-vector product and
-#: norm are rounded to this many decimals on BOTH engines so the
-#: 15-step trajectory is engine-exact (the kmeans trajectory-oracle
-#: discipline: cross-engine float-sum-order drift is ~1e-15/step, nine
-#: digits pins it without touching the math).
-PCA_ITER_DIGITS = 9
+#: Power-iteration rounding: the covariance cells and each iteration's
+#: NORMALIZED vector are rounded to this many decimals on BOTH engines
+#: so the 15-step trajectory is engine-exact (the kmeans
+#: trajectory-oracle discipline) — but the intermediate matrix-vector
+#: product w and its norm are deliberately NOT rounded.  Measured
+#: failure mode: rounding w puts it on exact decimal half-boundaries
+#: (6-decimal cov x 6-decimal v products are exact decimals, e.g.
+#: 0.125 * 0.009436 = 0.0011795), where Spark's round (decimal-string
+#: HALF_UP via BigDecimal.valueOf) and DuckDB's (on the binary double,
+#: which sits a hair BELOW the decimal half) disagree — 5 of 64 w1
+#: cells flipped.  Dividing by the irrational norm first makes v
+#: generic, so its half-boundary hits are measure-zero, and the
+#: unrounded w itself is engine-stable to ~1e-18 (sums of exact
+#: sub-53-bit products).
+PCA_ITER_DIGITS = 6
 
 
 def pca_top_component(
@@ -650,7 +659,7 @@ def pca_top_component(
         w = (
             cfull.join(v, cfull["j"] == v["dim"])
             .groupBy(cfull["i"].alias("dim2"))
-            .agg(F.round(F.sum(F.col("cov") * F.col("v")), PCA_ITER_DIGITS).alias("w"))
+            .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
             # Pinned EVERY iteration: w feeds both the norm aggregate
             # and the division, and without the pin each reference
             # duplicates the whole upstream subtree — plan (and
@@ -659,13 +668,36 @@ def pca_top_component(
             # so the loop still composes into one job per block.
             .localCheckpoint(eager=False)
         )
-        norm = w.agg(
-            F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), PCA_ITER_DIGITS).alias(
-                "__n"
-            )
-        )
+        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__n"))
         v = w.crossJoin(F.broadcast(norm)).select(
             F.col("dim2").alias("dim"),
             F.round(F.col("w") / F.col("__n"), PCA_ITER_DIGITS).alias("v"),
         )
     return v.select("dim", F.round(F.col("v"), digits).alias("loading"))
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 15,
+    digits: int = 6,
+) -> DataFrame:
+    """(id, score): each vector's coordinate along the top principal
+    component — the 1-D "what axis explains this corpus" embedding used
+    for curriculum ordering, coarse bucketing, and eyeballing clusters
+    before paying for full k-means.
+
+    The loading vector from :func:`pca_top_component` is dims-sized, so
+    it broadcast-joins onto the posexploded vectors and ONE id-keyed
+    hash agg folds the dot product — fan-out collapses map-side exactly
+    like the covariance agg; nothing row-sized shuffles unkeyed."""
+    v = pca_top_component(df, vec_col=vec_col, iters=iters, digits=PCA_ITER_DIGITS)
+    el = df.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("dim", "__x")
+    ).select("id", "dim", F.col("__x").cast("double").alias("__x"))
+    return (
+        el.join(F.broadcast(v), "dim")
+        .groupBy("id")
+        .agg(F.round(F.sum(F.col("__x") * F.col("loading")), digits).alias("score"))
+    )

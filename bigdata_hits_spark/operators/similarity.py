@@ -993,3 +993,72 @@ def standardize_embeddings(
     return emb.select(
         F.col(id_col).alias("id"), F.transform(F.col(vec_col), z).alias("zvec")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """(qid, cid, rank, mmr): Maximal Marginal Relevance diversified
+    top-k — the retrieval reranker that trades raw cosine relevance
+    against redundancy (``lam`` = 1 is plain top-k; lower ``lam``
+    spreads the picks across the embedding space).  The standard
+    "don't return ten near-duplicates" step between ANN candidate
+    generation and whatever consumes the hits.
+
+    Scale shape: the CLUSTER does the heavy part — an exact (or, at
+    real scale, LSH/IVF) top-``pool`` candidate pass per query — and
+    the greedy MMR selection runs driver-side over the collected
+    pool x (id, vector) rows, bounded by ``pool * n_queries`` like
+    every candidate-sized collect in this module.  Greedy selection is
+    inherently sequential (each pick changes the next margin), so
+    distributing it buys nothing at pool sizes that fit a reranker.
+    Deterministic: scores round to ``digits`` before comparison and
+    ties break toward the smaller candidate id, making the pick
+    sequence a pure function of the data; declared rows-only (the
+    sequential argmax chain has no tractable SQL twin — the kmeans||
+    precedent)."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cand = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnrm"),
+    )
+    rows = cand.join(vecs, "cid").select("qid", "cid", "cosine", "cvec", "cnrm").collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a["cvec"], b["cvec"]))
+        den = a["cnrm"] * b["cnrm"]
+        return num / den if den else 0.0
+
+    out = []
+    for qid in sorted(by_q):
+        pool_rows = sorted(by_q[qid], key=lambda r: (-r["cosine"], r["cid"]))
+        chosen: list = []
+        while pool_rows and len(chosen) < k:
+            best = None
+            for r in pool_rows:
+                red = max((cos(r, c) for c in chosen), default=0.0)
+                score = round(lam * r["cosine"] - (1.0 - lam) * red, digits)
+                # ties toward the smaller cid: compare (-score, cid)
+                if best is None or (-score, r["cid"]) < best[0]:
+                    best = ((-score, r["cid"]), r, score)
+            chosen.append(best[1])
+            out.append((qid, best[1]["cid"], len(chosen), best[2]))
+            pool_rows = [r for r in pool_rows if r["cid"] != best[1]["cid"]]
+    spark = corpus.sparkSession
+    qt = corpus.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out, f"qid {qt}, cid {qt}, rank int, mmr double"
+    )

@@ -3538,10 +3538,11 @@ def q_embedding_covariance(spark, sf_dir):
 PCA_ITERS = 15
 
 
-def _pca_sql(iters: int = PCA_ITERS) -> str:
+def _pca_chain(iters: int = PCA_ITERS) -> tuple:
     # The Spark power iteration unrolled as a CTE chain: identical
-    # recurrence, identical per-step ROUND(..., 9) pins (operators/
+    # recurrence, identical per-step ROUND(..., 6) pins (operators/
     # profiling.py PCA_ITER_DIGITS), so the trajectory is engine-exact.
+    # Returns (cte_sql, final_vector_cte_name).
     parts = [
         "WITH el AS (SELECT unnest(range(len(embedding))) AS i, "
         "embedding AS v FROM embeddings), "
@@ -3555,34 +3556,54 @@ def _pca_sql(iters: int = PCA_ITERS) -> str:
         # DuckDB re-expands the whole covariance pipeline (and re-opens
         # the parquet) per reference — 15 iterations blew EMFILE.
         "cov AS MATERIALIZED (SELECT i, j, "
-        "ROUND((sxy - sx * sy / n) / n, 9) AS c FROM a), "
+        "ROUND((sxy - sx * sy / n) / n, 6) AS c FROM a), "
         "cf AS MATERIALIZED (SELECT i, j, c FROM cov "
         "UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i < j), "
         "v0 AS (SELECT DISTINCT i AS dim, "
-        "ROUND(1.0 / SQRT((SELECT COUNT(DISTINCT i) FROM cf)), 9) AS v FROM cf)"
+        "ROUND(1.0 / SQRT((SELECT COUNT(DISTINCT i) FROM cf)), 6) AS v FROM cf)"
     ]
     prev = "v0"
     # Every w/v CTE is MATERIALIZED: w{t} is referenced twice (norm +
     # division) and v{t} feeds the next round, so inlined CTEs re-expand
     # the whole chain — 2^iters work (measured: 3 iters 0.2 s, 6 iters
     # 4.0 s, 9 iters minutes).  Materialization makes each step O(dims),
-    # the same reason the Spark loop pins w per iteration.
+    # the same reason the Spark loop pins w per iteration.  w and n are
+    # deliberately UNROUNDED — rounding w lands on exact decimal
+    # half-boundaries where Spark (decimal HALF_UP) and DuckDB (binary
+    # double) disagree; see operators/profiling.py PCA_ITER_DIGITS.
     for t in range(1, iters + 1):
         parts.append(
             f"w{t} AS MATERIALIZED (SELECT cf.i AS dim, "
-            f"ROUND(SUM(cf.c * {prev}.v), 9) AS w "
+            f"SUM(cf.c * {prev}.v) AS w "
             f"FROM cf JOIN {prev} ON {prev}.dim = cf.j GROUP BY cf.i)"
         )
         parts.append(
-            f"n{t} AS (SELECT ROUND(SQRT(SUM(w * w)), 9) AS n FROM w{t})"
+            f"n{t} AS (SELECT SQRT(SUM(w * w)) AS n FROM w{t})"
         )
         parts.append(
             f"v{t} AS MATERIALIZED (SELECT dim, "
-            f"ROUND(w / (SELECT n FROM n{t}), 9) AS v FROM w{t})"
+            f"ROUND(w / (SELECT n FROM n{t}), 6) AS v FROM w{t})"
         )
         prev = f"v{t}"
-    return ", ".join(parts) + (
-        f" SELECT dim, ROUND(v, 6) AS loading FROM {prev}"
+    return ", ".join(parts), prev
+
+
+def _pca_sql(iters: int = PCA_ITERS) -> str:
+    chain, prev = _pca_chain(iters)
+    return chain + f" SELECT dim, ROUND(v, 6) AS loading FROM {prev}"
+
+
+def _pca_project_sql(iters: int = PCA_ITERS) -> str:
+    # Same pinned trajectory, then one dot product per vector against
+    # the final loading vector — mirrors profiling.pca_project's
+    # broadcast join + id-keyed fold.
+    chain, prev = _pca_chain(iters)
+    return chain + (
+        ", el2 AS (SELECT vec_id, unnest(range(len(embedding))) AS i, "
+        "embedding AS v2 FROM embeddings), "
+        "x2 AS (SELECT vec_id, i, CAST(v2[i + 1] AS DOUBLE) AS x FROM el2) "
+        f"SELECT x2.vec_id AS id, ROUND(SUM(x2.x * {prev}.v), 6) AS score "
+        f"FROM x2 JOIN {prev} ON {prev}.dim = x2.i GROUP BY x2.vec_id"
     )
 
 
@@ -3591,8 +3612,8 @@ def q_embedding_pca_top(spark, sf_dir):
     """Top principal component by distributed power iteration
     (operators/profiling.py pca_top_component): the covariance relation
     never leaves the cluster; 15 dims-sized join+agg rounds with
-    in-plan broadcast norm scalars, trajectory pinned per step at 9
-    digits on both engines."""
+    in-plan broadcast norm scalars, trajectory pinned per step at
+    PCA_ITER_DIGITS on both engines."""
     from bigdata_hits_spark.operators.profiling import pca_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3622,3 +3643,35 @@ def q_readability_docs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return readability(docs)
+
+
+@register("embedding_pca_project", _pca_project_sql())
+def q_embedding_pca_project(spark, sf_dir):
+    """Every vector's coordinate along the top principal component
+    (operators/profiling.py pca_project): the dims-sized loading vector
+    broadcast-joins the posexploded corpus and ONE id-keyed hash agg
+    folds the dot product — the 1-D curriculum/bucketing score."""
+    from bigdata_hits_spark.operators.profiling import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, iters=PCA_ITERS)
+
+
+#: Every 100th vector plays the query set for the MMR reranker row.
+MMR_QUERY_MOD = 100
+
+
+@register("retrieval_mmr", None)  # rows-only: greedy MMR is a sequential
+# argmax chain (each pick changes the next margin) with no tractable SQL
+# twin — the kmeans|| precedent.  Determinism and the lam=1 plain-top-k
+# equivalence are pinned in tests/test_similarity.py.
+def q_retrieval_mmr(spark, sf_dir):
+    """Maximal-marginal-relevance diversified top-k
+    (operators/similarity.py mmr_topk) for a fixed query subset: exact
+    top-pool candidates per query on the cluster, bounded greedy rerank
+    driver-side."""
+    from bigdata_hits_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % MMR_QUERY_MOD == 0)
+    return mmr_topk(emb, queries, k=5, pool=25, lam=0.7)

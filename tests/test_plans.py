@@ -315,8 +315,10 @@ _BNLJ_ALLOWED = {
     "orders_price_psi": 5,
     "sketch_token_topk": 1,  # n one-row attach for the MG error bound
     # per-iteration norm attach in the power-iteration loop (one per
-    # round; the d-count attach on v0 makes iters + 1)
+    # round; the d-count attach on v0 makes iters + 1; the lazy
+    # checkpoints truncate the visible plan to the last attach)
     "embedding_pca_top": 16,
+    "embedding_pca_project": 16,
 }
 
 

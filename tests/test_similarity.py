@@ -487,3 +487,60 @@ def test_standardize_embeddings_moments_and_dead_dim(spark):
         assert abs(stats[d][1] - 1.0) < 1e-4
     # constant dim standardizes to exactly 0.0, not a division error
     assert stats[1] == (0.0, 0.0)
+
+
+def test_mmr_topk_lam1_is_plain_topk_and_deterministic(spark):
+    from bigdata_hits_spark.operators.similarity import cosine_topk, mmr_topk
+
+    rows = [
+        (i, [float((i * 3 + d * 5) % 11) + 0.5 for d in range(4)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 2")
+    # lam = 1: redundancy term vanishes -> same set and order as top-k
+    mmr = mmr_topk(df, queries, k=5, pool=10, lam=1.0).collect()
+    plain = cosine_topk(df, queries, k=5).collect()
+    got = {(r["qid"], r["rank"]): r["cid"] for r in mmr}
+    want = {}
+    for r in plain:
+        want.setdefault(r["qid"], []).append((r["cosine"], r["cid"]))
+    for qid, lst in want.items():
+        for rank, (_, cid) in enumerate(
+            sorted(lst, key=lambda t: (-t[0], t[1])), start=1
+        ):
+            assert got[(qid, rank)] == cid
+    # deterministic across partitionings
+    again = mmr_topk(df.repartition(7), queries, k=5, pool=10, lam=1.0).collect()
+    assert sorted(map(tuple, mmr)) == sorted(map(tuple, again))
+
+
+def test_mmr_topk_diversifies(spark):
+    from bigdata_hits_spark.operators.similarity import mmr_topk
+
+    # two tight clusters: near-dups of the query direction, and an
+    # orthogonal-ish cluster.  Plain top-2 stays in cluster A; MMR with
+    # a low lam must pull its second pick from cluster B.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.02, 0.0]),
+        (2, [0.98, 0.03, 0.0]),
+        (3, [0.5, 0.86, 0.0]),
+        (4, [0.49, 0.87, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id = 0")
+    low = mmr_topk(df, queries, k=2, pool=4, lam=0.2).collect()
+    picks = [r["cid"] for r in sorted(low, key=lambda r: r["rank"])]
+    assert picks[0] in (1, 2)  # best relevance first, always
+    assert picks[1] in (3, 4)  # diversity forces the second cluster
+    assert mmr_topk(df, queries, k=2, pool=4, lam=1.0).collect()[1]["cid"] in (1, 2)
+
+
+def test_mmr_topk_rejects_bad_lam(spark):
+    import pytest
+
+    from bigdata_hits_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        mmr_topk(df, df, lam=1.5)
