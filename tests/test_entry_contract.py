@@ -23,6 +23,7 @@ def test_every_oracle_key_is_a_declared_query():
         "ann_ivf_topk",
         "kmeans_parallel_embeddings",
         "sketch_token_topk",
+        "retrieval_mmr",
     }, rows_only
 
 
