@@ -524,3 +524,72 @@ def clustering_coefficient(
             digits,
         ).alias("coeff"),
     )
+
+
+def community_modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    community_col: str = "community",
+    digits: int = 6,
+    sym: DataFrame | None = None,
+) -> DataFrame:
+    """(community, n_nodes, internal_edges, degree_sum, contribution):
+    Newman modularity decomposed per community — the standard "is this
+    partition real structure or noise" score for label-propagation /
+    connected-components / any clustering of graph nodes.  Global
+    Q = SUM(contribution), where contribution_c =
+    internal_c / (2m) - (degree_sum_c / (2m))^2 over the undirected
+    graph (internal_c counts ordered same-community pairs, i.e. each
+    undirected internal edge twice, matching the 2m denominator).
+
+    Plan: the symmetric edge set attaches the two endpoint communities
+    by two node-sized equi-joins, ONE hash agg per community counts
+    internal ordered pairs, one more folds degrees; the 2m scalar rides
+    in-plan as a broadcast one-row aggregate (no driver round-trip).
+    Nodes in ``assignment`` with no incident edge contribute degree 0
+    and count toward n_nodes — isolated nodes dilute nothing, the
+    convention that keeps Q comparable across prunings."""
+    if sym is None:
+        sym = symmetric_edges(edges, src, dst)
+    amap = assignment.select(
+        F.col(id_col).alias("id"), F.col(community_col).alias("community")
+    )
+    pair = (
+        sym.join(amap.select(F.col("id").alias("a"), F.col("community").alias("__ca")), "a")
+        .join(amap.select(F.col("id").alias("b"), F.col("community").alias("__cb")), "b")
+    )
+    internal = (
+        pair.filter(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("internal_edges"))
+    )
+    deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("__k"))
+    per_comm = (
+        amap.join(deg, "id", "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.coalesce(F.col("__k"), F.lit(0))).alias("degree_sum"),
+        )
+    )
+    two_m = sym.agg(F.count(F.lit(1)).alias("__2m"))
+    return (
+        per_comm.join(internal, "community", "left")
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("internal_edges"), F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce(F.col("internal_edges"), F.lit(0))
+                / F.col("__2m").cast("double")
+                - (F.col("degree_sum") / F.col("__2m").cast("double"))
+                * (F.col("degree_sum") / F.col("__2m").cast("double")),
+                digits,
+            ).alias("contribution"),
+        )
+    )

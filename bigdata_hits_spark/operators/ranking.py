@@ -491,6 +491,33 @@ def salsa(
     return _power_iterate(eh, ea, init, k, damp, "l1", mode, tol)
 
 
+def _pagerank_prepared(graph: Graph, weight: str | None, mode: str):
+    """Memoized column-normalized edge relation (key, out, mult) and the
+    pinned node-id list shared by the PageRank-family loops —
+    ``M[dst, src] = w(src, dst) / out_w(src)``, prepared once per
+    (graph, weight, mode) and reused by every job on the session's
+    graph (the reference's many-jobs-one-graph pattern)."""
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        edges = graph.edges
+        w: Column = F.col(weight).cast("double") if weight else F.lit(1.0)
+        out_w = edges.groupBy("src").agg(F.sum(w).alias("out_w"))
+        ea = (
+            edges.alias("e")
+            .join(out_w.alias("d"), F.col("e.src") == F.col("d.src"), "inner")
+            .select(
+                F.col("e.src").alias("key"),
+                F.col("e.dst").alias("out"),
+                (w / F.col("d.out_w")).alias("mult"),
+            )
+        )
+        (ea_prepared,) = _prepare(graph, "out" if mode == "broadcast" else "key", ea)
+        (ids_prepared,) = _prepare(graph, "id", graph.nodes.select("id"))
+        return ea_prepared, ids_prepared
+
+    return graph.memo(("pagerank_edges", weight, mode), build)
+
+
 def pagerank(
     graph: Graph,
     k: int = 8,
@@ -526,25 +553,7 @@ def pagerank(
     """
     n = graph.memo(("n_nodes",), graph.nodes.count)
     mode = _resolve_score_join(score_join, n)
-
-    def build() -> tuple[DataFrame, DataFrame]:
-        edges = graph.edges
-        w: Column = F.col(weight).cast("double") if weight else F.lit(1.0)
-        out_w = edges.groupBy("src").agg(F.sum(w).alias("out_w"))
-        ea = (
-            edges.alias("e")
-            .join(out_w.alias("d"), F.col("e.src") == F.col("d.src"), "inner")
-            .select(
-                F.col("e.src").alias("key"),
-                F.col("e.dst").alias("out"),
-                (w / F.col("d.out_w")).alias("mult"),
-            )
-        )
-        (ea_prepared,) = _prepare(graph, "out" if mode == "broadcast" else "key", ea)
-        (ids_prepared,) = _prepare(graph, "id", graph.nodes.select("id"))
-        return ea_prepared, ids_prepared
-
-    ea, node_ids = graph.memo(("pagerank_edges", weight, mode), build)
+    ea, node_ids = _pagerank_prepared(graph, weight, mode)
     teleport = F.lit((1.0 - beta) / float(n))
     scores = graph.nodes.select("id", F.lit(1.0 / float(n)).alias("score"))
     prev = None
@@ -574,6 +583,75 @@ def pagerank(
                 break
         prev = scores_new
         scores = scores_new
+    return _sorted(scores)
+
+
+def personalized_pagerank(
+    graph: Graph,
+    topic: str,
+    k: int = 8,
+    *,
+    beta: float = 0.85,
+    weight: str | None = None,
+    score_join: str = "auto",
+) -> DataFrame:
+    """Personalized PageRank: the power iteration of :func:`pagerank`
+    with the teleport mass restricted to the SEED set (nodes whose
+    ``labels`` equal ``topic``) — ``p <- beta * M^T p +
+    (1 - beta) * e_S`` with ``e_S`` uniform over seeds, p0 = e_S.  The
+    canonical graph-proximity score ("what is close to THIS set"):
+    recommendation from a user's purchases, topical authority from a
+    trusted seed list, expansion sets for curation.
+
+    Same machinery and scale behavior as PageRank: the
+    column-normalized edge relation is the shared memo (edges never
+    move per iteration), the seed indicator and teleport column live in
+    one pinned node-sized relation, every iteration is one vector-only
+    exchange plus the fused checkpoint+norm job, and L1 renormalization
+    absorbs the dangling leak.  Seed count is the one extra bounded
+    scalar."""
+    n = graph.memo(("n_nodes",), graph.nodes.count)
+    mode = _resolve_score_join(score_join, n)
+    ea, node_ids = _pagerank_prepared(graph, weight, mode)
+
+    def build_seeded() -> tuple[DataFrame, int]:
+        seeds = graph.nodes.filter(F.col("labels") == topic).select("id")
+        ns = seeds.count()
+        if ns == 0:
+            raise ValueError(f"personalized_pagerank: no nodes labeled {topic!r}")
+        tvec = materialize(
+            node_ids.join(seeds.withColumn("__s", F.lit(1)), "id", "left").select(
+                "id", F.coalesce(F.col("__s"), F.lit(0)).alias("__s")
+            )
+        )
+        return tvec, ns
+
+    tvec, ns = graph.memo(("ppr_seeds", topic), build_seeded)
+    tele = (1.0 - beta) / float(ns)
+    scores = tvec.select(
+        "id",
+        F.when(F.col("__s") == 1, F.lit(1.0 / float(ns))).otherwise(F.lit(0.0)).alias(
+            "score"
+        ),
+    )
+    for _ in range(k):
+        contrib = _step(ea, scores, mode)
+        contrib = (
+            F.broadcast(contrib) if mode == "broadcast" else contrib.hint("shuffle_hash")
+        )
+        scores_raw = (
+            tvec.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(beta) * F.coalesce(F.col("score"), F.lit(0.0))
+                    + F.when(F.col("__s") == 1, F.lit(tele)).otherwise(F.lit(0.0))
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        nrm = scores_raw.agg(F.sum("score").alias("__norm")).first()[0]
+        scores = scores_raw.select("id", (F.col("score") / F.lit(nrm)).alias("score"))
     return _sorted(scores)
 
 

@@ -270,6 +270,77 @@ def pagerank_oracle(
     )
 
 
+def ppr_oracle(
+    edges_sql: str,
+    nodes_sql: str,
+    *,
+    topic: str,
+    k: int,
+    beta: float = 0.85,
+    weighted: bool = False,
+    round_digits: int = ROUND_DIGITS,
+) -> str:
+    """Unrolled-CTE oracle for personalized PageRank (operators/
+    ranking.py personalized_pagerank): PageRank's recurrence with the
+    teleport mass uniform over the seed set (nodes labeled ``topic``)
+    and p0 = e_S.  Float parity as in :func:`pagerank_oracle`; the seed
+    teleport ``(1-beta)/|S|`` is the same IEEE division of exact
+    operands on both engines."""
+    b = _dbl(beta)
+    omb = _dbl(1.0 - beta)
+    ctes: list[tuple[str, str]] = [("edges0", edges_sql), ("nodes0", nodes_sql)]
+    ctes.append(("seeds", f"SELECT id FROM nodes0 WHERE labels = '{topic}'"))
+    ctes.append(("sc", "SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds"))
+    if weighted:
+        ctes.append(
+            (
+                "outw",
+                "SELECT src, SUM(CAST(weight AS DOUBLE)) AS ow FROM edges0 GROUP BY src",
+            )
+        )
+        mult = "CAST(e.weight AS DOUBLE) / o.ow"
+    else:
+        ctes.append(
+            ("outw", "SELECT src, CAST(COUNT(*) AS DOUBLE) AS ow FROM edges0 GROUP BY src")
+        )
+        mult = "1.0 / o.ow"
+    ctes.append(
+        ("ea", f"SELECT e.src, e.dst, {mult} AS mult FROM edges0 e JOIN outw o ON e.src = o.src")
+    )
+    ctes.append(
+        (
+            "p0",
+            "SELECT n.id, CASE WHEN s.id IS NOT NULL "
+            "THEN 1.0 / (SELECT ns FROM sc) ELSE CAST(0.0 AS DOUBLE) END AS score "
+            "FROM nodes0 n LEFT JOIN seeds s ON n.id = s.id",
+        )
+    )
+    for i in range(1, k + 1):
+        ctes.append(
+            (
+                f"c{i}",
+                f"SELECT ea.dst AS id, SUM(ea.mult * p.score) AS c "
+                f"FROM ea JOIN p{i - 1} p ON ea.src = p.id GROUP BY ea.dst",
+            )
+        )
+        ctes.append(
+            (
+                f"r{i}",
+                f"SELECT n.id, {b} * COALESCE(c.c, CAST(0.0 AS DOUBLE)) "
+                f"+ CASE WHEN s.id IS NOT NULL THEN {omb} / (SELECT ns FROM sc) "
+                f"ELSE CAST(0.0 AS DOUBLE) END AS score "
+                f"FROM nodes0 n LEFT JOIN seeds s ON n.id = s.id "
+                f"LEFT JOIN c{i} c ON n.id = c.id",
+            )
+        )
+        ctes.append((f"p{i}", f"SELECT id, score / SUM(score) OVER () AS score FROM r{i}"))
+    with_clause = ",\n".join(f"{name} AS ({sql})" for name, sql in ctes)
+    return (
+        f"WITH {with_clause}\n"
+        f"SELECT id, ROUND(CAST(score AS DOUBLE), {round_digits}) AS score FROM p{k}"
+    )
+
+
 def salsa_simplified_oracle(
     edges_sql: str,
     nodes_sql: str | None = None,

@@ -3675,3 +3675,76 @@ def q_retrieval_mmr(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % MMR_QUERY_MOD == 0)
     return mmr_topk(emb, queries, k=5, pool=25, lam=0.7)
+
+
+# --- round 7: personalized PageRank ---------------------------------------
+
+PPR_K = 3
+
+
+def _ppr_sql() -> str:
+    from bigdata_hits_spark.oracles import ppr_oracle
+
+    return ppr_oracle(
+        derived.G_PP_EDGES_SQL,
+        derived.G_PP_NODES_SQL,
+        topic=derived.G_PP_TOPIC,
+        k=PPR_K,
+    )
+
+
+@register("ppr_topic_k3", _ppr_sql())
+def q_ppr_topic(spark, sf_dir):
+    """Personalized PageRank seeded on the topic label set
+    (operators/ranking.py personalized_pagerank): PageRank's pinned-edge
+    power iteration with teleport mass uniform over the seeds — the
+    graph-proximity recommender primitive.  One vector-only exchange
+    plus the fused checkpoint+norm job per iteration."""
+    from bigdata_hits_spark.operators.ranking import personalized_pagerank
+
+    g = derived.g_pp(spark, sf_dir)
+    scores = personalized_pagerank(g, derived.G_PP_TOPIC, k=PPR_K)
+    return scores.select("id", F.round(F.col("score"), 7).alias("score"))
+
+
+# --- round 7: community quality (modularity) -------------------------------
+
+
+def _modularity_sql() -> str:
+    return (
+        f"WITH e0 AS ({derived.G_PP_EDGES_SQL}), "
+        f"n0 AS ({derived.G_PP_NODES_SQL}), "
+        f"{_SYM_CTE}, "
+        "am AS (SELECT id, labels AS community FROM n0), "
+        "pairc AS (SELECT ca.community AS community, COUNT(*) AS internal_edges "
+        "FROM sym JOIN am ca ON ca.id = sym.a JOIN am cb ON cb.id = sym.b "
+        "WHERE ca.community = cb.community GROUP BY ca.community), "
+        "deg AS (SELECT a AS id, COUNT(*) AS k FROM sym GROUP BY a), "
+        "pc AS (SELECT community, COUNT(*) AS n_nodes, "
+        "SUM(COALESCE(k, 0)) AS degree_sum "
+        "FROM am LEFT JOIN deg ON deg.id = am.id GROUP BY community), "
+        "m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM sym) "
+        "SELECT pc.community, n_nodes, "
+        "COALESCE(internal_edges, 0) AS internal_edges, degree_sum, "
+        "ROUND(COALESCE(internal_edges, 0) / (SELECT m FROM m2) "
+        "- (degree_sum / (SELECT m FROM m2)) "
+        "* (degree_sum / (SELECT m FROM m2)), 6) AS contribution "
+        "FROM pc LEFT JOIN pairc ON pairc.community = pc.community"
+    )
+
+
+@register("community_modularity", _modularity_sql())
+def q_community_modularity(spark, sf_dir):
+    """Newman modularity of the brand partition over the part graph,
+    decomposed per community (operators/graphalgs.py
+    community_modularity — global Q = SUM(contribution)): the community
+    -quality readout for any node clustering.  Two node-sized attaches,
+    two hash aggs, one in-plan 2m scalar."""
+    from bigdata_hits_spark.operators.graphalgs import community_modularity
+
+    g = derived.g_pp(spark, sf_dir)
+    return community_modularity(
+        g.edges,
+        g.nodes.select("id", F.col("labels").alias("community")),
+        sym=_sym(g),
+    )

@@ -295,3 +295,31 @@ def test_clustering_coefficient_known_shapes(spark):
     assert out[1]["degree"] == 3 and out[1]["coeff"] == round(1 / 3, 6)
     # pendant: degree 1 -> NULL, not 0
     assert out[4]["coeff"] is None and out[4]["triangles"] == 0
+
+
+def test_community_modularity_known_two_cliques(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.operators.graphalgs import community_modularity
+
+    # two disjoint triangles = perfect 2-community partition: Q = 0.5
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    assign = spark.createDataFrame(
+        [(n, "c1") for n in "abc"] + [(n, "c2") for n in "xyz"],
+        "id string, community string",
+    )
+    out = community_modularity(edges, assign).collect()
+    assert len(out) == 2
+    q = sum(r["contribution"] for r in out)
+    assert abs(q - 0.5) < 1e-9
+    for r in out:
+        assert r["n_nodes"] == 3
+        assert r["internal_edges"] == 6  # ordered pairs: 3 edges x 2
+        assert r["degree_sum"] == 6
+    # everything in one community: Q = 0 exactly
+    one = assign.select("id", F.lit("all").alias("community"))
+    q1 = sum(r["contribution"] for r in community_modularity(edges, one).collect())
+    assert abs(q1) < 1e-9

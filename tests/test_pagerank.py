@@ -65,3 +65,42 @@ def test_pagerank_early_stop(g):
     got_tol = {r["id"]: r["score"] for r in tol.collect()}
     for n in got_full:
         assert got_tol[n] == pytest.approx(got_full[n], abs=1e-9)
+
+
+def test_personalized_pagerank_mass_and_seed_bias(spark):
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.operators.graph import Graph
+    from bigdata_hits_spark.operators.ranking import personalized_pagerank
+
+    # star-ish directed graph: seeds {0, 1} point into a chain
+    edges = spark.createDataFrame(
+        [("0", "2"), ("1", "2"), ("2", "3"), ("3", "0"), ("4", "0")],
+        "src string, dst string",
+    )
+    nodes = spark.createDataFrame(
+        [(str(i), "seed" if i < 2 else "other") for i in range(5)],
+        "id string, labels string",
+    )
+    g = Graph(nodes=nodes, edges=edges)
+    out = {r["id"]: r["score"] for r in personalized_pagerank(g, "seed", k=8).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9  # L1-renormalized
+    # teleport never reaches node 4 (no in-edges, not a seed) except
+    # via nothing -> its mass decays to ~0; seeds and their reach hold
+    # the mass
+    assert out["4"] < 1e-6
+    # the seed-reachable cycle {0, 2, 3} holds essentially all the mass
+    assert out["2"] > 0 and out["3"] > 0
+    assert min(out["0"], out["1"]) > out["4"]
+
+
+def test_personalized_pagerank_unknown_topic_raises(spark):
+    import pytest
+
+    from bigdata_hits_spark.operators.graph import Graph
+    from bigdata_hits_spark.operators.ranking import personalized_pagerank
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    nodes = spark.createDataFrame([("a", "x"), ("b", "x")], "id string, labels string")
+    with pytest.raises(ValueError):
+        personalized_pagerank(Graph(nodes=nodes, edges=edges), "nope", k=2)

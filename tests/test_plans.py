@@ -319,6 +319,7 @@ _BNLJ_ALLOWED = {
     # checkpoints truncate the visible plan to the last attach)
     "embedding_pca_top": 16,
     "embedding_pca_project": 16,
+    "community_modularity": 1,  # 2m one-row attach
 }
 
 
