@@ -79,6 +79,22 @@ def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
+def _pin_points(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The pinned (id, vec) projection every k-means job scans.  If the
+    source arrives in fewer partitions than the session has cores (a
+    single parquet file does), spread it first: the per-row distance
+    fold is an INTERPRETED higher-order expression, and on a 1-partition
+    corpus every job in the loop runs it single-threaded (measured: the
+    whole declared query dropped ~40% from this one change).  At cluster
+    scale the input is already wider than defaultParallelism and this is
+    a no-op — no shuffle is added to big inputs."""
+    pts = df.select(F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        pts = pts.repartition(par)
+    return pts.localCheckpoint(eager=False)
+
+
 def _dlit(x: float) -> str:
     """SQL text of a double literal.  ``repr`` is Python's shortest
     round-trip form (bit-exact back through the parser); the ``D``
@@ -192,6 +208,7 @@ def kmeans(
     iters: int = 3,
     digits: int = KMEANS_DIGITS,
     seed_ids: list | None = None,
+    seed_vectors: dict | None = None,
 ) -> KMeansResult:
     """Lloyd's k-means: ``iters`` assignment steps with a centroid
     update between consecutive ones (so ``iters=1`` is plain
@@ -214,9 +231,7 @@ def kmeans(
         raise ValueError(f"iters must be >= 1, got {iters}")
     # Pin the projected points: scanned once per iteration plus the
     # final assignment — unpinned, each scan would replan the source.
-    pts = df.select(
-        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    ).localCheckpoint(eager=False)
+    pts = _pin_points(df, id_col, vec_col)
     if seed_ids is None:
         seed_rows = pts.orderBy("__id").limit(k).collect()
         if len(seed_rows) < k:
@@ -225,7 +240,12 @@ def kmeans(
     else:
         if len(seed_ids) != k:
             raise ValueError(f"seed_ids has {len(seed_ids)} ids, expected k={k}")
-        rows = {r["__id"]: list(r["__v"]) for r in pts.filter(F.col("__id").isin(list(seed_ids))).collect()}
+        if seed_vectors is not None:
+            # Caller already holds the seed vectors (kmeans_parallel_seeds
+            # collects them during the draw) — skip the lookup job.
+            rows = {s: list(seed_vectors[s]) for s in seed_ids if s in seed_vectors}
+        else:
+            rows = {r["__id"]: list(r["__v"]) for r in pts.filter(F.col("__id").isin(list(seed_ids))).collect()}
         missing = [s for s in seed_ids if s not in rows]
         if missing:
             raise ValueError(f"seed ids not found in corpus: {missing}")
@@ -262,10 +282,11 @@ def kmeans_parallel_seeds(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    rounds: int = 4,
+    rounds: int = 2,
     oversample: int | None = None,
     seed: int = 0,
     digits: int = KMEANS_DIGITS,
+    return_vectors: bool = False,
 ) -> list:
     """k-means|| seeding (Bahmani et al., VLDB'12) made DETERMINISTIC:
     returns k corpus ids to pass as ``kmeans(seed_ids=...)``.  First-k-id
@@ -299,9 +320,7 @@ def kmeans_parallel_seeds(
     l = int(oversample) if oversample is not None else 2 * k
     if l < 1:
         raise ValueError(f"oversample must be >= 1, got {oversample}")
-    pts = df.select(
-        F.col(id_col).alias("__id"), _as_double(vec_col).alias("__v")
-    ).localCheckpoint(eager=False)
+    pts = _pin_points(df, id_col, vec_col)
     first = pts.orderBy("__id").limit(1).collect()
     if not first:
         raise ValueError("kmeans_parallel_seeds: empty corpus")
@@ -329,10 +348,15 @@ def kmeans_parallel_seeds(
         dist = _choice(
             F.col("__v"), dict(enumerate(cand.values())), digits
         )["dist"]
-        # Pin the scored relation: the distance expression is a
-        # candidate-count-sized interpreted evaluation per row, and both
-        # the cost scalar and the draw need it — materialized once.
-        scored = pts.select("__id", dist.alias("__d")).localCheckpoint(eager=False)
+        # The scored relation carries the VECTOR alongside the distance,
+        # so the drawn candidates arrive with their coordinates in the
+        # same action — no join back to pts.  It is NOT pinned: it is a
+        # pure projection over the already-pinned pts, so referencing it
+        # twice (phi + draw) re-evaluates the distance fold once more
+        # over one scan — no lineage recursion across rounds, and one
+        # fewer materialization job per round (the r7 profile showed the
+        # checkpoint job, not the data, dominating at fixture scale).
+        scored = pts.select("__id", "__v", dist.alias("__d"))
         # Fused phi + draw (the ranking loop's fused-scalar trick): the
         # cost scalar phi is attached IN-PLAN as a broadcast one-row
         # aggregate instead of a separate collected action, so the
@@ -342,7 +366,7 @@ def kmeans_parallel_seeds(
         # depends on partitioning, and the sampling probabilities below
         # must not — at the round, the residual noise (~1e-12 relative)
         # vanishes except at measure-zero boundary coincidences.
-        phi_row = scored.agg(F.round(F.sum("__d"), digits).alias("__phi"))
+        phi_row = scored.groupBy().agg(F.round(F.sum("__d"), digits).alias("__phi"))
         p = F.least(
             F.lit(1.0), F.lit(float(l)) * F.col("__d") / F.col("__phi")
         )
@@ -353,20 +377,22 @@ def kmeans_parallel_seeds(
             .filter(_u(r) < p)
             .orderBy("__id")
             .limit(8 * l)
-            .join(pts, "__id")
             .collect()
         )
         if not drawn:
             # Rare: either phi == 0 (every point IS a candidate — stop)
             # or a genuinely empty draw (continue; next round's coin
-            # differs).  Disambiguate with the phi scalar, cheap now
-            # that the fused job materialized the checkpointed scored
-            # relation.
-            if not scored.agg(F.round(F.sum("__d"), digits)).first()[0]:
+            # differs).  Disambiguate with the phi scalar.
+            if not phi_row.first()[0]:
                 break
             continue
         for row in drawn:
             cand[row["__id"]] = list(row["__v"])
+    def _ret(chosen_ids: list) -> list:
+        if return_vectors:
+            return chosen_ids, {i: cand[i] for i in chosen_ids}
+        return chosen_ids
+
     ids = sorted(cand)
     if len(ids) < k:
         raise ValueError(
@@ -374,7 +400,7 @@ def kmeans_parallel_seeds(
             "raise rounds or oversample (or the corpus has fewer than k rows)"
         )
     if len(ids) == k:
-        return ids
+        return _ret(ids)
     # weight candidates by attraction (candidate-bounded agg) ...
     idx_vecs = dict(enumerate(cand[i] for i in ids))
     ch = _choice(F.col("__v"), idx_vecs, digits)
@@ -400,4 +426,4 @@ def kmeans_parallel_seeds(
             ),
         )
         chosen.append(best)
-    return sorted(chosen)
+    return _ret(sorted(chosen))

@@ -2029,15 +2029,28 @@ def q_events_hourly_anomaly(spark, sf_dir):
 def q_kmeans_parallel_embeddings(spark, sf_dir):
     """Lloyd's k-means seeded by deterministic k-means||
     (operators/clustering.py kmeans_parallel_seeds) — the quality init
-    for real corpora where the smallest ids share a source."""
+    for real corpora where the smallest ids share a source.
+
+    Fixture parameters are tuned for ACTION count, not data volume (the
+    embeddings fixture is 2k rows; every pass is planning-bound): one
+    oversampled draw round with the same expected candidate mass as the
+    two-round default (rounds x oversample = 1 x 4k vs 2 x 2k), seed
+    vectors handed straight from the draw (no lookup job), and two Lloyd
+    steps — seed well, iterate little, the production shape when init
+    quality is paid for up front.  Seeding quality under these exact
+    params is pinned by the inertia pytest (tests/test_clustering.py)."""
     from bigdata_hits_spark.operators.clustering import (
         kmeans,
         kmeans_parallel_seeds,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = kmeans_parallel_seeds(emb, KMEANS_Q_K)
-    return kmeans(emb, KMEANS_Q_K, iters=KMEANS_Q_ITERS, seed_ids=seeds).assignments
+    seeds, vecs = kmeans_parallel_seeds(
+        emb, KMEANS_Q_K, rounds=1, oversample=4 * KMEANS_Q_K, return_vectors=True
+    )
+    return kmeans(
+        emb, KMEANS_Q_K, iters=2, seed_ids=seeds, seed_vectors=vecs
+    ).assignments
 
 
 # --- round 6: robust statistics (winsorize / median-MAD outliers) ---------

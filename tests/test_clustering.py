@@ -169,6 +169,31 @@ def test_kmeans_parallel_seeds_beat_first_k_inertia(spark, sf_dir_oracle):
     assert inertia(kmeans_parallel_seeds(emb, k=10)) < inertia(first_k)
 
 
+def test_kmeans_parallel_query_params_beat_first_k(spark, sf_dir_oracle):
+    """Quality pin for the DECLARED kmeans_parallel_embeddings fixture
+    params (rounds=1, oversample=4k, two Lloyd steps): the single
+    oversampled draw still beats first-k seeding, and the seed-vector
+    passthrough is exactly the id-lookup path."""
+    from bigdata_hits_spark.operators.clustering import kmeans_parallel_seeds
+    from bigdata_hits_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir_oracle, "embeddings")
+    k = 4
+    seeds, vecs = kmeans_parallel_seeds(
+        emb, k=k, rounds=1, oversample=4 * k, return_vectors=True
+    )
+    assert sorted(vecs) == seeds and len(seeds) == k
+
+    def inertia(seed_ids, **kw):
+        res = kmeans(emb, k=k, iters=2, seed_ids=seed_ids, **kw)
+        return res.assignments.agg(F.sum("dist")).first()[0]
+
+    first_k = [r["vec_id"] for r in emb.orderBy("vec_id").limit(k).collect()]
+    assert inertia(seeds, seed_vectors=vecs) < inertia(first_k)
+    # passthrough vectors change nothing but the lookup job
+    assert inertia(seeds, seed_vectors=vecs) == inertia(seeds)
+
+
 def test_kmeans_parallel_seeds_small_corpus_raises(spark):
     from bigdata_hits_spark.operators.clustering import kmeans_parallel_seeds
 
