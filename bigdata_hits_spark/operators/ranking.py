@@ -626,7 +626,12 @@ def personalized_pagerank(
         )
         return tvec, ns
 
-    tvec, ns = graph.memo(("ppr_seeds", topic), build_seeded)
+    # Memo key includes (weight, mode) like ("pagerank_edges", ...): tvec
+    # is content-identical across modes, but its pinned partitioning was
+    # chosen against node_ids prepared under the CURRENT (weight, mode) —
+    # reusing it under another mode would silently break the
+    # edges-never-move co-partitioning assumption.
+    tvec, ns = graph.memo(("ppr_seeds", topic, weight, mode), build_seeded)
     tele = (1.0 - beta) / float(ns)
     scores = tvec.select(
         "id",

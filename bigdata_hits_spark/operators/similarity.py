@@ -969,7 +969,16 @@ def standardize_embeddings(
     scan, exactly like the k-means literal-centroid assignment.
     Zero-variance dimensions standardize to 0.0 (the drop-a-dead-dim
     convention) instead of dividing by zero; values round to ``digits``
-    so the output is engine-portable."""
+    so the output is engine-portable.
+
+    The collected mu/sd are rounded to 12 digits BEFORE inlining (and
+    the oracle mirrors ROUND(mu, 12)/ROUND(sd, 12)): Spark's
+    partition-order-dependent AVG/STDDEV sums differ from an oracle's
+    independently computed stats by ~1e-15, and standardizing with
+    unrounded scalars would let that drift reach every z cell — the
+    round-every-cross-boundary-scalar discipline (kmeans phi, PCA
+    per-step pins).  mu/sd are sums/sqrts of float data, never exact
+    decimals, so the half-boundary landmine doesn't apply."""
     stats = (
         emb.select(F.posexplode(vec_col).alias("dim", "__v"))
         .select("dim", F.col("__v").cast("double").alias("__v"))
@@ -979,8 +988,8 @@ def standardize_embeddings(
     )
     by_dim = {r["dim"]: (r["mu"], r["sd"]) for r in stats}
     dims = sorted(by_dim)
-    mu_lit = F.array(*[F.lit(float(by_dim[d][0])) for d in dims])
-    sd_lit = F.array(*[F.lit(float(by_dim[d][1] or 0.0)) for d in dims])
+    mu_lit = F.array(*[F.lit(round(float(by_dim[d][0]), 12)) for d in dims])
+    sd_lit = F.array(*[F.lit(round(float(by_dim[d][1] or 0.0), 12)) for d in dims])
 
     def z(x, i):
         sd = F.element_at(sd_lit, i + 1)
@@ -995,6 +1004,36 @@ def standardize_embeddings(
     )
 
 
+def _mmr_greedy(pool_rows: list, k: int, lam: float, digits: int) -> list:
+    """The greedy MMR pick sequence for ONE query — shared verbatim by
+    the driver and the distributed arms of ``mmr_topk`` so "same
+    rounding, same tiebreaks, identical picks" is true by construction
+    (equality-tested in tests/test_similarity.py).  ``pool_rows`` is a
+    list of (cid, cosine, cvec, cnrm) tuples of plain Python floats;
+    returns (cid, rank, mmr) picks in selection order."""
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a[2], b[2]))
+        den = a[3] * b[3]
+        return num / den if den else 0.0
+
+    pool_rows = sorted(pool_rows, key=lambda r: (-r[1], r[0]))
+    chosen: list = []
+    out = []
+    while pool_rows and len(chosen) < k:
+        best = None
+        for r in pool_rows:
+            red = max((cos(r, c) for c in chosen), default=0.0)
+            score = round(lam * r[1] - (1.0 - lam) * red, digits)
+            # ties toward the smaller cid: compare (-score, cid)
+            if best is None or (-score, r[0]) < best[0]:
+                best = ((-score, r[0]), r, score)
+        chosen.append(best[1])
+        out.append((best[1][0], len(chosen), best[2]))
+        pool_rows = [r for r in pool_rows if r[0] != best[1][0]]
+    return out
+
+
 def mmr_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1004,6 +1043,7 @@ def mmr_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
+    distributed: bool = False,
 ) -> DataFrame:
     """(qid, cid, rank, mmr): Maximal Marginal Relevance diversified
     top-k — the retrieval reranker that trades raw cosine relevance
@@ -1013,12 +1053,15 @@ def mmr_topk(
     generation and whatever consumes the hits.
 
     Scale shape: the CLUSTER does the heavy part — an exact (or, at
-    real scale, LSH/IVF) top-``pool`` candidate pass per query — and
-    the greedy MMR selection runs driver-side over the collected
-    pool x (id, vector) rows, bounded by ``pool * n_queries`` like
-    every candidate-sized collect in this module.  Greedy selection is
-    inherently sequential (each pick changes the next margin), so
-    distributing it buys nothing at pool sizes that fit a reranker.
+    real scale, LSH/IVF) top-``pool`` candidate pass per query.  The
+    greedy selection is sequential PER QUERY (each pick changes the
+    next margin) but queries are independent, so ``distributed=True``
+    runs the identical greedy per query via
+    ``groupBy(qid).applyInPandas`` — zero driver state, the arm for a
+    real query load.  The default driver path collects the
+    pool x n_queries candidate rows (bounded, fine for reranker-sized
+    fixtures) and loops; both arms call the same ``_mmr_greedy`` kernel
+    so the pick sequences are identical by construction.
     Deterministic: scores round to ``digits`` before comparison and
     ties break toward the smaller candidate id, making the pick
     sequence a pure function of the data; declared rows-only (the
@@ -1027,38 +1070,47 @@ def mmr_topk(
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     cand = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    # cnrm from the SAME array<double> cast the dot products consume, so
+    # numerator and denominator share precision end to end (the cast is
+    # value-preserving float32->float64, so this is a consistency pin,
+    # not a value change).
+    cvec = F.col(vec_col).cast("array<double>")
     vecs = corpus.select(
         F.col(id_col).alias("cid"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
-        l2_norm(F.col(vec_col)).alias("cnrm"),
+        cvec.alias("cvec"),
+        l2_norm(cvec).alias("cnrm"),
     )
-    rows = cand.join(vecs, "cid").select("qid", "cid", "cosine", "cvec", "cnrm").collect()
+    joined = cand.join(vecs, "cid").select("qid", "cid", "cosine", "cvec", "cnrm")
+    qt = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {qt}, cid {qt}, rank int, mmr double"
+
+    if distributed:
+        import pandas as pd
+
+        def _per_query(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            qid = pdf["qid"].iloc[0]
+            pool_rows = [
+                (cid, float(cosv), [float(x) for x in vec], float(nrm))
+                for cid, cosv, vec, nrm in zip(
+                    pdf["cid"], pdf["cosine"], pdf["cvec"], pdf["cnrm"]
+                )
+            ]
+            picks = _mmr_greedy(pool_rows, k, lam, digits)
+            return pd.DataFrame(
+                [(qid, cid, rank, score) for cid, rank, score in picks],
+                columns=["qid", "cid", "rank", "mmr"],
+            )
+
+        return joined.groupBy("qid").applyInPandas(_per_query, out_schema)
+
+    rows = joined.collect()
     by_q: dict = {}
     for r in rows:
-        by_q.setdefault(r["qid"], []).append(r)
-
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a["cvec"], b["cvec"]))
-        den = a["cnrm"] * b["cnrm"]
-        return num / den if den else 0.0
-
+        by_q.setdefault(r["qid"], []).append(
+            (r["cid"], r["cosine"], list(r["cvec"]), r["cnrm"])
+        )
     out = []
     for qid in sorted(by_q):
-        pool_rows = sorted(by_q[qid], key=lambda r: (-r["cosine"], r["cid"]))
-        chosen: list = []
-        while pool_rows and len(chosen) < k:
-            best = None
-            for r in pool_rows:
-                red = max((cos(r, c) for c in chosen), default=0.0)
-                score = round(lam * r["cosine"] - (1.0 - lam) * red, digits)
-                # ties toward the smaller cid: compare (-score, cid)
-                if best is None or (-score, r["cid"]) < best[0]:
-                    best = ((-score, r["cid"]), r, score)
-            chosen.append(best[1])
-            out.append((qid, best[1]["cid"], len(chosen), best[2]))
-            pool_rows = [r for r in pool_rows if r["cid"] != best[1]["cid"]]
-    spark = corpus.sparkSession
-    qt = corpus.schema[id_col].dataType.simpleString()
-    return spark.createDataFrame(
-        out, f"qid {qt}, cid {qt}, rank int, mmr double"
-    )
+        for cid, rank, score in _mmr_greedy(by_q[qid], k, lam, digits):
+            out.append((qid, cid, rank, score))
+    return corpus.sparkSession.createDataFrame(out, out_schema)

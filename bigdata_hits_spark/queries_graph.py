@@ -71,7 +71,10 @@ def q_graph_triangles(spark, sf_dir):
     )
 
 
-def _label_propagation_sql(k: int = LP_ROUNDS) -> str:
+def _lp_ctes(k: int) -> list[str]:
+    """The unrolled label-propagation CTE chain (e0, sym, l0..lk) —
+    shared by the standalone LP oracle and the modularity-after-LP
+    composite, so both pin the identical round semantics."""
     ctes = [f"e0 AS ({derived.G_PP_EDGES_SQL})", _SYM_CTE]
     ctes.append("l0 AS (SELECT DISTINCT a AS id, a AS community FROM sym)")
     for i in range(1, k + 1):
@@ -83,7 +86,11 @@ def _label_propagation_sql(k: int = LP_ROUNDS) -> str:
             f"FROM sym s JOIN l{i - 1} l ON s.b = l.id "
             "GROUP BY s.a, l.community) WHERE rn = 1)"
         )
-    return "WITH " + ", ".join(ctes) + f" SELECT id, community FROM l{k}"
+    return ctes
+
+
+def _label_propagation_sql(k: int = LP_ROUNDS) -> str:
+    return "WITH " + ", ".join(_lp_ctes(k)) + f" SELECT id, community FROM l{k}"
 
 
 @register("graph_label_propagation", _label_propagation_sql())

@@ -3503,7 +3503,11 @@ _STANDARDIZE_SQL = (
     "WITH el AS (SELECT vec_id, unnest(range(len(embedding))) AS i, "
     "embedding AS v FROM embeddings), "
     "x AS (SELECT vec_id, i, CAST(v[i + 1] AS DOUBLE) AS x FROM el), "
-    "s AS (SELECT i, AVG(x) AS mu, STDDEV_SAMP(x) AS sd FROM x GROUP BY i) "
+    # mu/sd rounded to 12 digits on BOTH engines before standardizing, so
+    # each side's ~1e-15 float-sum-order drift cannot reach the z cells
+    # (mirrors operators/similarity.py standardize_embeddings).
+    "s AS (SELECT i, ROUND(AVG(x), 12) AS mu, "
+    "ROUND(STDDEV_SAMP(x), 12) AS sd FROM x GROUP BY i) "
     "SELECT x.vec_id AS id, x.i AS dim, "
     "ROUND(CASE WHEN s.sd > 0 THEN (x.x - s.mu) / s.sd ELSE 0.0 END, 6) AS z "
     "FROM x JOIN s ON s.i = x.i"
@@ -3720,6 +3724,33 @@ def q_ppr_topic(spark, sf_dir):
     return scores.select("id", F.round(F.col("score"), 7).alias("score"))
 
 
+def _ppr_weighted_sql() -> str:
+    from bigdata_hits_spark.oracles import ppr_oracle
+
+    return ppr_oracle(
+        derived.G_PP_EDGES_SQL,
+        derived.G_PP_NODES_SQL,
+        topic=derived.G_PP_TOPIC,
+        k=PPR_K,
+        weighted=True,
+    )
+
+
+@register("ppr_topic_weighted_k3", _ppr_weighted_sql())
+def q_ppr_topic_weighted(spark, sf_dir):
+    """Personalized PageRank with EDGE-STRENGTH transition mass
+    (operators/ranking.py personalized_pagerank, weight="weight"): the
+    recommendation-with-interaction-counts path — transition probability
+    proportional to edge weight instead of out-degree share.  Same
+    pinned-edge iteration shape as the unweighted row; only the
+    column-normalizer changes (SUM(weight) per src)."""
+    from bigdata_hits_spark.operators.ranking import personalized_pagerank
+
+    g = derived.g_pp(spark, sf_dir)
+    scores = personalized_pagerank(g, derived.G_PP_TOPIC, k=PPR_K, weight="weight")
+    return scores.select("id", F.round(F.col("score"), 7).alias("score"))
+
+
 # --- round 7: community quality (modularity) -------------------------------
 
 
@@ -3761,3 +3792,57 @@ def q_community_modularity(spark, sf_dir):
         g.nodes.select("id", F.col("labels").alias("community")),
         sym=_sym(g),
     )
+
+
+def _modularity_lp_sql() -> str:
+    from bigdata_hits_spark.queries_graph import LP_ROUNDS, _lp_ctes
+
+    ctes = _lp_ctes(LP_ROUNDS)
+    # sym feeds every LP round plus three modularity aggregates; am feeds
+    # three — pin both against DuckDB's re-inlining (the 2^refs landmine).
+    ctes[1] = ctes[1].replace("sym AS (", "sym AS MATERIALIZED (", 1)
+    ctes.append(
+        f"am AS MATERIALIZED (SELECT id, community FROM l{LP_ROUNDS})"
+    )
+    ctes.append(
+        "pairc AS (SELECT ca.community AS community, COUNT(*) AS internal_edges "
+        "FROM sym JOIN am ca ON ca.id = sym.a JOIN am cb ON cb.id = sym.b "
+        "WHERE ca.community = cb.community GROUP BY ca.community)"
+    )
+    ctes.append("deg AS (SELECT a AS id, COUNT(*) AS k FROM sym GROUP BY a)")
+    ctes.append(
+        "pc AS (SELECT community, COUNT(*) AS n_nodes, "
+        "SUM(COALESCE(k, 0)) AS degree_sum "
+        "FROM am LEFT JOIN deg ON deg.id = am.id GROUP BY community)"
+    )
+    ctes.append("m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM sym)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT pc.community, n_nodes, "
+        "COALESCE(internal_edges, 0) AS internal_edges, degree_sum, "
+        "ROUND(COALESCE(internal_edges, 0) / (SELECT m FROM m2) "
+        "- (degree_sum / (SELECT m FROM m2)) "
+        "* (degree_sum / (SELECT m FROM m2)), 6) AS contribution "
+        "FROM pc LEFT JOIN pairc ON pairc.community = pc.community"
+    )
+
+
+@register("community_modularity_lp", _modularity_lp_sql())
+def q_community_modularity_lp(spark, sf_dir):
+    """Modularity of the LABEL-PROPAGATION partition (graphalgs.py
+    label_propagation -> community_modularity): the "is the clustering
+    real" readout users run after LP — and an integration pin binding the
+    two operators' semantics (the oracle feeds the SAME unrolled LP CTE
+    into the same modularity aggregation).  LP's every-node-in-sym
+    assignment means n_nodes here counts connected nodes only; the
+    brand-partition row keeps the all-nodes convention."""
+    from bigdata_hits_spark.operators.graphalgs import (
+        community_modularity,
+        label_propagation,
+    )
+    from bigdata_hits_spark.queries_graph import LP_ROUNDS
+
+    g = derived.g_pp(spark, sf_dir)
+    sym = _sym(g)
+    assign = label_propagation(g.edges, k=LP_ROUNDS, sym=sym)
+    return community_modularity(g.edges, assign, sym=sym)

@@ -536,6 +536,31 @@ def test_mmr_topk_diversifies(spark):
     assert mmr_topk(df, queries, k=2, pool=4, lam=1.0).collect()[1]["cid"] in (1, 2)
 
 
+def test_mmr_topk_distributed_equals_driver(spark, sf_dir_oracle):
+    """The applyInPandas arm runs the IDENTICAL greedy kernel per query
+    (same rounding, same tiebreaks) — every (qid, cid, rank, mmr) row
+    must match the driver path exactly, on both a synthetic pool with
+    deliberate near-ties and the real embeddings fixture."""
+    from bigdata_hits_spark.operators.similarity import mmr_topk
+    from bigdata_hits_spark.sources.readers import load_table
+
+    rows = [
+        (i, [float((i * 3 + d * 5) % 11) + 0.5 for d in range(4)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 3")
+    for lam in (0.2, 0.7, 1.0):
+        drv = mmr_topk(df, queries, k=5, pool=10, lam=lam).collect()
+        dist = mmr_topk(df, queries, k=5, pool=10, lam=lam, distributed=True).collect()
+        assert sorted(map(tuple, drv)) == sorted(map(tuple, dist)), f"lam={lam}"
+
+    emb = load_table(spark, sf_dir_oracle, "embeddings")
+    q = emb.filter("vec_id % 100 = 0")
+    drv = mmr_topk(emb, q, k=5, pool=20, lam=0.7).collect()
+    dist = mmr_topk(emb, q, k=5, pool=20, lam=0.7, distributed=True).collect()
+    assert sorted(map(tuple, drv)) == sorted(map(tuple, dist))
+
+
 def test_mmr_topk_rejects_bad_lam(spark):
     import pytest
 
