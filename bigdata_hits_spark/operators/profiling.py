@@ -645,16 +645,35 @@ def pca_top_component(
     (``PCA_ITER_DIGITS``) make the trajectory a pure function of the
     data — deterministic across runs, partitionings, and engines (the
     declared oracle unrolls the same recurrence as a CTE chain)."""
+    cfull = _sym_covariance(df, vec_col)
+    v, _ = _power_iterate(cfull, iters)
+    return v.select("dim", F.round(F.col("v"), digits).alias("loading"))
+
+
+def _sym_covariance(df: DataFrame, vec_col: str) -> DataFrame:
+    """The full-symmetry covariance relation (i, j, cov), pinned — the
+    matrix every power iteration scans."""
     cov = array_covariance(df, vec_col=vec_col, digits=PCA_ITER_DIGITS)
-    cfull = cov.unionByName(
+    return cov.unionByName(
         cov.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
     ).localCheckpoint(eager=False)
+
+
+def _power_iterate(cfull: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
+    """``iters`` rounds of w = C v over a pinned symmetric matrix
+    relation (i, j, cov).  Returns (v, lam_row): the final normalized
+    vector (dim, v) and a one-row relation carrying the final norm
+    ||w|| rounded to PCA_ITER_DIGITS as ``__lam`` — the Rayleigh-
+    quotient stand-in the deflation step consumes (for a converged PSD
+    iteration ||Cv|| is the eigenvalue; rounded because it is a
+    cross-engine scalar like every other per-step pin)."""
     d_row = cfull.agg((F.countDistinct("i")).alias("d"))
     v = cfull.select(F.col("i").alias("dim")).distinct().crossJoin(
         F.broadcast(d_row)
     ).select("dim", F.round(F.lit(1.0) / F.sqrt(F.col("d")), PCA_ITER_DIGITS).alias("v"))
+    norm = None
     for t in range(iters):
         w = (
             cfull.join(v, cfull["j"] == v["dim"])
@@ -673,7 +692,95 @@ def pca_top_component(
             F.col("dim2").alias("dim"),
             F.round(F.col("w") / F.col("__n"), PCA_ITER_DIGITS).alias("v"),
         )
-    return v.select("dim", F.round(F.col("v"), digits).alias("loading"))
+    lam_row = norm.select(F.round(F.col("__n"), PCA_ITER_DIGITS).alias("__lam"))
+    return v, lam_row
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    r: int = 2,
+    iters: int = 15,
+    digits: int = 6,
+) -> DataFrame:
+    """(component, dim, loading) for the top ``r`` principal components
+    by power iteration WITH DEFLATION: after extracting v_c with
+    eigenvalue lambda_c (the final ||w|| of its iteration), the matrix
+    relation becomes C <- C - lambda_c * v_c v_c^T — still a dims^2
+    DataFrame, two broadcast dims-sized attaches and a projection — and
+    the next component re-iterates on it.  Everything after the one
+    corpus-sized covariance aggregate stays dims-sized, so top-r costs r
+    x iters dims-sized rounds regardless of corpus scale.
+
+    Engine portability (the declared-oracle contract): lambda and every
+    v cell are rounded per step at PCA_ITER_DIGITS, and the deflated
+    cell is computed as ``cov - lam * v_i * v_j`` with identical
+    left-associative order on both engines, so the deflated cells are
+    bit-identical IEEE results of identical-rounded operands; the next
+    trajectory then re-pins per step exactly like the first.  Deflated
+    cells are deliberately NOT re-rounded — they are exact-decimal
+    differences sitting ON half-boundaries, the PCA_ITER_DIGITS
+    landmine; the division by each step's irrational norm restores
+    genericity before the next round."""
+    if r < 1:
+        raise ValueError(f"r must be >= 1, got {r}")
+    cur = _sym_covariance(df, vec_col)
+    comps = []
+    for c in range(r):
+        v, lam_row = _power_iterate(cur, iters)
+        comps.append(
+            v.select(
+                F.lit(c).alias("component"),
+                "dim",
+                F.round(F.col("v"), digits).alias("loading"),
+            )
+        )
+        if c < r - 1:
+            vi = v.select(F.col("dim").alias("i"), F.col("v").alias("__vi"))
+            vj = v.select(F.col("dim").alias("j"), F.col("v").alias("__vj"))
+            cur = (
+                cur.join(F.broadcast(vi), "i")
+                .join(F.broadcast(vj), "j")
+                .crossJoin(F.broadcast(lam_row))
+                .select(
+                    "i",
+                    "j",
+                    (
+                        F.col("cov")
+                        - F.col("__lam") * F.col("__vi") * F.col("__vj")
+                    ).alias("cov"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = comps[0]
+    for c in comps[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def pca_project_components(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    r: int = 2,
+    iters: int = 15,
+    digits: int = 6,
+) -> DataFrame:
+    """(id, component, score): every vector's coordinates in the top-r
+    principal subspace — :func:`pca_components`' loading vectors (r x
+    dims rows, broadcast-sized) joined onto the posexploded corpus with
+    ONE (id, component)-keyed hash agg folding the dot products; the
+    r-D twin of :func:`pca_project`, same collapse-before-exchange
+    shape."""
+    v = pca_components(df, vec_col=vec_col, r=r, iters=iters, digits=PCA_ITER_DIGITS)
+    el = df.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("dim", "__x")
+    ).select("id", "dim", F.col("__x").cast("double").alias("__x"))
+    return (
+        el.join(F.broadcast(v), "dim")
+        .groupBy("id", "component")
+        .agg(F.round(F.sum(F.col("__x") * F.col("loading")), digits).alias("score"))
+    )
 
 
 def pca_project(

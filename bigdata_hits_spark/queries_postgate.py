@@ -3555,31 +3555,39 @@ def q_embedding_covariance(spark, sf_dir):
 PCA_ITERS = 15
 
 
-def _pca_chain(iters: int = PCA_ITERS) -> tuple:
-    # The Spark power iteration unrolled as a CTE chain: identical
-    # recurrence, identical per-step ROUND(..., 6) pins (operators/
-    # profiling.py PCA_ITER_DIGITS), so the trajectory is engine-exact.
-    # Returns (cte_sql, final_vector_cte_name).
-    parts = [
-        "WITH el AS (SELECT unnest(range(len(embedding))) AS i, "
-        "embedding AS v FROM embeddings), "
+def _pca_base() -> list:
+    # The covariance pipeline shared by every PCA oracle: el..cov..cf.
+    # cf is referenced by every unrolled iteration: MATERIALIZED, or
+    # DuckDB re-expands the whole covariance pipeline (and re-opens
+    # the parquet) per reference — 15 iterations blew EMFILE.
+    return [
+        "el AS (SELECT unnest(range(len(embedding))) AS i, "
+        "embedding AS v FROM embeddings)",
         "p AS (SELECT i, CAST(v[i + 1] AS DOUBLE) AS x, "
-        "unnest(range(len(v))) AS j, v FROM el), "
+        "unnest(range(len(v))) AS j, v FROM el)",
         "q AS (SELECT i, j, x, CAST(v[j + 1] AS DOUBLE) AS y FROM p "
-        "WHERE j >= i), "
+        "WHERE j >= i)",
         "a AS (SELECT i, j, COUNT(*) AS n, SUM(x * y) AS sxy, SUM(x) AS sx, "
-        "SUM(y) AS sy FROM q GROUP BY i, j), "
-        # cf is referenced by every unrolled iteration: MATERIALIZED, or
-        # DuckDB re-expands the whole covariance pipeline (and re-opens
-        # the parquet) per reference — 15 iterations blew EMFILE.
+        "SUM(y) AS sy FROM q GROUP BY i, j)",
         "cov AS MATERIALIZED (SELECT i, j, "
-        "ROUND((sxy - sx * sy / n) / n, 6) AS c FROM a), "
+        "ROUND((sxy - sx * sy / n) / n, 6) AS c FROM a)",
         "cf AS MATERIALIZED (SELECT i, j, c FROM cov "
-        "UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i < j), "
-        "v0 AS (SELECT DISTINCT i AS dim, "
-        "ROUND(1.0 / SQRT((SELECT COUNT(DISTINCT i) FROM cf)), 6) AS v FROM cf)"
+        "UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i < j)",
     ]
-    prev = "v0"
+
+
+def _pca_iter_chain(iters: int, mat: str, pfx: str = "") -> tuple:
+    # The Spark power iteration over matrix CTE ``mat`` unrolled as a
+    # CTE chain ({pfx}v0..{pfx}v{iters}): identical recurrence,
+    # identical per-step ROUND(..., 6) pins (operators/profiling.py
+    # PCA_ITER_DIGITS), so the trajectory is engine-exact.  Returns
+    # (cte_parts, final_vector_cte_name).
+    parts = [
+        f"{pfx}v0 AS (SELECT DISTINCT i AS dim, "
+        f"ROUND(1.0 / SQRT((SELECT COUNT(DISTINCT i) FROM {mat})), 6) AS v "
+        f"FROM {mat})"
+    ]
+    prev = f"{pfx}v0"
     # Every w/v CTE is MATERIALIZED: w{t} is referenced twice (norm +
     # division) and v{t} feeds the next round, so inlined CTEs re-expand
     # the whole chain — 2^iters work (measured: 3 iters 0.2 s, 6 iters
@@ -3590,19 +3598,26 @@ def _pca_chain(iters: int = PCA_ITERS) -> tuple:
     # double) disagree; see operators/profiling.py PCA_ITER_DIGITS.
     for t in range(1, iters + 1):
         parts.append(
-            f"w{t} AS MATERIALIZED (SELECT cf.i AS dim, "
-            f"SUM(cf.c * {prev}.v) AS w "
-            f"FROM cf JOIN {prev} ON {prev}.dim = cf.j GROUP BY cf.i)"
+            f"{pfx}w{t} AS MATERIALIZED (SELECT {mat}.i AS dim, "
+            f"SUM({mat}.c * {prev}.v) AS w "
+            f"FROM {mat} JOIN {prev} ON {prev}.dim = {mat}.j GROUP BY {mat}.i)"
         )
         parts.append(
-            f"n{t} AS (SELECT SQRT(SUM(w * w)) AS n FROM w{t})"
+            f"{pfx}n{t} AS (SELECT SQRT(SUM(w * w)) AS n FROM {pfx}w{t})"
         )
         parts.append(
-            f"v{t} AS MATERIALIZED (SELECT dim, "
-            f"ROUND(w / (SELECT n FROM n{t}), 6) AS v FROM w{t})"
+            f"{pfx}v{t} AS MATERIALIZED (SELECT dim, "
+            f"ROUND(w / (SELECT n FROM {pfx}n{t}), 6) AS v FROM {pfx}w{t})"
         )
-        prev = f"v{t}"
-    return ", ".join(parts), prev
+        prev = f"{pfx}v{t}"
+    return parts, prev
+
+
+def _pca_chain(iters: int = PCA_ITERS) -> tuple:
+    # Backwards-compatible single-component chain: base + iteration over
+    # cf, returned as ("WITH ...", final_vector_cte_name).
+    chain, prev = _pca_iter_chain(iters, "cf")
+    return "WITH " + ", ".join(_pca_base() + chain), prev
 
 
 def _pca_sql(iters: int = PCA_ITERS) -> str:
@@ -3672,6 +3687,50 @@ def q_embedding_pca_project(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project(emb, iters=PCA_ITERS)
+
+
+def _pca_top2_sql(iters: int = PCA_ITERS) -> str:
+    # Deflation unrolled: chain 1 over cf, then cf2 = cf - lam1 v1 v1^T
+    # with lam1 = the chain's final norm rounded at 6 (the SAME in-plan
+    # scalar pin the Spark side broadcasts), then chain 2 over cf2.
+    # Multiplication order matches operators/profiling.py
+    # pca_components exactly — (lam * v_i) * v_j, left-associative — so
+    # the deflated cells are bit-identical IEEE results on both engines
+    # and deliberately NOT re-rounded (exact-decimal half-boundary
+    # landmine; see PCA_ITER_DIGITS).
+    parts = _pca_base()
+    c1, prev1 = _pca_iter_chain(iters, "cf")
+    parts += c1
+    lam = f"(SELECT ROUND(n, 6) FROM n{iters})"
+    parts.append(
+        f"cf2 AS MATERIALIZED (SELECT cf.i, cf.j, "
+        f"cf.c - {lam} * a.v * b.v AS c "
+        f"FROM cf JOIN {prev1} a ON a.dim = cf.i "
+        f"JOIN {prev1} b ON b.dim = cf.j)"
+    )
+    c2, prev2 = _pca_iter_chain(iters, "cf2", "d")
+    parts += c2
+    return (
+        "WITH " + ", ".join(parts) + " "
+        f"SELECT 0 AS component, dim, ROUND(v, 6) AS loading FROM {prev1} "
+        f"UNION ALL "
+        f"SELECT 1 AS component, dim, ROUND(v, 6) AS loading FROM {prev2}"
+    )
+
+
+@register("embedding_pca_top2", _pca_top2_sql())
+def q_embedding_pca_top2(spark, sf_dir):
+    """Top TWO principal components by power iteration with deflation
+    (operators/profiling.py pca_components): after the first component,
+    the covariance relation — still a DataFrame — becomes
+    C - lam v v^T via two broadcast dims-sized attaches, and the second
+    trajectory re-iterates on it with the same per-step pins.  Every
+    post-covariance relation is dims-sized; orthogonality of the
+    extracted pair is pinned in tests/test_profiling.py."""
+    from bigdata_hits_spark.operators.profiling import pca_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_components(emb, r=2, iters=PCA_ITERS)
 
 
 #: Every 100th vector plays the query set for the MMR reranker row.

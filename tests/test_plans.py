@@ -319,7 +319,11 @@ _BNLJ_ALLOWED = {
     # checkpoints truncate the visible plan to the last attach)
     "embedding_pca_top": 16,
     "embedding_pca_project": 16,
+    # chain-2 norm attaches + the lam deflation attach (chain-1 plan is
+    # truncated behind the deflated matrix's lazy checkpoint)
+    "embedding_pca_top2": 18,
     "community_modularity": 1,  # 2m one-row attach
+    "community_modularity_lp": 1,  # 2m one-row attach
 }
 
 

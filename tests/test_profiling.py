@@ -288,3 +288,64 @@ def test_pca_top_component_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, pca_top_component(df, iters=8).collect()))
     b = sorted(map(tuple, pca_top_component(df.repartition(9), iters=8).collect()))
     assert a == b
+
+
+def test_pca_components_orthogonal_and_match_numpy(spark):
+    """Deflation extracts the top-2 eigenpair directions: each loading
+    vector is unit-norm, the pair is near-orthogonal (finite iterations
+    + 6-digit per-step rounding bound the residual), component 0 equals
+    pca_top_component, and both align with numpy's eigh."""
+    import numpy as np
+
+    from bigdata_hits_spark.operators.profiling import (
+        pca_components,
+        pca_top_component,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(200, 4)) * np.array([2.0, 1.0, 0.3, 0.1])
+    df = spark.createDataFrame(
+        [(r.tolist(),) for r in base], "embedding array<double>"
+    )
+    got = pca_components(df, r=2, iters=15).collect()
+    V = np.zeros((2, 4))
+    for r in got:
+        V[r["component"], r["dim"]] = r["loading"]
+    assert abs(np.linalg.norm(V[0]) - 1.0) < 1e-5
+    assert abs(np.linalg.norm(V[1]) - 1.0) < 1e-5
+    assert abs(float(np.dot(V[0], V[1]))) < 1e-3
+    cov = np.cov(base.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    assert abs(abs(float(np.dot(V[0], evecs[:, -1]))) - 1.0) < 1e-3
+    assert abs(abs(float(np.dot(V[1], evecs[:, -2]))) - 1.0) < 1e-3
+    top1 = {r["dim"]: r["loading"] for r in pca_top_component(df, iters=15).collect()}
+    for r in got:
+        if r["component"] == 0:
+            assert r["loading"] == top1[r["dim"]]
+
+
+def test_pca_project_components_is_per_component_dot(spark):
+    import numpy as np
+
+    from bigdata_hits_spark.operators.profiling import (
+        pca_components,
+        pca_project_components,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(60, 3)) * np.array([2.0, 0.7, 0.2])
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    V = np.zeros((2, 3))
+    for r in pca_components(df, r=2, iters=12).collect():
+        V[r["component"], r["dim"]] = r["loading"]
+    got = {
+        (r["id"], r["component"]): r["score"]
+        for r in pca_project_components(df, r=2, iters=12).collect()
+    }
+    assert len(got) == 120
+    for i in range(60):
+        for c in range(2):
+            assert abs(got[(i, c)] - float(np.dot(base[i], V[c]))) < 1e-4
