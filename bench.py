@@ -200,6 +200,59 @@ def main() -> None:
         _run_pass(str(_pass), headline_order)
     _storage_line("before extras")
     _run_pass("extras", extra_order)
+
+    # Extras regression detector: extras are timed in ONE pass (round-7
+    # methodology), so a single first-touch stall is indistinguishable
+    # from a real regression in the record (round-7's quantize_embeddings
+    # read 7.1 s vs a 1.2 s prior min with no plan change).  Any extra
+    # reading >2x its PRIOR-ROUND record gets two bounded re-timings;
+    # the record keeps BOTH the first reading and the re-timings
+    # (detail["retimed"]), and the per-query number becomes the min —
+    # two fast re-timings mark the anomaly confirmed-noise, two slow
+    # ones make the regression a number nobody can wave away.
+    prior_extras: dict[str, float] = {}
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior_records = sorted(
+        f for f in os.listdir(repo_dir)
+        if f.startswith("BENCH_local_r") and f.endswith(".json")
+    )
+    if prior_records:
+        try:
+            with open(os.path.join(repo_dir, prior_records[-1])) as f:
+                prior = json.load(f)
+            prior_extras = {
+                k: v
+                for k, v in prior.get("extra_queries", {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+        except (OSError, ValueError) as e:
+            print(f"bench retime: prior record unreadable ({e})", file=sys.stderr)
+    retimed: dict[str, dict] = {}
+    for name in extra_order:
+        first = timings.get(name, -1.0)
+        prev = prior_extras.get(name)
+        if first < 0 or prev is None or first <= 2.0 * prev:
+            continue
+        runs = []
+        for _ in range(2):
+            gc.collect()
+            t0 = time.time()
+            try:
+                registry[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(round(time.time() - t0, 3))
+            except Exception as e:
+                print(f"bench retime error in {name}: {e}", file=sys.stderr)
+                break
+        if runs:
+            retimed[name] = {"first": first, "prior": prev, "retimes": runs}
+            timings[name] = min([first, *runs])
+            print(
+                f"bench retime {name}: first={first} prior={prev} "
+                f"retimes={runs}",
+                file=sys.stderr,
+            )
     headline = {n: t for n, t in timings.items() if n in headline_names}
     extra = {n: t for n, t in timings.items() if n not in headline_names}
     total = round(sum(t for t in headline.values() if t >= 0), 3)
@@ -217,6 +270,7 @@ def main() -> None:
         "extra_queries": extra,
         "extra_sec": extra_sec,
         "canary_sec": canaries,
+        "retimed": retimed,
         "sf": sf,
     }
     detail_path = os.path.join(

@@ -690,3 +690,58 @@ def dedup_rate_by_group(
             F.lit(1.0) - F.count(F.lit(1)) / F.sum("__n"), digits
         ).alias("dup_rate"),
     ).select(F.col("grp").alias(group_col), "n_docs", "n_unique", "dup_rate")
+
+
+def duplicated_ngram_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    digits: int = 7,
+) -> DataFrame:
+    """(id, n_shingles, n_dup, dup_fraction): per-document fraction of
+    its distinct k-word shingles that also occur in at least
+    ``min_docs - 1`` OTHER documents — the span-level duplication signal
+    behind substring-dedup decisions (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a high fraction with
+    no full-document near-dup match marks boilerplate-heavy or
+    template-stitched text that pairwise dedup keeps.
+
+    Plan: the per-doc-distinct shingle postings hash to portable md5
+    longs, ONE long-keyed hash agg counts each shingle's document
+    frequency (per-doc-distinct input makes COUNT(*) == distinct-doc
+    count), the df relation joins back on the same long key, and one
+    id-keyed agg folds the per-doc counts — two narrow exchanges on
+    longs, never on shingle strings; docs shorter than the shingle
+    width surface with zero counts via the left join (full-corpus
+    output, like every per-doc profile).  All counts are exact
+    integers; the final division is the only float, bit-identical
+    across engines."""
+    from bigdata_hits_spark.functions.text import token_hash
+
+    sh = shingle_set(docs, id_col, text_col)
+    tok = sh.select("id", token_hash(F.col("shingle")).alias("__h"))
+    dfc = tok.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    per = (
+        tok.join(dfc, "__h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__df") >= min_docs, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).alias("n_dup"),
+            F.round(
+                F.coalesce(F.col("n_dup") / F.col("n_shingles"), F.lit(0.0)),
+                digits,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -582,3 +582,63 @@ def stratified_sample_portable(
     if arms is None:
         return df.filter(F.lit(False))
     return df.filter(arms)
+
+
+def domain_reweight_plan(
+    df: DataFrame,
+    group_col: str,
+    targets: dict,
+    weight_col: str | None = None,
+    max_rate: float | None = None,
+    digits: int = 7,
+) -> DataFrame:
+    """(group, n_rows, weight, current_share, target_share, rate): the
+    per-domain sampling rates that steer a corpus toward TARGET weight
+    shares — the planning step in front of :func:`mixture_sample` (feed
+    the ``rate`` column straight in as ``rates``), i.e. the static
+    domain-reweighting move of DoReMi-style recipes with the target
+    distribution supplied instead of learned.
+
+    ``targets`` maps group -> target share and must sum to ~1; groups
+    not named are excluded from the plan (and thus dropped by the
+    mixture — mixture_sample's convention).  ``weight_col`` is the
+    per-row mass (token counts for token-share targets); None weights
+    rows equally.  rate_g = target_g * total_w / w_g, optionally capped
+    at ``max_rate`` (upsample ceilings; a capped plan's realized shares
+    shift, which is visible right in the output).  Everything before
+    the division is exact integers + one exact literal, so rates are
+    bit-identical across engines before the final round.
+
+    Plan: one group-keyed hash agg (map-side combined), the group-count
+    -sized total rides in-plan as a broadcast one-row aggregate, then a
+    pure projection — nothing row-sized leaves the cluster."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    for g, s in targets.items():
+        if not (0.0 < float(s) <= 1.0):
+            raise ValueError(f"target share for {g!r} must be in (0, 1], got {s}")
+    ssum = sum(float(s) for s in targets.values())
+    if abs(ssum - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1 (got {ssum})")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    grp = (
+        df.filter(F.col(group_col).isin(list(targets)))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum(w).alias("weight"))
+    )
+    total = grp.agg(F.sum("weight").alias("__total"))
+    ts = None
+    for g, s in targets.items():
+        cond = F.col(group_col) == F.lit(g)
+        ts = F.when(cond, F.lit(float(s))) if ts is None else ts.when(cond, F.lit(float(s)))
+    rate = ts * F.col("__total") / F.col("weight")
+    if max_rate is not None:
+        rate = F.least(rate, F.lit(float(max_rate)))
+    return grp.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_rows",
+        "weight",
+        F.round(F.col("weight") / F.col("__total"), digits).alias("current_share"),
+        ts.alias("target_share"),
+        F.round(rate, digits).alias("rate"),
+    )

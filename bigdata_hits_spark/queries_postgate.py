@@ -3905,3 +3905,82 @@ def q_community_modularity_lp(spark, sf_dir):
     sym = _sym(g)
     assign = label_propagation(g.edges, k=LP_ROUNDS, sym=sym)
     return community_modularity(g.edges, assign, sym=sym)
+
+
+# --- round 8: span-level duplication profile -------------------------------
+
+DUPNGRAM_MIN_DOCS = 2
+
+
+def _dup_ngram_sql() -> str:
+    from bigdata_hits_spark.queries_dedup import _SHINGLE_CTES
+
+    h = duck_hex_to_long("md5(shingle)", 8)
+    return (
+        f"WITH {_SHINGLE_CTES}, "
+        f"tok AS (SELECT id, {h} AS h FROM sh), "
+        "dfc AS (SELECT h, COUNT(*) AS df FROM tok GROUP BY h), "
+        "per AS (SELECT id, COUNT(*) AS n_shingles, "
+        f"CAST(SUM(CASE WHEN df >= {DUPNGRAM_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup "
+        "FROM tok JOIN dfc ON dfc.h = tok.h GROUP BY id) "
+        "SELECT d.doc_id AS id, COALESCE(n_shingles, 0) AS n_shingles, "
+        "COALESCE(n_dup, 0) AS n_dup, "
+        "ROUND(COALESCE(n_dup / n_shingles, 0.0), 7) AS dup_fraction "
+        "FROM documents d LEFT JOIN per ON per.id = d.doc_id"
+    )
+
+
+@register("dedup_ngram_profile", _dup_ngram_sql())
+def q_dedup_ngram_profile(spark, sf_dir):
+    """Per-document cross-doc duplicated-shingle fraction
+    (operators/dedup.py duplicated_ngram_profile): the span-level
+    duplication signal pairwise dedup misses — boilerplate and template
+    stitching.  Two narrow long-keyed exchanges; full-corpus output."""
+    from bigdata_hits_spark.operators.dedup import duplicated_ngram_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_ngram_profile(docs, min_docs=DUPNGRAM_MIN_DOCS)
+
+
+# --- round 8: domain reweighting plan --------------------------------------
+
+REWEIGHT_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def _reweight_sql() -> str:
+    srcs = ", ".join(f"'{g}'" for g in REWEIGHT_TARGETS)
+    case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{g}' THEN CAST({float(s)!r} AS DOUBLE)"
+            for g, s in REWEIGHT_TARGETS.items()
+        )
+        + " END"
+    )
+    return (
+        "WITH w AS (SELECT source, COUNT(*) AS n_rows, "
+        "CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS weight "
+        f"FROM documents WHERE source IN ({srcs}) GROUP BY source), "
+        "t AS (SELECT CAST(SUM(weight) AS BIGINT) AS total FROM w) "
+        "SELECT source, n_rows, weight, "
+        "ROUND(weight / total, 7) AS current_share, "
+        f"{case} AS target_share, "
+        f"ROUND({case} * total / weight, 7) AS rate "
+        "FROM w CROSS JOIN t"
+    )
+
+
+@register("domain_reweight_plan", _reweight_sql())
+def q_domain_reweight_plan(spark, sf_dir):
+    """Token-share domain reweighting plan (operators/sampling.py
+    domain_reweight_plan): the per-source rates that steer the retained
+    mixture to the target token shares, ready to feed mixture_sample.
+    One group-keyed agg + an in-plan one-row total attach."""
+    from bigdata_hits_spark.functions import text as TX
+    from bigdata_hits_spark.operators.sampling import domain_reweight_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_n = docs.select(
+        "source", F.size(TX.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return domain_reweight_plan(with_n, "source", REWEIGHT_TARGETS, weight_col="n_tokens")

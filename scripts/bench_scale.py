@@ -58,12 +58,25 @@ SMOKE = [
     "pack_docs_nextfit",
     "events_sessionize",
     "events_cooccurrence_hourly",
+    # round-7/8 families (VERDICT r7 #4): the operators whose scale story
+    # is newest — dims-sized PCA iteration (should be near-flat: only the
+    # one covariance agg sees the corpus), seed-restricted PageRank,
+    # modularity scoring (alone and over the LP partition), the MMR
+    # rerank, and deflation-based top-2 PCA.
+    "embedding_pca_top",
+    "embedding_pca_project",
+    "embedding_pca_top2",
+    "ppr_topic_k3",
+    "ppr_topic_weighted_k3",
+    "community_modularity",
+    "community_modularity_lp",
+    "retrieval_mmr",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.scale/sf1")
-    out = "BENCH_sf1_r07.json"
+    out = "BENCH_sf1_r08.json"
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
     passes = 2

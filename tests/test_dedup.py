@@ -279,3 +279,28 @@ class TestLevenshteinNearDup:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicated_ngram_profile(spark):
+    """A and B share one 3-gram span, C is unique, D is too short to
+    shingle — counts and fractions per the cross-doc df >= 2 rule."""
+    from bigdata_hits_spark.operators.dedup import duplicated_ngram_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # 3 shingles
+            (2, "a lazy the quick brown fox nod"), # 5 shingles, shares 2 with 1
+            (3, "entirely different words here now"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in duplicated_ngram_profile(docs).collect()}
+    assert got[1]["n_shingles"] == 3 and got[1]["n_dup"] == 2
+    assert got[2]["n_shingles"] == 5 and got[2]["n_dup"] == 2
+    assert got[3]["n_dup"] == 0
+    assert got[4]["n_shingles"] == 0 and got[4]["dup_fraction"] == 0.0
+    assert got[1]["dup_fraction"] == round(2 / 3, 7)
+    # deterministic across partitionings
+    again = {r["id"]: r for r in duplicated_ngram_profile(docs.repartition(3)).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in again.items()}

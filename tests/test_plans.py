@@ -324,6 +324,7 @@ _BNLJ_ALLOWED = {
     "embedding_pca_top2": 18,
     "community_modularity": 1,  # 2m one-row attach
     "community_modularity_lp": 1,  # 2m one-row attach
+    "domain_reweight_plan": 1,  # total-weight one-row attach
 }
 
 

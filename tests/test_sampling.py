@@ -487,3 +487,52 @@ def test_pack_documents_nextfit_oversized_doc_isolated(spark):
     assert len(big) == 1
     # the oversized doc shares its pack with nobody
     assert sum(1 for r in out if r["pack_id"] == big[0]["pack_id"]) == 1
+
+
+def test_domain_reweight_plan_feeds_mixture(spark):
+    """Rates steer the mixture toward the target shares: plan on a
+    skewed two-group corpus, feed the rates to mixture_sample, and the
+    realized weight shares land near the targets; guards reject bad
+    target specs; the one-row total attach keeps everything in-plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.operators.sampling import (
+        domain_reweight_plan,
+        mixture_sample,
+    )
+
+    rows = [(i, "a", 10) for i in range(900)] + [
+        (i + 900, "b", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    plan = domain_reweight_plan(
+        df, "source", {"a": 0.5, "b": 0.5}, weight_col="n_tokens"
+    )
+    got = {r["source"]: r for r in plan.collect()}
+    assert got["a"]["current_share"] == 0.9 and got["b"]["current_share"] == 0.1
+    assert got["a"]["rate"] == round(0.5 / 0.9, 7)
+    assert got["b"]["rate"] == 5.0
+    rates = {r["source"]: r["rate"] for r in plan.collect()}
+    mixed = mixture_sample(df, "source", rates, key_col="doc_id")
+    shares = {
+        r["source"]: r["w"]
+        for r in mixed.groupBy("source").agg(F.sum("n_tokens").alias("w")).collect()
+    }
+    tot = sum(shares.values())
+    assert abs(shares["a"] / tot - 0.5) < 0.05
+    assert abs(shares["b"] / tot - 0.5) < 0.05
+    # capped plan
+    capped = {
+        r["source"]: r["rate"]
+        for r in domain_reweight_plan(
+            df, "source", {"a": 0.5, "b": 0.5}, weight_col="n_tokens", max_rate=2.0
+        ).collect()
+    }
+    assert capped["b"] == 2.0
+    with pytest.raises(ValueError, match="sum to 1"):
+        domain_reweight_plan(df, "source", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        domain_reweight_plan(df, "source", {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        domain_reweight_plan(df, "source", {})
