@@ -642,3 +642,34 @@ def domain_reweight_plan(
         ts.alias("target_share"),
         F.round(rate, digits).alias("rate"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    portable: bool = True,
+) -> DataFrame:
+    """:func:`deterministic_split` keyed on the NEAR-DUP COMPONENT
+    instead of the row id, so every member of a duplicate family lands
+    in the SAME split — the leakage guard for train/val/test
+    construction (a near-copy of a val document sitting in train is
+    contamination that row-keyed splitting cannot prevent).
+
+    ``components`` is the (id, component) relation from the dedup
+    machinery (operators/components.py over MinHash/SimHash pairs);
+    rows absent from it are singletons and split on their own id.  The
+    join is id-keyed and component is the only added traffic; the split
+    itself stays a pure projection.  ``portable=True`` (default here,
+    unlike the row-keyed splitter) because a leakage contract is
+    exactly the split a downstream trainer must be able to re-derive."""
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("__comp")
+    )
+    withc = df.join(comp, id_col, "left").withColumn(
+        "__key", F.coalesce(F.col("__comp"), F.col(id_col)).cast("string")
+    )
+    out = deterministic_split(withc, "__key", weights, seed=seed, portable=portable)
+    return out.drop("__comp", "__key")

@@ -3984,3 +3984,82 @@ def q_domain_reweight_plan(spark, sf_dir):
         "source", F.size(TX.tokens(F.col("text"))).alias("n_tokens")
     )
     return domain_reweight_plan(with_n, "source", REWEIGHT_TARGETS, weight_col="n_tokens")
+
+
+# --- round 8: leakage-safe splits + r-D PCA projection ---------------------
+
+
+def _leakage_split_sql() -> str:
+    from bigdata_hits_spark.operators.sampling import _SPLIT_BUCKETS
+    from bigdata_hits_spark.queries_dedup import _components_sql
+
+    comp_sql = _components_sql()
+    comp_tail = " SELECT id, MIN(comp) AS component FROM reach GROUP BY id"
+    ctes = comp_sql.split(comp_tail, 1)[0]
+    hex_long = duck_hex_to_long(
+        "md5('0|' || CAST(COALESCE(c.component, d.doc_id) AS VARCHAR))", 8
+    )
+    bucket = f"({hex_long} % {_SPLIT_BUCKETS})"
+    # Cumulative 1/10000-granularity ranges from SPLIT_WEIGHTS, identical
+    # to the Spark when-chain: [0, 8000) train, [8000, 9000) val, rest.
+    return (
+        ctes
+        + ", comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id) "
+        "SELECT d.doc_id, d.source, "
+        f"CASE WHEN {bucket} < 8000 THEN 'train' "
+        f"WHEN {bucket} < 9000 THEN 'val' ELSE 'test' END AS split "
+        "FROM documents d LEFT JOIN comp c ON c.id = d.doc_id"
+    )
+
+
+@register("leakage_safe_split_docs", _leakage_split_sql())
+def q_leakage_safe_split_docs(spark, sf_dir):
+    """Train/val/test assignment keyed on the MinHash near-dup COMPONENT
+    (operators/sampling.py leakage_safe_split): every member of a
+    duplicate family lands in the same split, the contamination guard
+    row-keyed splitting cannot give.  The oracle recomputes the identical
+    components (recursive CTE over the same pair query) and the identical
+    md5 bucket from the component key."""
+    from bigdata_hits_spark.operators.components import connected_components
+    from bigdata_hits_spark.operators.sampling import leakage_safe_split
+    from bigdata_hits_spark.queries_dedup import MINHASH_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_duplicates(docs, threshold=MINHASH_THRESHOLD)
+    comps = connected_components(pairs)
+    return leakage_safe_split(
+        docs.select("doc_id", "source"), comps, dict(SPLIT_WEIGHTS)
+    )
+
+
+def _pca_project2_sql(iters: int = PCA_ITERS) -> str:
+    # The top-2 deflation chain, then one (vector x component) dot fold —
+    # the r-D twin of _pca_project_sql.
+    top2 = _pca_top2_sql(iters)
+    ctes = top2.split(" SELECT 0 AS component, dim,", 1)[0]
+    final1 = f"v{iters}"
+    final2 = f"dv{iters}"
+    return (
+        ctes
+        + f", vv AS (SELECT 0 AS component, dim, v FROM {final1} "
+        f"UNION ALL SELECT 1 AS component, dim, v FROM {final2}), "
+        "el2 AS (SELECT vec_id, unnest(range(len(embedding))) AS i, "
+        "embedding AS v2 FROM embeddings), "
+        "x2 AS (SELECT vec_id, i, CAST(v2[i + 1] AS DOUBLE) AS x FROM el2) "
+        "SELECT x2.vec_id AS id, vv.component, "
+        "ROUND(SUM(x2.x * vv.v), 6) AS score "
+        "FROM x2 JOIN vv ON vv.dim = x2.i GROUP BY x2.vec_id, vv.component"
+    )
+
+
+@register("embedding_pca_project2", _pca_project2_sql())
+def q_embedding_pca_project2(spark, sf_dir):
+    """Every vector's coordinates in the top-2 principal subspace
+    (operators/profiling.py pca_project_components): the r x dims
+    loading relation broadcast-joins the posexploded corpus, one
+    (id, component)-keyed hash agg folds both dot products in a single
+    pass — the 2-D curriculum/visualization embedding."""
+    from bigdata_hits_spark.operators.profiling import pca_project_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project_components(emb, r=2, iters=PCA_ITERS)

@@ -322,6 +322,7 @@ _BNLJ_ALLOWED = {
     # chain-2 norm attaches + the lam deflation attach (chain-1 plan is
     # truncated behind the deflated matrix's lazy checkpoint)
     "embedding_pca_top2": 18,
+    "embedding_pca_project2": 18,
     "community_modularity": 1,  # 2m one-row attach
     "community_modularity_lp": 1,  # 2m one-row attach
     "domain_reweight_plan": 1,  # total-weight one-row attach

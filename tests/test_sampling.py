@@ -536,3 +536,34 @@ def test_domain_reweight_plan_feeds_mixture(spark):
         domain_reweight_plan(df, "source", {"a": 1.5, "b": -0.5})
     with pytest.raises(ValueError, match="non-empty"):
         domain_reweight_plan(df, "source", {})
+
+
+def test_leakage_safe_split_groups_families(spark):
+    """Members of a dup family share a split; singletons split on their
+    own id exactly like deterministic_split; splits stay exhaustive."""
+    from bigdata_hits_spark.operators.sampling import (
+        deterministic_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(200)], "doc_id long, source string"
+    )
+    comps = spark.createDataFrame(
+        [(i, (i // 10) * 10) for i in range(100)], "id long, component long"
+    )
+    out = leakage_safe_split(docs, comps, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 200 and set(rows.values()) <= {"train", "val", "test"}
+    for i in range(100):
+        assert rows[i] == rows[(i // 10) * 10], f"doc {i} left its family"
+    # singletons (100..199) match the row-keyed portable split on doc_id
+    single = docs.filter("doc_id >= 100")
+    want = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(
+            single, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, portable=True
+        ).collect()
+    }
+    for i in range(100, 200):
+        assert rows[i] == want[i]
