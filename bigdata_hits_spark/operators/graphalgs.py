@@ -593,3 +593,77 @@ def community_modularity(
             ).alias("contribution"),
         )
     )
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    k: int = 3,
+    alpha: float = 0.5,
+    src: str = "src",
+    dst: str = "dst",
+    id_col: str = "id",
+    value_col: str = "value",
+    sym: DataFrame | None = None,
+    digits: int = 7,
+) -> DataFrame:
+    """(id, value): ``k`` synchronous rounds of graph feature smoothing
+    with restart — v <- (1-alpha)*v0 + alpha*mean(neighbor v) over the
+    undirected graph — the node-feature twin of personalized PageRank:
+    denoise a per-node signal (price, quality score, embedding
+    coordinate) by its neighborhood, impute weakly-observed nodes from
+    well-observed neighbors, build "smoothed feature" model inputs.
+    Nodes without neighbors keep v0 (their neighbor term coalesces to
+    v0, so the blend is the identity).
+
+    Same pinned-edge scale shape as the ranking loops: the symmetric
+    edge relation is built and shuffled ONCE; each round is one
+    edge⋈value equi-join + one node-keyed mean + a node-sized blend
+    projection, lineage cut per round.  No driver scalar exists, so all
+    rounds compose into one lazy plan.
+
+    Engine portability: only the BLEND is rounded (to ``digits``), and
+    the blend always mixes in ``(1-alpha) * v0`` — so as long as v0 is
+    GENERIC (not an exact short decimal; a z-scored input is, since the
+    divide-by-irrational-stddev makes it non-terminating), every
+    rounded value sits far from decimal half-boundaries and the ~1e-15
+    float-sum drift in the neighbor mean vanishes at the round.  The
+    neighbor mean itself is deliberately NOT rounded: means of rounded
+    7-digit values over small degrees land ON half-boundaries (the
+    PCA_ITER_DIGITS landmine); the generic v0 term restores genericity
+    before the only round.  alpha=1 would break this argument — the
+    guard refuses it."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= alpha < 1.0:
+        raise ValueError(
+            f"alpha must be in [0, 1) (the v0 term is the rounding-"
+            f"genericity anchor, see docstring), got {alpha}"
+        )
+    if sym is None:
+        sym = materialize(symmetric_edges(edges, src, dst).repartition("b"))
+    f0 = materialize(
+        features.select(
+            F.col(id_col).alias("id"), F.col(value_col).cast("double").alias("__v0")
+        )
+    )
+    cur = f0.select("id", F.col("__v0").alias("__v"))
+    for i in range(k):
+        nbr = (
+            sym.join(cur, sym["b"] == cur["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.avg("__v").alias("__m"))
+        )
+        cur = (
+            f0.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(1.0 - alpha) * F.col("__v0")
+                    + F.lit(alpha) * F.coalesce(F.col("__m"), F.col("__v0")),
+                    digits,
+                ).alias("__v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur.select("id", F.col("__v").alias(value_col))

@@ -4063,3 +4063,70 @@ def q_embedding_pca_project2(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project_components(emb, r=2, iters=PCA_ITERS)
+
+
+# --- round 8: graph feature smoothing --------------------------------------
+
+FEATSMOOTH_K = 3
+FEATSMOOTH_ALPHA = 0.5
+
+
+def _featsmooth_sql() -> str:
+    # z-score v0 with 12-digit-pinned mu/sd (the standardize discipline):
+    # the divide-by-irrational-stddev makes v0 generic, which is what
+    # keeps every per-round blend ROUND(...) off decimal half-boundaries
+    # (operators/graphalgs.py feature_propagation docstring).  sym and f0
+    # feed every unrolled round: MATERIALIZED.
+    a = FEATSMOOTH_ALPHA
+    ctes = [
+        f"e0 AS ({derived.G_PP_EDGES_SQL})",
+        _SYM_CTE.replace("sym AS (", "sym AS MATERIALIZED (", 1),
+        "st AS (SELECT ROUND(AVG(p_retailprice), 12) AS mu, "
+        "ROUND(STDDEV_SAMP(p_retailprice), 12) AS sd FROM part)",
+        "f0 AS MATERIALIZED (SELECT 'P' || p_partkey AS id, "
+        "(p_retailprice - (SELECT mu FROM st)) / (SELECT sd FROM st) AS v "
+        "FROM part)",
+    ]
+    prev = "f0"
+    for i in range(1, FEATSMOOTH_K + 1):
+        ctes.append(
+            f"n{i} AS (SELECT s.a AS id, AVG(f.v) AS m "
+            f"FROM sym s JOIN {prev} f ON f.id = s.b GROUP BY s.a)"
+        )
+        ctes.append(
+            f"f{i} AS MATERIALIZED (SELECT f0.id, "
+            f"ROUND({1.0 - a!r} * f0.v + {a!r} * COALESCE(n{i}.m, f0.v), 7) AS v "
+            f"FROM f0 LEFT JOIN n{i} ON n{i}.id = f0.id)"
+        )
+        prev = f"f{i}"
+    return "WITH " + ", ".join(ctes) + f" SELECT id, v FROM {prev}"
+
+
+@register("feature_smooth_parts", _featsmooth_sql())
+def q_feature_smooth_parts(spark, sf_dir):
+    """Graph feature smoothing with restart (operators/graphalgs.py
+    feature_propagation): three rounds of neighborhood averaging of the
+    z-scored part price over the part graph — the node-feature twin of
+    personalized PageRank, with the same pinned-edge round shape.  v0's
+    z-score divides by the 12-digit-pinned stddev, making every rounded
+    blend engine-generic."""
+    from bigdata_hits_spark.operators.graphalgs import feature_propagation
+
+    g = derived.g_pp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    st = part.agg(
+        F.round(F.avg("p_retailprice"), 12).alias("mu"),
+        F.round(F.stddev_samp("p_retailprice"), 12).alias("sd"),
+    ).first()
+    feats = part.select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("id"),
+        ((F.col("p_retailprice") - F.lit(float(st["mu"]))) / F.lit(float(st["sd"]))).alias("v"),
+    )
+    return feature_propagation(
+        g.edges,
+        feats,
+        k=FEATSMOOTH_K,
+        alpha=FEATSMOOTH_ALPHA,
+        value_col="v",
+        sym=_sym(g),
+    )

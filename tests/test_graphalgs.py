@@ -323,3 +323,44 @@ def test_community_modularity_known_two_cliques(spark):
     one = assign.select("id", F.lit("all").alias("community"))
     q1 = sum(r["contribution"] for r in community_modularity(edges, one).collect())
     assert abs(q1) < 1e-9
+
+
+def test_feature_propagation_matches_numpy_replay(spark):
+    """Three smoothing rounds on a path graph replayed in numpy: same
+    blend, same rounding; isolated nodes keep v0; alpha=1 is refused;
+    deterministic across partitionings."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.operators.graphalgs import feature_propagation
+
+    # path 0-1-2-3 plus isolated node 4; generic values via pi offsets
+    edges = spark.createDataFrame(
+        [("n0", "n1"), ("n1", "n2"), ("n2", "n3")], "src string, dst string"
+    )
+    vals = {f"n{i}": float(np.pi * (i + 1)) for i in range(5)}
+    feats = spark.createDataFrame(list(vals.items()), "id string, value double")
+    out = feature_propagation(edges, feats, k=3, alpha=0.5)
+    got = {r["id"]: r["value"] for r in out.collect()}
+
+    nbrs = {"n0": ["n1"], "n1": ["n0", "n2"], "n2": ["n1", "n3"], "n3": ["n2"], "n4": []}
+    v0 = dict(vals)
+    cur = dict(vals)
+    for _ in range(3):
+        nxt = {}
+        for n in v0:
+            m = sum(cur[b] for b in nbrs[n]) / len(nbrs[n]) if nbrs[n] else v0[n]
+            nxt[n] = round(0.5 * v0[n] + 0.5 * m, 7)
+        cur = nxt
+    assert got == cur
+    assert got["n4"] == round(vals["n4"], 7)
+    again = {
+        r["id"]: r["value"]
+        for r in feature_propagation(edges.repartition(3), feats.repartition(2), k=3, alpha=0.5).collect()
+    }
+    assert again == got
+    with pytest.raises(ValueError, match="alpha"):
+        feature_propagation(edges, feats, k=2, alpha=1.0)
+    with pytest.raises(ValueError, match="k must be"):
+        feature_propagation(edges, feats, k=0)
