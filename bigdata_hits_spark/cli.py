@@ -105,6 +105,17 @@ Beyond-reference pipeline jobs (no reference twin):
   (``-`` bootstraps an empty rollup); O(|delta| + |groups|).
 - ``compact_log log.parquet key1[,key2] order1[,order2]`` — changelog
   to snapshot: newest row per key via one max_by hash-agg.
+- ``pca embeddings.parquet [r] [iters] [project]`` — top-r principal
+  components by deflated power iteration; ``project`` also writes each
+  vector's r-D coordinates.
+- ``reweight docs.parquet group_col name=share[,...] [weight_col]`` —
+  per-domain rates steering the corpus to target shares (feed into
+  ``mixture``).
+- ``split_safe docs.parquet [name=frac,...] [threshold]`` — leakage-safe
+  splits keyed on MinHash near-dup components (dup families never
+  straddle a split), written partitioned by split.
+- ``dup_profile docs.parquet [min_docs]`` — per-document cross-doc
+  duplicated-shingle fraction (span-level duplication signal).
 """
 
 from __future__ import annotations
@@ -751,6 +762,82 @@ def main(argv: list[str] | None = None) -> None:
         keywords_per_group(
             spark.read.parquet(docs_path), group_col=group_col, k=k
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "keywords"))
+    elif job == "pca":
+        # pca <embeddings.parquet> [r] [iters] [project] — top-r principal
+        # components by distributed power iteration with deflation
+        # (operators/profiling.py); 'project' also writes every vector's
+        # r-D subspace coordinates.
+        from bigdata_hits_spark.operators.profiling import (
+            pca_components,
+            pca_project_components,
+        )
+
+        src = args.take()
+        if src is None:
+            raise SystemExit("pca needs an embeddings parquet path")
+        r = args.take(int, 2, usage="pca <embeddings.parquet> [r] [iters] [project]")
+        iters = args.take(int, 15)
+        project = args.take(str, "") == "project"
+        emb = spark.read.parquet(src)
+        pca_components(emb, r=r, iters=iters).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "pca_components")
+        )
+        if project:
+            pca_project_components(emb, r=r, iters=iters).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, "pca_projection"))
+    elif job == "reweight":
+        # reweight <docs.parquet> <group_col> <name=share,...> [weight_col]
+        # — the per-domain rates that steer the corpus to target shares;
+        # feed the output's rate column to `mixture`.
+        from bigdata_hits_spark.operators.sampling import domain_reweight_plan
+
+        src = args.take()
+        group_col = args.take()
+        spec = args.take()
+        if None in (src, group_col, spec):
+            raise SystemExit(
+                "reweight needs docs.parquet group_col name=share[,...] [weight_col]"
+            )
+        targets = {name: float(s) for name, s in (p.split("=") for p in spec.split(","))}
+        weight_col = args.take(str, None)
+        domain_reweight_plan(
+            spark.read.parquet(src), group_col, targets, weight_col=weight_col
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "reweight"))
+    elif job == "split_safe":
+        # split_safe <docs.parquet> [name=frac,...] [threshold] — leakage-
+        # safe train/val/test: MinHash near-dup components keyed so dup
+        # families never straddle a split; written partitioned by split.
+        from bigdata_hits_spark.operators.components import connected_components
+        from bigdata_hits_spark.operators.dedup import minhash_near_duplicates
+        from bigdata_hits_spark.operators.sampling import leakage_safe_split
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("split_safe needs a documents parquet path")
+        spec = args.take(str, "train=0.8,val=0.1,test=0.1")
+        threshold = args.take(float, 0.2)
+        weights = {
+            name: float(frac)
+            for name, frac in (part.split("=") for part in spec.split(","))
+        }
+        docs = spark.read.parquet(docs_path)
+        comps = connected_components(minhash_near_duplicates(docs, threshold=threshold))
+        leakage_safe_split(docs, comps, weights).write.mode("overwrite").partitionBy(
+            "split"
+        ).parquet(os.path.join(out_dir, "split_safe"))
+    elif job == "dup_profile":
+        # dup_profile <docs.parquet> [min_docs] — per-document cross-doc
+        # duplicated-shingle fraction (span-level duplication signal).
+        from bigdata_hits_spark.operators.dedup import duplicated_ngram_profile
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("dup_profile needs a documents parquet path")
+        min_docs = args.take(int, 2, usage="dup_profile <docs.parquet> [min_docs]")
+        duplicated_ngram_profile(
+            spark.read.parquet(docs_path), min_docs=min_docs
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "dup_profile"))
     else:
         raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")
 

@@ -1114,3 +1114,40 @@ def mmr_topk(
         for cid, rank, score in _mmr_greedy(by_q[qid], k, lam, digits):
             out.append((qid, cid, rank, score))
     return corpus.sparkSession.createDataFrame(out, out_schema)
+
+
+def truncate_renormalize(
+    emb: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+) -> DataFrame:
+    """(id, tvec): Matryoshka-style dimensionality reduction — keep the
+    FIRST ``dims`` coordinates and L2-renormalize, the cheap-serving
+    transform for embeddings trained with matryoshka representation
+    learning (and the honest baseline for any "can we store fewer
+    dims" question: compare its retrieval quality against PCA's).
+
+    Pure shuffle-free projection over the scan: one slice, one
+    sequential-fold norm, one transform — whole row-local, survives any
+    scale by construction.  All-zero truncations renormalize to zeros
+    (the standardize convention); values round to ``digits`` after the
+    divide-by-irrational-norm, so cells are engine-generic."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    t = F.slice(F.col(vec_col).cast("array<double>"), 1, dims)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(t, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            t,
+            lambda x: F.round(
+                F.when(nrm > 0, x / nrm).otherwise(F.lit(0.0)), digits
+            ),
+        ).alias("tvec"),
+    )

@@ -4130,3 +4130,33 @@ def q_feature_smooth_parts(spark, sf_dir):
         value_col="v",
         sym=_sym(g),
     )
+
+
+# --- round 8: matryoshka truncation ----------------------------------------
+
+TRUNC_DIMS = 16
+
+_TRUNC_SQL = (
+    f"WITH el AS (SELECT vec_id, unnest(range({TRUNC_DIMS})) AS i, "
+    "embedding AS v FROM embeddings), "
+    "x AS (SELECT vec_id, i, CAST(v[i + 1] AS DOUBLE) AS x FROM el), "
+    "n AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM x GROUP BY vec_id) "
+    "SELECT x.vec_id AS id, x.i AS dim, "
+    "ROUND(CASE WHEN nrm > 0 THEN x.x / nrm ELSE 0.0 END, 6) AS value "
+    "FROM x JOIN n ON n.vec_id = x.vec_id"
+)
+
+
+@register("embedding_truncate_renorm", _TRUNC_SQL)
+def q_embedding_truncate_renorm(spark, sf_dir):
+    """Matryoshka truncate-to-16 + L2 renormalization
+    (operators/similarity.py truncate_renormalize), exploded to
+    (id, dim, value) so every renormalized cell is compared; the
+    library form returns the array.  Shuffle-free row-local
+    projection; the divide-by-irrational-norm keeps rounded cells
+    engine-generic."""
+    from bigdata_hits_spark.operators.similarity import truncate_renormalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = truncate_renormalize(emb, TRUNC_DIMS)
+    return out.select("id", F.posexplode("tvec").alias("dim", "value"))

@@ -105,11 +105,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     canaries: list[float] = []
+    n_run = 0
     for p in range(passes):
         canaries.append(canary())
         print(f"scale canary {p}: {canaries[-1]}", file=sys.stderr)
         for name in SMOKE:
             gc.collect()
+            # Same dead-block discipline as bench.py: completed queries
+            # leave lazily-checkpointed RDDs whose Python refs are
+            # garbage, but Spark only unpersists them after a JVM GC —
+            # at 35 queries/pass the accumulated storage evicts the
+            # memoized graph relations and pass-2 graph queries re-derive
+            # them inside their timed windows (measured: triangles 92 s
+            # in-smoke vs 57 s warm isolated before this cadence).
+            n_run += 1
+            if n_run % 10 == 0:
+                try:
+                    spark._jvm.System.gc()
+                except Exception:
+                    pass
             t0 = time.time()
             try:
                 registry[name](spark, sf_dir).write.format("noop").mode(

@@ -489,3 +489,37 @@ def test_cli_link_predict_and_clustering(spark, csv_graph, tmp_path):
     cc = spark.read.parquet(os.path.join(out, "clustering"))
     assert set(cc.columns) == {"id", "degree", "triangles", "coeff"}
     assert cc.count() > 0
+
+
+def test_cli_round8_jobs(spark, tmp_path):
+    """pca / reweight / split_safe / dup_profile end to end on the tiny
+    sf0.001 tables."""
+    docs_src = str(tmp_path / "docs_r8")
+    emb_src = str(tmp_path / "emb_r8")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs_src)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(emb_src)
+
+    out = str(tmp_path / "out_pca")
+    cli.main(["pca", emb_src, "2", "8", "project", "--out", out])
+    comps = spark.read.parquet(os.path.join(out, "pca_components"))
+    assert {r["component"] for r in comps.select("component").distinct().collect()} == {0, 1}
+    proj = spark.read.parquet(os.path.join(out, "pca_projection"))
+    assert proj.count() == spark.read.parquet(emb_src).count() * 2
+
+    out = str(tmp_path / "out_rw")
+    cli.main(["reweight", docs_src, "source", "src0=0.5,src1=0.5", "--out", out])
+    plan = {r["source"]: r for r in spark.read.parquet(os.path.join(out, "reweight")).collect()}
+    assert set(plan) == {"src0", "src1"}
+    assert abs(sum(r["current_share"] for r in plan.values()) - 1.0) < 1e-6
+
+    out = str(tmp_path / "out_ss")
+    cli.main(["split_safe", docs_src, "train=0.8,val=0.1,test=0.1", "--out", out])
+    split = spark.read.parquet(os.path.join(out, "split_safe"))
+    assert split.count() == spark.read.parquet(docs_src).count()
+    assert {r["split"] for r in split.select("split").distinct().collect()} <= {"train", "val", "test"}
+
+    out = str(tmp_path / "out_dp")
+    cli.main(["dup_profile", docs_src, "--out", out])
+    prof = spark.read.parquet(os.path.join(out, "dup_profile"))
+    assert prof.count() == spark.read.parquet(docs_src).count()
+    assert {f.name for f in prof.schema.fields} == {"id", "n_shingles", "n_dup", "dup_fraction"}

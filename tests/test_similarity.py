@@ -569,3 +569,27 @@ def test_mmr_topk_rejects_bad_lam(spark):
     df = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         mmr_topk(df, df, lam=1.5)
+
+
+def test_truncate_renormalize_matches_numpy(spark):
+    import numpy as np
+
+    from bigdata_hits_spark.operators.similarity import truncate_renormalize
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(40, 8))
+    base[0] = 0.0  # all-zero row -> zero output, not NaN
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["id"]: list(r["tvec"]) for r in truncate_renormalize(df, 4).collect()}
+    for i, row in enumerate(base):
+        t = row[:4]
+        n = float(np.linalg.norm(t))
+        want = [round(float(x) / n, 6) if n > 0 else 0.0 for x in t]
+        assert got[i] == want, i
+    import pytest
+
+    with pytest.raises(ValueError, match="dims"):
+        truncate_renormalize(df, 0)
