@@ -808,3 +808,78 @@ def pca_project(
         .groupBy("id")
         .agg(F.round(F.sum(F.col("__x") * F.col("loading")), digits).alias("score"))
     )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    B: int = 32,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    seed: int = 0,
+    digits: int = 6,
+) -> DataFrame:
+    """(group, n_replicates, mean, lo_ci, hi_ci): a subsampling
+    confidence interval for each group's mean — the "is this per-source
+    quality delta real or noise" readout that turns the profiling
+    family's point estimates into decisions.
+
+    DETERMINISTIC resampling (the repo's portable-coin discipline):
+    replicate ``b`` keeps a row iff the first 8 md5 hex digits of
+    ``seed|b|key`` fall below 2^31 — an exact INTEGER compare, no float
+    coin — so every replicate is a pure function of the data,
+    reproducible across runs, partitionings, and engines.  Half-rate
+    subsampling (m ≈ n/2 without replacement) rather than Efron
+    with-replacement draws: Poisson replication isn't portably
+    derivable from one uniform, and m-out-of-n subsampling is a
+    consistent bootstrap with the same plumbing.  The CI is the
+    [lo, hi] interpolated percentile band over the B replicate means.
+
+    Plan: one bounded B-way fan-out (explode of a literal range,
+    collapses map-side), ONE (group, b)-keyed hash agg for replicate
+    means, then a group-keyed exact percentile over B values — state is
+    B doubles per group, never row-sized.  Everything before the mean
+    is exact integers; means and percentile bounds round at ``digits``
+    after count division keeps them generic."""
+    if B < 2:
+        raise ValueError(f"B must be >= 2, got {B}")
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    coin = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(seed),
+                    F.col("__b"),
+                    F.col(key_col).cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rep = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("double").alias("__v"),
+            F.col(key_col).alias(key_col),
+        )
+        .withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
+        .filter(coin < F.lit(1 << 31))
+    )
+    means = rep.groupBy("grp", "__b").agg(F.avg("__v").alias("__m"))
+    return (
+        means.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_replicates"),
+            F.round(F.avg("__m"), digits).alias("mean"),
+            F.round(F.percentile("__m", F.lit(float(lo))), digits).alias("lo_ci"),
+            F.round(F.percentile("__m", F.lit(float(hi))), digits).alias("hi_ci"),
+        )
+        .select(F.col("grp").alias(group_col), "n_replicates", "mean", "lo_ci", "hi_ci")
+    )

@@ -4160,3 +4160,42 @@ def q_embedding_truncate_renorm(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = truncate_renormalize(emb, TRUNC_DIMS)
     return out.select("id", F.posexplode("tvec").alias("dim", "value"))
+
+
+# --- round 8: bootstrap confidence intervals --------------------------------
+
+BOOT_B = 32
+
+
+def _bootstrap_sql() -> str:
+    coin = duck_hex_to_long(
+        "md5('0|' || CAST(b AS VARCHAR) || '|' || CAST(k AS VARCHAR))", 8
+    )
+    return (
+        f"WITH r AS (SELECT o_orderpriority AS grp, "
+        "CAST(o_totalprice AS DOUBLE) AS v, o_orderkey AS k, "
+        f"unnest(range({BOOT_B})) AS b FROM orders), "
+        f"kept AS (SELECT grp, b, v FROM r WHERE {coin} < 2147483648), "
+        "means AS (SELECT grp, b, AVG(v) AS m FROM kept GROUP BY grp, b) "
+        "SELECT grp AS o_orderpriority, COUNT(*) AS n_replicates, "
+        "ROUND(AVG(m), 6) AS mean, "
+        "ROUND(CAST(quantile_cont(m, 0.025) AS DOUBLE), 6) AS lo_ci, "
+        "ROUND(CAST(quantile_cont(m, 0.975) AS DOUBLE), 6) AS hi_ci "
+        "FROM means GROUP BY grp"
+    )
+
+
+@register("bootstrap_order_value_ci", _bootstrap_sql())
+def q_bootstrap_order_value_ci(spark, sf_dir):
+    """Subsampling-bootstrap CI for mean order value per priority
+    (operators/profiling.py bootstrap_mean_ci): 32 deterministic
+    md5-coin half-replicates — an exact INTEGER coin compare, so the
+    replicate membership is engine-identical — one (group, replicate)
+    hash agg, then the interpolated percentile band over the B
+    replicate means."""
+    from bigdata_hits_spark.operators.profiling import bootstrap_mean_ci
+
+    orders = load_table(spark, sf_dir, "orders")
+    return bootstrap_mean_ci(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", B=BOOT_B
+    )

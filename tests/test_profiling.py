@@ -349,3 +349,27 @@ def test_pca_project_components_is_per_component_dot(spark):
     for i in range(60):
         for c in range(2):
             assert abs(got[(i, c)] - float(np.dot(base[i], V[c]))) < 1e-4
+
+
+def test_bootstrap_mean_ci_brackets_truth_and_is_deterministic(spark):
+    """CI brackets the true mean on a well-behaved group, replicate
+    membership is partition-invariant, and guards reject bad params."""
+    import pytest
+
+    from bigdata_hits_spark.operators.profiling import bootstrap_mean_ci
+
+    rows = [(i, "g", float(100 + (i * 37) % 50)) for i in range(600)]
+    df = spark.createDataFrame(rows, "k long, grp string, v double")
+    out = bootstrap_mean_ci(df, "grp", "v", "k", B=16).collect()
+    assert len(out) == 1
+    r = out[0]
+    true_mean = sum(v for _, _, v in rows) / len(rows)
+    assert r["lo_ci"] <= true_mean <= r["hi_ci"]
+    assert r["lo_ci"] <= r["mean"] <= r["hi_ci"]
+    assert r["n_replicates"] == 16
+    again = bootstrap_mean_ci(df.repartition(7), "grp", "v", "k", B=16).collect()[0]
+    assert tuple(again) == tuple(r)
+    with pytest.raises(ValueError, match="B must be"):
+        bootstrap_mean_ci(df, "grp", "v", "k", B=1)
+    with pytest.raises(ValueError, match="lo < hi"):
+        bootstrap_mean_ci(df, "grp", "v", "k", lo=0.9, hi=0.1)
