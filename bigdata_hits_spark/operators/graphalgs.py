@@ -667,3 +667,80 @@ def feature_propagation(
             .localCheckpoint(eager=False)
         )
     return cur.select("id", F.col("__v").alias(value_col))
+
+
+def weighted_symmetric_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst", weight: str = "weight"
+) -> DataFrame:
+    """(a, b, w): the undirected WEIGHTED edge relation — both directions
+    materialized, self-loops dropped, parallel edges (either direction)
+    collapsed by summing their weights.  The weighted twin of
+    :func:`symmetric_edges`; build once per graph and pin when running
+    several weighted analytics."""
+    w = F.col(weight).cast("double")
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"), w.alias("w")))
+    return (
+        both.filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def label_propagation_weighted(
+    edges: DataFrame,
+    k: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    sym_w: DataFrame | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """(id, community) after ``k`` synchronous WEIGHTED label-propagation
+    rounds: each node adopts the minimum among the labels with the
+    highest total incident edge weight (ties on the rounded weight break
+    toward the smaller label) — interaction-strength community detection,
+    where a thousand weak links shouldn't outvote three strong ones.
+
+    Same pinned-edge scale shape as the unweighted loop
+    (:func:`label_propagation`): the weighted symmetric relation is
+    built and shuffled once; each round is one edge⋈label join + a
+    codegen'd (id, community) SUM + a per-id struct-min — two map-side
+    -combined exchanges, never ObjectHashAggregate.
+
+    Determinism: the vote is SUM(w) ROUNDED to ``digits`` before the
+    tie-compare — float-sum order differs across partitionings/engines
+    by ~1e-15, and an unrounded compare would flip near-ties.  With
+    integer-valued weights (counts, quantities) the sums are exact and
+    the round is a no-op; for generic float weights the usual
+    half-boundary caveat applies (document margins like the kmeans
+    fixture test if you gate on it)."""
+    if sym_w is None:
+        sym_w = materialize(
+            weighted_symmetric_edges(edges, src, dst, weight).repartition("b")
+        )
+    labels = sym_w.select(F.col("a").alias("id")).distinct().withColumn(
+        "community", F.col("id")
+    )
+    for i in range(k):
+        attach = sym_w.join(labels, sym_w["b"] == labels["id"]).select(
+            F.col("a").alias("id"), "community", "w"
+        )
+        labels = (
+            attach.groupBy("id", "community")
+            .agg(F.round(F.sum("w"), digits).alias("wsum"))
+            .groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.lit(0.0) - F.col("wsum")).alias("neg_w"),
+                        F.col("community").alias("community"),
+                    )
+                ).alias("best")
+            )
+            .select("id", F.col("best.community").alias("community"))
+        )
+        if (i + 1) % _LP_CHECKPOINT_EVERY == 0 and (i + 1) < k:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -4199,3 +4199,55 @@ def q_bootstrap_order_value_ci(spark, sf_dir):
     return bootstrap_mean_ci(
         orders, "o_orderpriority", "o_totalprice", "o_orderkey", B=BOOT_B
     )
+
+
+# --- round 8: weighted label propagation -------------------------------------
+
+LPW_K = 3
+
+_SYMW_CTE = (
+    "symw AS MATERIALIZED (SELECT a, b, SUM(CAST(weight AS DOUBLE)) AS w FROM ("
+    "SELECT src AS a, dst AS b, weight FROM e0 "
+    "UNION ALL SELECT dst AS a, src AS b, weight FROM e0"
+    ") WHERE a <> b GROUP BY a, b)"
+)
+
+
+def _lpw_sql(k: int = LPW_K) -> str:
+    ctes = [f"e0 AS ({derived.G_PP_EDGES_SQL})", _SYMW_CTE]
+    ctes.append("l0 AS (SELECT DISTINCT a AS id, a AS community FROM symw)")
+    for i in range(1, k + 1):
+        ctes.append(
+            f"l{i} AS (SELECT id, community FROM ("
+            f"SELECT s.a AS id, l.community, "
+            "ROW_NUMBER() OVER (PARTITION BY s.a "
+            "ORDER BY ROUND(SUM(s.w), 6) DESC, l.community ASC) AS rn "
+            f"FROM symw s JOIN l{i - 1} l ON s.b = l.id "
+            "GROUP BY s.a, l.community) WHERE rn = 1)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT id, community FROM l{k}"
+
+
+@register("graph_label_propagation_weighted", _lpw_sql())
+def q_graph_label_propagation_weighted(spark, sf_dir):
+    """WEIGHTED label propagation (operators/graphalgs.py
+    label_propagation_weighted): per round every node adopts the
+    min-of-heaviest incident label by total edge weight — the
+    interaction-strength community variant, completing the weighted arm
+    of the graph family (weighted HITS/SALSA/PageRank/PPR already
+    exist).  l_quantity weights are integer-valued, so the rounded
+    SUM(w) tie-compare is exact on both engines."""
+    from bigdata_hits_spark.operators.graphalgs import (
+        label_propagation_weighted,
+        weighted_symmetric_edges,
+    )
+    from bigdata_hits_spark.plans.iterate import materialize
+
+    g = derived.g_pp(spark, sf_dir)
+    sym_w = g.memo(
+        ("symw_edges",),
+        lambda: materialize(
+            weighted_symmetric_edges(g.edges).repartition("b")
+        ),
+    )
+    return label_propagation_weighted(g.edges, k=LPW_K, sym_w=sym_w)

@@ -364,3 +364,41 @@ def test_feature_propagation_matches_numpy_replay(spark):
         feature_propagation(edges, feats, k=2, alpha=1.0)
     with pytest.raises(ValueError, match="k must be"):
         feature_propagation(edges, feats, k=0)
+
+
+def test_label_propagation_weighted_strong_links_win(spark):
+    """A node with many weak links to one community and one strong link
+    to another follows the WEIGHT, not the count — the exact case the
+    unweighted variant gets 'wrong'; plus partition determinism."""
+    from bigdata_hits_spark.operators.graphalgs import (
+        label_propagation,
+        label_propagation_weighted,
+    )
+
+    # node x: three weight-1 edges into the 'a*' clique, one weight-10
+    # edge to 'z'.  Unweighted LP votes a*; weighted votes z.
+    edges = spark.createDataFrame(
+        [
+            ("a1", "a2", 5.0), ("a2", "a3", 5.0), ("a1", "a3", 5.0),
+            ("x", "a1", 1.0), ("x", "a2", 1.0), ("x", "a3", 1.0),
+            ("x", "z", 10.0), ("z", "z2", 10.0),
+        ],
+        "src string, dst string, weight double",
+    )
+    got = {r["id"]: r["community"] for r in
+           label_propagation_weighted(edges, k=1).collect()}
+    unw = {r["id"]: r["community"] for r in
+           label_propagation(edges.select("src", "dst"), k=1).collect()}
+    assert got["x"] == "z" and unw["x"] == "a1"
+    again = {r["id"]: r["community"] for r in
+             label_propagation_weighted(edges.repartition(5), k=1).collect()}
+    assert again == got
+    # parallel + reverse edges collapse by summed weight
+    from bigdata_hits_spark.operators.graphalgs import weighted_symmetric_edges
+
+    dup = spark.createDataFrame(
+        [("u", "v", 2.0), ("v", "u", 3.0), ("u", "u", 9.0)],
+        "src string, dst string, weight double",
+    )
+    sw = {(r["a"], r["b"]): r["w"] for r in weighted_symmetric_edges(dup).collect()}
+    assert sw == {("u", "v"): 5.0, ("v", "u"): 5.0}
