@@ -1151,3 +1151,52 @@ def truncate_renormalize(
             ),
         ).alias("tvec"),
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    method: str = "lsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    digits: int = 6,
+    **method_kwargs,
+) -> DataFrame:
+    """(qid, n_true, n_hit, recall): per-query recall@k of an
+    approximate ANN path against the exact cosine top-k — the
+    measure-don't-guess readout run before trusting an index
+    configuration at scale (recall floors belong in CI; THIS is the
+    dial you turn bands/probes against).
+
+    ``method``: "lsh" (:func:`lsh_bucket_topk`, kwargs like
+    ``multiprobe=True`` pass through) or "ivf" (:func:`ivf_topk`,
+    kwargs like ``n_probe=``).  Both the truth and the candidate sets
+    are k-bounded per query, so the compare is a (qid, cid)-keyed
+    semi-join over k x |Q| rows — nothing corpus-sized moves beyond
+    what the two top-k passes already move."""
+    if method == "lsh":
+        approx = lsh_bucket_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
+    elif method == "ivf":
+        approx = ivf_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
+    else:
+        raise ValueError(f"method must be 'lsh' or 'ivf', got {method!r}")
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    hits = exact.join(approx.select("qid", "cid"), ["qid", "cid"], "left_semi")
+    truth_counts = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_true"))
+    hit_counts = hits.groupBy("qid").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        truth_counts.join(hit_counts, "qid", "left")
+        .select(
+            "qid",
+            "n_true",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true"), digits
+            ).alias("recall"),
+        )
+    )

@@ -4251,3 +4251,21 @@ def q_graph_label_propagation_weighted(spark, sf_dir):
         ),
     )
     return label_propagation_weighted(g.edges, k=LPW_K, sym_w=sym_w)
+
+
+# --- round 8: ANN recall evaluation -----------------------------------------
+
+
+@register("ann_lsh_recall", None)  # rows-only: the LSH candidate path has no
+# SQL twin (the banded sign-signature generator is the ann_lsh_topk
+# precedent); invariants and a known-fixture recall value are pinned in
+# tests/test_similarity.py.
+def q_ann_lsh_recall(spark, sf_dir):
+    """Per-query recall@10 of the multiprobe sign-LSH path against the
+    exact cosine top-k (operators/similarity.py ann_recall_report) —
+    the index-tuning readout; k-bounded semi-join compare."""
+    from bigdata_hits_spark.operators.similarity import ann_recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_recall_report(emb, queries, k=10, method="lsh", multiprobe=True)

@@ -24,6 +24,7 @@ def test_every_oracle_key_is_a_declared_query():
         "kmeans_parallel_embeddings",
         "sketch_token_topk",
         "retrieval_mmr",
+        "ann_lsh_recall",
     }, rows_only
 
 

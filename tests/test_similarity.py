@@ -593,3 +593,35 @@ def test_truncate_renormalize_matches_numpy(spark):
 
     with pytest.raises(ValueError, match="dims"):
         truncate_renormalize(df, 0)
+
+
+def test_ann_recall_report_exact_on_fixture(spark):
+    """Recall is computable and correct: when the approximate path IS
+    the exact one (IVF probing every centroid), recall must be 1.0 for
+    every query; and the LSH report's recall matches the set-intersection
+    computed by hand."""
+    from bigdata_hits_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    full = S.ann_recall_report(
+        emb, queries, k=5, method="ivf", n_centroids=4, n_probe=4
+    ).collect()
+    assert len(full) == 3 and all(r["recall"] == 1.0 for r in full)
+
+    rep = {r["qid"]: r for r in S.ann_recall_report(emb, queries, k=5, method="lsh").collect()}
+    exact = S.cosine_topk(emb, queries, k=5).collect()
+    approx = S.lsh_bucket_topk(emb, queries, k=5).collect()
+    truth, got = {}, {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["cid"])
+    for r in approx:
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    for qid, t in truth.items():
+        want = round(len(t & got.get(qid, set())) / len(t), 6)
+        assert rep[qid]["recall"] == want and rep[qid]["n_true"] == len(t)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        S.ann_recall_report(emb, queries, method="nope")
