@@ -116,6 +116,12 @@ Beyond-reference pipeline jobs (no reference twin):
   straddle a split), written partitioned by split.
 - ``dup_profile docs.parquet [min_docs]`` — per-document cross-doc
   duplicated-shingle fraction (span-level duplication signal).
+- ``smooth edges.parquet features.parquet [k] [alpha]`` — graph feature
+  smoothing with restart (the node-feature PPR twin).
+- ``bootstrap table.parquet group_col value_col key_col [B]`` —
+  deterministic subsampling CIs for per-group means.
+- ``ann_recall embeddings.parquet [k] [method] [qid_mod]`` — recall@k of
+  the lsh/ivf path against exact cosine.
 """
 
 from __future__ import annotations
@@ -826,6 +832,51 @@ def main(argv: list[str] | None = None) -> None:
         leakage_safe_split(docs, comps, weights).write.mode("overwrite").partitionBy(
             "split"
         ).parquet(os.path.join(out_dir, "split_safe"))
+    elif job == "smooth":
+        # smooth <edges.parquet> <features.parquet> [k] [alpha] — graph
+        # feature smoothing with restart over (src, dst) edges and
+        # (id, value) features.
+        from bigdata_hits_spark.operators.graphalgs import feature_propagation
+
+        edges_path = args.take()
+        feats_path = args.take()
+        if edges_path is None or feats_path is None:
+            raise SystemExit("smooth needs edges and features parquet paths")
+        k = args.take(int, 3, usage="smooth <edges> <features> [k] [alpha]")
+        alpha = args.take(float, 0.5)
+        feature_propagation(
+            spark.read.parquet(edges_path), spark.read.parquet(feats_path), k=k, alpha=alpha
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "smooth"))
+    elif job == "bootstrap":
+        # bootstrap <table.parquet> <group_col> <value_col> <key_col> [B]
+        from bigdata_hits_spark.operators.profiling import bootstrap_mean_ci
+
+        src = args.take()
+        group_col = args.take()
+        value_col = args.take()
+        key_col = args.take()
+        if None in (src, group_col, value_col, key_col):
+            raise SystemExit("bootstrap needs table.parquet group_col value_col key_col [B]")
+        B = args.take(int, 32, usage="bootstrap <table> <group> <value> <key> [B]")
+        bootstrap_mean_ci(
+            spark.read.parquet(src), group_col, value_col, key_col, B=B
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "bootstrap"))
+    elif job == "ann_recall":
+        # ann_recall <embeddings.parquet> [k] [method] [qid_mod] — recall@k
+        # of the lsh/ivf path vs exact cosine for every qid_mod-th vector.
+        from bigdata_hits_spark.operators.similarity import ann_recall_report
+
+        src = args.take()
+        if src is None:
+            raise SystemExit("ann_recall needs an embeddings parquet path")
+        k = args.take(int, 10, usage="ann_recall <embeddings> [k] [method] [qid_mod]")
+        method = args.take(str, "lsh")
+        qid_mod = args.take(int, 100)
+        emb = spark.read.parquet(src)
+        queries = emb.filter(F.col("vec_id") % qid_mod == 0)
+        ann_recall_report(emb, queries, k=k, method=method).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "ann_recall"))
     elif job == "dup_profile":
         # dup_profile <docs.parquet> [min_docs] — per-document cross-doc
         # duplicated-shingle fraction (span-level duplication signal).

@@ -523,3 +523,38 @@ def test_cli_round8_jobs(spark, tmp_path):
     prof = spark.read.parquet(os.path.join(out, "dup_profile"))
     assert prof.count() == spark.read.parquet(docs_src).count()
     assert {f.name for f in prof.schema.fields} == {"id", "n_shingles", "n_dup", "dup_fraction"}
+
+
+def test_cli_round8_eval_jobs(spark, tmp_path):
+    """smooth / bootstrap / ann_recall end to end."""
+    emb_src = str(tmp_path / "emb_r8b")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(emb_src)
+
+    edges = str(tmp_path / "edges_r8")
+    feats = str(tmp_path / "feats_r8")
+    spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    ).write.parquet(edges)
+    spark.createDataFrame(
+        [("a", 1.5), ("b", 2.5), ("c", 3.5)], "id string, value double"
+    ).write.parquet(feats)
+    out = str(tmp_path / "out_sm")
+    cli.main(["smooth", edges, feats, "2", "0.5", "--out", out])
+    sm = spark.read.parquet(os.path.join(out, "smooth"))
+    assert sm.count() == 3 and set(sm.columns) == {"id", "value"}
+
+    orders = str(tmp_path / "orders_r8")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").write.parquet(orders)
+    out = str(tmp_path / "out_bs")
+    cli.main(["bootstrap", orders, "o_orderpriority", "o_totalprice", "o_orderkey", "8", "--out", out])
+    bs = spark.read.parquet(os.path.join(out, "bootstrap"))
+    assert bs.count() == 5
+    for r in bs.collect():
+        assert r["lo_ci"] <= r["mean"] <= r["hi_ci"]
+
+    out = str(tmp_path / "out_ar")
+    cli.main(["ann_recall", emb_src, "5", "lsh", "50", "--out", out])
+    ar = spark.read.parquet(os.path.join(out, "ann_recall"))
+    assert ar.count() > 0
+    for r in ar.collect():
+        assert 0.0 <= r["recall"] <= 1.0
