@@ -308,6 +308,9 @@ _BNLJ_ALLOWED = {
     "query_dependent_salsa": 2,
     # fixed tiny probe set / deliberate exact baseline
     "ann_cosine_topk": 1,
+    # recall report embeds the exact-cosine truth pass (probe x corpus)
+    # plus the LSH arm's bounded query-side attach
+    "ann_lsh_recall": 2,
     "embedding_neardup_pairs": 1,
     "domain_mix_docs": 1,  # grand-total one-row attach on the host counts
     "keywords_per_source": 1,  # corpus-doc-count one-row attach on tf-idf
