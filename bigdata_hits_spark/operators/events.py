@@ -793,3 +793,79 @@ def time_weighted_avg(
             digits,
         ).alias("twa"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    window_ns: int = 2 * HOUR_NS,
+    touch_types: tuple = ("view", "click"),
+    conversion_type: str = "purchase",
+    digits: int = 6,
+) -> DataFrame:
+    """(user_id, touch_type, n_touches, credit): LINEAR multi-touch
+    attribution — every conversion's value splits equally across the
+    user's touch events in the ``window_ns`` lookback (touch at or
+    before the conversion) — the fairness-over-recency counterpart of
+    the as-of LAST-touch row (events_asof_attribution), and the number
+    marketing actually reports per channel.
+
+    Plan: the touch-in-window pair generation follows the bin-bucketed
+    range-join pattern (operators/rangejoin.py) but keys the equi-join
+    on (user, bin) — binning on time ALONE would cross-join every user
+    sharing a time bucket, the classic attribution scale-killer.  With
+    ``bin_width = window_ns`` each conversion interval replicates to at
+    most TWO (user, bin) keys; the exact window filter runs on the
+    candidates.  Per-conversion touch counts are one conversion-keyed
+    hash agg joined back; credit is SUM(value / n) rounded at
+    ``digits`` (quotients of a double by an exact count — generic, so
+    the round absorbs float-sum order).  Conversions with no in-window
+    touch simply earn no credit row (they are the as-of row's
+    business)."""
+    w = int(window_ns)
+    if w <= 0:
+        raise ValueError(f"window_ns must be positive, got {window_ns}")
+    e = events.select(
+        "user_id",
+        F.col("event_id"),
+        F.col("ts_ns"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+    conv = (
+        e.filter(F.col("event_type") == conversion_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("conv_id"),
+            (F.col("ts_ns") - F.lit(w)).alias("__lo"),
+            F.col("ts_ns").alias("__hi"),
+            F.col("value").alias("__v"),
+        )
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__lo") / F.lit(w)).cast("long"),
+                    F.floor(F.col("__hi") / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+    )
+    touch = e.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_ns").alias("__t"),
+        F.floor(F.col("ts_ns") / F.lit(w)).cast("long").alias("__bin"),
+    )
+    pairs = touch.join(conv, ["user_id", "__bin"]).filter(
+        F.col("__t").between(F.col("__lo"), F.col("__hi"))
+    )
+    n_per_conv = pairs.groupBy("conv_id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pairs.join(n_per_conv, "conv_id")
+        .groupBy("user_id", "touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum(F.col("__v") / F.col("__n")), digits).alias("credit"),
+        )
+    )

@@ -4269,3 +4269,41 @@ def q_ann_lsh_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ann_recall_report(emb, queries, k=10, method="lsh", multiprobe=True)
+
+
+# --- round 8: linear multi-touch attribution --------------------------------
+
+MTA_WINDOW_NS = 2 * EV.HOUR_NS
+
+
+def _mta_sql() -> str:
+    return (
+        "WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, "
+        "event_type, CAST(value AS DOUBLE) AS value FROM events), "
+        "c AS (SELECT user_id, event_id AS conv_id, ts_ns AS cts, value AS v "
+        "FROM e WHERE event_type = 'purchase'), "
+        "t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type, "
+        "ts_ns AS tts FROM e WHERE event_type IN ('view', 'click')), "
+        "p AS (SELECT c.user_id, c.conv_id, c.v, t.touch_type "
+        "FROM c JOIN t ON t.user_id = c.user_id "
+        f"AND t.tts BETWEEN c.cts - {MTA_WINDOW_NS} AND c.cts), "
+        "n AS (SELECT conv_id, COUNT(*) AS n FROM p GROUP BY conv_id) "
+        "SELECT p.user_id, p.touch_type, COUNT(*) AS n_touches, "
+        "ROUND(SUM(p.v / n.n), 6) AS credit "
+        "FROM p JOIN n ON n.conv_id = p.conv_id "
+        "GROUP BY p.user_id, p.touch_type"
+    )
+
+
+@register("events_multitouch_attribution", _mta_sql())
+def q_events_multitouch(spark, sf_dir):
+    """Linear multi-touch attribution (operators/events.py
+    multi_touch_attribution): every purchase's value splits equally
+    across the user's views/clicks in the 2h lookback — the
+    fairness-over-recency counterpart of the as-of last-touch row.
+    Pair generation is a (user, bin)-keyed equi-join (each conversion
+    interval replicates to <= 2 bins), never a non-equi join."""
+    from bigdata_hits_spark.operators.events import multi_touch_attribution
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return multi_touch_attribution(_events_us(spark, sf_dir), window_ns=MTA_WINDOW_NS)

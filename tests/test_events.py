@@ -399,3 +399,40 @@ def test_time_weighted_avg_weights_by_holding_time(spark):
     assert out["A"]["n_intervals"] == 2
     assert out["A"]["twa"] == round((10.0 * 3 + 2.0 * 1) / 4, 6)
     assert "B" not in out  # terminal reading holds no interval
+
+
+def test_multi_touch_attribution_splits_evenly(spark):
+    """Two touches inside the window split the purchase value 50/50;
+    out-of-window and post-conversion touches earn nothing; the pair
+    join is (user, bin)-keyed so same-time OTHER users never match."""
+    import pytest
+
+    from bigdata_hits_spark.operators.events import multi_touch_attribution
+
+    H = 3_600_000_000_000
+    rows = [
+        # user A: view + click inside 2h window, purchase value 10
+        (1, "u1", "view", 0 * H, 0.0),
+        (2, "u1", "click", 1 * H, 0.0),
+        (3, "u1", "purchase", 2 * H, 10.0),
+        # u1 stale view far before the window, and a view AFTER purchase
+        (4, "u1", "view", -10 * H, 0.0),
+        (5, "u1", "view", 3 * H, 0.0),
+        # user B: concurrent with A's window but must not cross-match
+        (6, "u2", "view", 1 * H, 0.0),
+        (7, "u2", "purchase", 100 * H, 4.0),  # no touch in window
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts_ns long, value double"
+    )
+    got = {(r["user_id"], r["touch_type"]): r for r in
+           multi_touch_attribution(ev, window_ns=2 * H).collect()}
+    assert set(got) == {("u1", "view"), ("u1", "click")}
+    assert got[("u1", "view")]["credit"] == 5.0
+    assert got[("u1", "click")]["credit"] == 5.0
+    assert got[("u1", "view")]["n_touches"] == 1
+    again = {(r["user_id"], r["touch_type"]): tuple(r) for r in
+             multi_touch_attribution(ev.repartition(4), window_ns=2 * H).collect()}
+    assert again == {k: tuple(v) for k, v in got.items()}
+    with pytest.raises(ValueError, match="window_ns"):
+        multi_touch_attribution(ev, window_ns=0)
