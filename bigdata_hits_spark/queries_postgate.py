@@ -4307,3 +4307,16 @@ def q_events_multitouch(spark, sf_dir):
     from bigdata_hits_spark.queries_events import _events_us
 
     return multi_touch_attribution(_events_us(spark, sf_dir), window_ns=MTA_WINDOW_NS)
+
+
+@register("compression_ratio_docs", None)  # rows-only: zlib has no DuckDB
+# twin; determinism (fixed level, fixed library) and the
+# repetitive-beats-prose ordering are pinned in tests/test_textstats.py.
+def q_compression_ratio_docs(spark, sf_dir):
+    """zlib compression ratio per document (operators/textstats.py
+    compression_stats): the machine-generated/boilerplate signal the
+    n-gram repetition fractions miss at long repetition units.
+    Arrow-batched kernel, shuffle-free scan."""
+    from bigdata_hits_spark.operators.textstats import compression_stats
+
+    return compression_stats(load_table(spark, sf_dir, "documents"))

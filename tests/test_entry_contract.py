@@ -25,6 +25,7 @@ def test_every_oracle_key_is_a_declared_query():
         "sketch_token_topk",
         "retrieval_mmr",
         "ann_lsh_recall",
+        "compression_ratio_docs",
     }, rows_only
 
 

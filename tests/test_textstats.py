@@ -431,3 +431,34 @@ def test_readability_hand_example(spark):
     assert abs(r1["flesch"] - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-6
     # fragment with no terminator: sentence count floored at 1
     assert rows[2]["n_sentences"] == 1
+
+
+def test_compression_stats_orders_repetition_below_prose(spark):
+    """Repetitive text compresses far below varied prose; tiny/empty
+    inputs behave; deterministic across partitionings."""
+    import pytest
+
+    from bigdata_hits_spark.operators.textstats import compression_stats
+
+    rows = [
+        (1, "spam ham " * 500),
+        (2, " ".join(f"w{i * 7919 % 10007}x{i}" for i in range(1000))),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in compression_stats(df).collect()}
+    assert got[1]["compression_ratio"] < 0.05
+    assert got[2]["compression_ratio"] > 0.3
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    assert got[3]["n_bytes"] == 0 and got[3]["compression_ratio"] == 0.0
+    assert got[4]["n_bytes"] == 0
+    import zlib
+
+    raw = rows[0][1].encode("utf-8")
+    assert got[1]["n_bytes"] == len(raw)
+    assert got[1]["n_compressed"] == len(zlib.compress(raw, 6))
+    again = {r["id"]: tuple(r) for r in compression_stats(df.repartition(3)).collect()}
+    assert again == {k: tuple(v) for k, v in got.items()}
+    with pytest.raises(ValueError, match="level 6"):
+        compression_stats(df, level=1)
