@@ -745,3 +745,38 @@ def duplicated_ngram_profile(
             ).alias("dup_fraction"),
         )
     )
+
+
+def dedup_savings(
+    docs: DataFrame,
+    components: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(component, n_docs, tokens_total, tokens_saved): per near-dup
+    family, how many tokens dedup-to-one-survivor would remove — the
+    ROI readout that decides whether a corpus is worth the dedup pass
+    at all, and which sources to prioritize.  Survivor = the smallest
+    id (the election convention throughout this module); only multi-doc
+    families appear (singletons save nothing — change-sized output).
+
+    ``docs`` carries (id, token count); ``components`` is the
+    (id, component) relation from the pair-detection machinery.  One
+    id-keyed left join (docs outside any family form singleton
+    families and drop at the n_docs > 1 filter) + one component-keyed
+    hash agg; exact integers throughout."""
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("__comp")
+    )
+    j = docs.select(F.col(id_col), F.col(token_col).alias("__n")).join(
+        comp, id_col, "left"
+    )
+    return (
+        j.groupBy(F.coalesce(F.col("__comp"), F.col(id_col)).alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("tokens_total"),
+            (F.sum("__n") - F.min_by("__n", F.col(id_col))).alias("tokens_saved"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -4320,3 +4320,42 @@ def q_compression_ratio_docs(spark, sf_dir):
     from bigdata_hits_spark.operators.textstats import compression_stats
 
     return compression_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _dedup_savings_sql() -> str:
+    from bigdata_hits_spark.queries_dedup import _components_sql
+
+    comp_sql = _components_sql()
+    comp_tail = " SELECT id, MIN(comp) AS component FROM reach GROUP BY id"
+    ctes = comp_sql.split(comp_tail, 1)[0]
+    return (
+        ctes
+        + ", comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id), "
+        # 'tok' is taken by the minhash chain - use a distinct CTE name
+        "tkc AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents), "
+        "j AS (SELECT t.doc_id, COALESCE(c.component, t.doc_id) AS component, t.n "
+        "FROM tkc t LEFT JOIN comp c ON c.id = t.doc_id) "
+        "SELECT component, COUNT(*) AS n_docs, "
+        "CAST(SUM(n) AS BIGINT) AS tokens_total, "
+        "CAST(SUM(n) - ARG_MIN(n, doc_id) AS BIGINT) AS tokens_saved "
+        "FROM j GROUP BY component HAVING COUNT(*) > 1"
+    )
+
+
+@register("dedup_savings_report", _dedup_savings_sql())
+def q_dedup_savings_report(spark, sf_dir):
+    """Token savings per near-dup family (operators/dedup.py
+    dedup_savings): the dedup-ROI readout — tokens removed if each
+    MinHash family keeps only its smallest-id survivor.  The oracle
+    recomputes the identical components (recursive CTE over the same
+    pair query) and the identical arg-min survivor."""
+    from bigdata_hits_spark.operators.components import connected_components
+    from bigdata_hits_spark.operators.dedup import dedup_savings
+    from bigdata_hits_spark.functions import text as TX
+    from bigdata_hits_spark.queries_dedup import MINHASH_THRESHOLD
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_near_duplicates(docs, threshold=MINHASH_THRESHOLD)
+    comps = connected_components(pairs)
+    with_n = docs.select("doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tokens"))
+    return dedup_savings(with_n, comps)

@@ -304,3 +304,20 @@ def test_duplicated_ngram_profile(spark):
     # deterministic across partitionings
     again = {r["id"]: r for r in duplicated_ngram_profile(docs.repartition(3)).collect()}
     assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_dedup_savings_families_and_survivors(spark):
+    from bigdata_hits_spark.operators.dedup import dedup_savings
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 80), (3, 50), (4, 10), (5, 7)],
+        "doc_id long, n_tokens long",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "id long, component long"
+    )
+    got = {r["component"]: r for r in dedup_savings(docs, comps).collect()}
+    # family 1: keeps doc 1 (min id, 100 tokens) -> saves 80 + 50
+    assert set(got) == {1}
+    assert got[1]["n_docs"] == 3 and got[1]["tokens_total"] == 230
+    assert got[1]["tokens_saved"] == 130
