@@ -1200,3 +1200,73 @@ def ann_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def ivf_quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over an int8-QUANTIZED corpus — the memory-efficient
+    serving shape: the inverted file prunes candidates exactly like
+    :func:`ivf_topk`, but the corpus side of the candidate join carries
+    ``array<tinyint>`` + one scale instead of float vectors, 4-8x less
+    index state at rest and 4-8x less data through the probe shuffle
+    (at 100 TB the vector bytes ARE the join cost).  Queries stay
+    full-precision (standard asymmetric quantized search); scores are
+    cosines against the dequantized corpus vector, within O(1/127) of
+    exact — re-rank survivors against the full-precision column when
+    exactness matters (the quantize_embeddings contract).
+
+    Same plan as ivf_topk: bucket equi-join, no index structure to
+    ship; the dequantize is a per-candidate transform inside the
+    scoring projection."""
+    from pyspark.sql.functions import pandas_udf
+
+    centroids = ivf_centroids_cached(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    assign = _assign_udf(centroids)
+    c_unit = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ c_unit.T), axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    quant = quantize_embeddings(corpus, vec_col=vec_col)
+    indexed = quant.select(
+        F.col(id_col).alias("cid"),
+        F.col("q_embedding").alias("__cq"),
+        F.col("q_scale").alias("__cs"),
+        l2_norm(dequantize_embedding(F.col("q_embedding"), F.col("q_scale"))).alias(
+            "cnrm"
+        ),
+        assign(F.col(vec_col)).alias("cluster"),
+    ).filter(F.col("cnrm") > 0)
+    probed = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
+        F.explode(probes(F.col(vec_col))).alias("cluster"),
+    )
+    cvec = dequantize_embedding(F.col("__cq"), F.col("__cs"))
+    scored = (
+        probed.join(indexed, "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("qvec"), cvec) / (F.col("qnrm") * F.col("cnrm")), 9
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -4359,3 +4359,19 @@ def q_dedup_savings_report(spark, sf_dir):
     comps = connected_components(pairs)
     with_n = docs.select("doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tokens"))
     return dedup_savings(with_n, comps)
+
+
+@register("ann_ivf_quantized_topk", None)  # rows-only like the other
+# approximate ANN paths (the numpy quantizer/probe kernels have no SQL
+# twin); recall and quantization-error floors pinned in
+# tests/test_similarity.py.
+def q_ann_ivf_quantized(spark, sf_dir):
+    """IVF top-k over the int8-quantized corpus (operators/similarity.py
+    ivf_quantized_topk): the 4-8x-smaller-index serving path — bucket
+    equi-join candidates, asymmetric quantized scoring, full-precision
+    queries."""
+    from bigdata_hits_spark.operators.similarity import ivf_quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivf_quantized_topk(emb, queries, k=10)

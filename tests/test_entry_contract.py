@@ -26,6 +26,7 @@ def test_every_oracle_key_is_a_declared_query():
         "retrieval_mmr",
         "ann_lsh_recall",
         "compression_ratio_docs",
+        "ann_ivf_quantized_topk",
     }, rows_only
 
 

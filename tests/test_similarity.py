@@ -625,3 +625,18 @@ def test_ann_recall_report_exact_on_fixture(spark):
 
     with pytest.raises(ValueError, match="method"):
         S.ann_recall_report(emb, queries, method="nope")
+
+
+def test_ivf_quantized_recall_and_error_floor(spark, emb):
+    """The quantized IVF path recovers most of the exact top-10 (same
+    floor as the float IVF path) and its scores sit within the int8
+    error envelope of the exact cosines on shared pairs."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    approx = SIM.ivf_quantized_topk(emb, queries, k=10).collect()
+    truth = {(r["qid"], r["cid"]): r["cosine"] for r in exact}
+    got = {(r["qid"], r["cid"]): r["cosine"] for r in approx}
+    recall = len(set(truth) & set(got)) / len(truth)
+    assert recall >= 0.3, f"quantized IVF recall too low: {recall}"
+    for pair in set(truth) & set(got):
+        assert abs(truth[pair] - got[pair]) < 0.03, pair
