@@ -19,16 +19,108 @@ from __future__ import annotations
 import gc
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bigdata_hits_spark import queries as q
-from bigdata_hits_spark.session import get_spark
+
+def _current_round(repo_dir: str) -> int:
+    """The round IN PROGRESS = 1 + the latest driver bench record
+    (``BENCH_r{N}.json`` is written by the driver when round N closes,
+    so its max is always the previous round while a round is running)."""
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo_dir)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def _pick_prior_record(repo_dir: str) -> str | None:
+    """Latest committed local record EXCLUDING the round in progress, so
+    running the bench twice in one round still compares the re-time
+    detector against the PRIOR round's record rather than this round's
+    own first run (VERDICT r8 #8 — the lexicographic ``sorted()`` pick
+    had that self-comparison hole)."""
+    cur = _current_round(repo_dir)
+    cands = [
+        (int(m.group(1)), f)
+        for f in os.listdir(repo_dir)
+        if (m := re.fullmatch(r"BENCH_local_r(\d+)\.json", f))
+        and int(m.group(1)) < cur
+    ]
+    return max(cands)[1] if cands else None
+
+
+def merge_records(details: list[dict]) -> dict:
+    """Merge >=2 same-round clean-run detail records into one committed
+    record: per-query MIN across runs (VERDICT r8 #1 — the ±10%
+    whole-session band exceeded any single round's real optimization,
+    so one run's headline could not support round-over-round claims;
+    the cross-run min removes the session-level smear the same way the
+    in-run min-of-3 removes per-query stalls).  Each run's canaries are
+    kept (``canary_sec`` = one list per run) so "both runs were idle"
+    stays a recorded number, and each run's own headline total is kept
+    under ``headline_runs`` for the band-width readout."""
+    if not details:
+        raise ValueError("merge_records needs at least one detail record")
+
+    def _min_map(key: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for d in details:
+            for name, t in d.get(key, {}).items():
+                if not isinstance(t, (int, float)):
+                    continue
+                prev = out.get(name)
+                out[name] = t if prev is None or prev < 0 else (
+                    min(prev, t) if t >= 0 else prev
+                )
+        return out
+
+    headline = _min_map("queries")
+    extra = _min_map("extra_queries")
+    retimed: dict[str, list] = {}
+    for d in details:
+        for name, entry in d.get("retimed", {}).items():
+            retimed.setdefault(name, []).append(entry)
+    return {
+        "metric": "total_headline_query_sec",
+        "value": round(sum(t for t in headline.values() if t >= 0), 3),
+        "unit": "sec",
+        "queries": headline,
+        "extra_queries": extra,
+        "extra_sec": round(sum(t for t in extra.values() if t >= 0), 3),
+        "canary_sec": [d.get("canary_sec", []) for d in details],
+        "headline_runs": [d.get("value") for d in details],
+        "runs": len(details),
+        "retimed": retimed,
+        "sf": details[0].get("sf"),
+    }
+
+
+def _merge_main(argv: list[str]) -> None:
+    out = "BENCH_local_merged.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    paths = [a for a in argv if not a.startswith("--")]
+    details = []
+    for p in paths:
+        with open(p) as f:
+            details.append(json.load(f))
+    rec = merge_records(details)
+    rec["merged_from"] = [os.path.basename(p) for p in paths]
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print(json.dumps({k: rec[k] for k in ("metric", "value", "extra_sec", "headline_runs", "runs")}))
 
 
 def main() -> None:
+    from bigdata_hits_spark import queries as q
+    from bigdata_hits_spark.session import get_spark
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -212,13 +304,10 @@ def main() -> None:
     # ones make the regression a number nobody can wave away.
     prior_extras: dict[str, float] = {}
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prior_records = sorted(
-        f for f in os.listdir(repo_dir)
-        if f.startswith("BENCH_local_r") and f.endswith(".json")
-    )
-    if prior_records:
+    prior_record = _pick_prior_record(repo_dir)
+    if prior_record:
         try:
-            with open(os.path.join(repo_dir, prior_records[-1])) as f:
+            with open(os.path.join(repo_dir, prior_record)) as f:
                 prior = json.load(f)
             prior_extras = {
                 k: v
@@ -273,8 +362,14 @@ def main() -> None:
         "retimed": retimed,
         "sf": sf,
     }
+    # --detail-out lets each of a round's clean runs keep its own detail
+    # file so `bench.py --merge run1.json run2.json --out ...` can build
+    # the committed cross-run-min record (VERDICT r8 #1).
+    detail_name = "BENCH_detail_last.json"
+    if "--detail-out" in sys.argv:
+        detail_name = sys.argv[sys.argv.index("--detail-out") + 1]
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail_last.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     try:
         with open(detail_path, "w") as f:
@@ -301,4 +396,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--merge" in sys.argv:
+        _merge_main(sys.argv[sys.argv.index("--merge") + 1 :])
+    else:
+        main()

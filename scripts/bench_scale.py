@@ -71,12 +71,33 @@ SMOKE = [
     "community_modularity",
     "community_modularity_lp",
     "retrieval_mmr",
+    # round-8 families (VERDICT r8 #2): weighted LP (2x unweighted LP's
+    # per-round traffic — confirm linear), the leakage-safe split (re-runs
+    # minhash + components + split end-to-end, the most expensive extra),
+    # the span-dup profile, multi-touch attribution ((user, bin)-keyed
+    # range join), the bootstrap's 32x row fan-out, the quantized-IVF
+    # serving path, and feature propagation.
+    "graph_label_propagation_weighted",
+    "leakage_safe_split_docs",
+    "dedup_ngram_profile",
+    "events_multitouch_attribution",
+    "bootstrap_order_value_ci",
+    "ann_ivf_quantized_topk",
+    "feature_smooth_parts",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/repo/.scale/sf1")
-    out = "BENCH_sf1_r08.json"
+    # Default out-file derives the in-progress round from the driver's
+    # BENCH_r{N}.json records (VERDICT r8 #2: the name was hardcoded per
+    # round and went stale the moment a round closed).
+    import bench as _bench
+
+    _round = _bench._current_round(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out = f"BENCH_sf1_r{_round:02d}.json"
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
     passes = 2
