@@ -1170,11 +1170,14 @@ def ann_recall_report(
     dial you turn bands/probes against).
 
     ``method``: "lsh" (:func:`lsh_bucket_topk`, kwargs like
-    ``multiprobe=True`` pass through) or "ivf" (:func:`ivf_topk`,
-    kwargs like ``n_probe=``).  Both the truth and the candidate sets
-    are k-bounded per query, so the compare is a (qid, cid)-keyed
-    semi-join over k x |Q| rows — nothing corpus-sized moves beyond
-    what the two top-k passes already move."""
+    ``multiprobe=True`` pass through), "ivf" (:func:`ivf_topk`,
+    kwargs like ``n_probe=``), or "ivfq" (:func:`ivf_quantized_topk`,
+    kwargs like ``rerank=True`` — the int8 serving path's measured
+    recall, so "how much does quantization cost at this probe/rerank
+    setting" is a number, not a floor).  Both the truth and the
+    candidate sets are k-bounded per query, so the compare is a
+    (qid, cid)-keyed semi-join over k x |Q| rows — nothing corpus-sized
+    moves beyond what the two top-k passes already move."""
     if method == "lsh":
         approx = lsh_bucket_topk(
             corpus, queries, k=k, id_col=id_col, vec_col=vec_col, **method_kwargs
@@ -1183,8 +1186,12 @@ def ann_recall_report(
         approx = ivf_topk(
             corpus, queries, k=k, id_col=id_col, vec_col=vec_col, **method_kwargs
         )
+    elif method == "ivfq":
+        approx = ivf_quantized_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col, **method_kwargs
+        )
     else:
-        raise ValueError(f"method must be 'lsh' or 'ivf', got {method!r}")
+        raise ValueError(f"method must be 'lsh', 'ivf', or 'ivfq', got {method!r}")
     exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     hits = exact.join(approx.select("qid", "cid"), ["qid", "cid"], "left_semi")
     truth_counts = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_true"))
@@ -1210,6 +1217,8 @@ def ivf_quantized_topk(
     n_probe: int = IVF_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: bool = False,
+    rerank_pool: int | None = None,
 ) -> DataFrame:
     """IVF top-k over an int8-QUANTIZED corpus — the memory-efficient
     serving shape: the inverted file prunes candidates exactly like
@@ -1219,8 +1228,17 @@ def ivf_quantized_topk(
     (at 100 TB the vector bytes ARE the join cost).  Queries stay
     full-precision (standard asymmetric quantized search); scores are
     cosines against the dequantized corpus vector, within O(1/127) of
-    exact — re-rank survivors against the full-precision column when
-    exactness matters (the quantize_embeddings contract).
+    exact.
+
+    ``rerank=True`` adds the exactness arm: the top ``rerank_pool``
+    (default 4k) QUANTIZED survivors per query are re-scored against
+    the full-precision vectors and the final top-k is taken from the
+    exact scores — the standard two-stage quantized-retrieval shape
+    (coarse int8 scan, fine float re-rank).  The re-rank joins are
+    k-bounded on the survivor side (|Q| x pool rows against the corpus
+    by id — broadcastable survivors at any corpus scale), so the float
+    vectors are touched only for pool candidates per query, never for
+    the probe shuffle.
 
     Same plan as ivf_topk: bucket equi-join, no index structure to
     ship; the dequantize is a per-candidate transform inside the
@@ -1269,4 +1287,43 @@ def ivf_quantized_topk(
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+    if not rerank:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+    pool = rerank_pool if rerank_pool is not None else 4 * k
+    survivors = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("qid", "cid")
+    )
+    fullc = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("__fcvec"),
+        l2_norm(F.col(vec_col)).alias("__fcnrm"),
+    )
+    fullq = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__fqvec"),
+        l2_norm(F.col(vec_col)).alias("__fqnrm"),
+    )
+    rescored = (
+        survivors.join(fullc, "cid")
+        .join(fullq, "qid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("__fqvec"), F.col("__fcvec"))
+                / (F.col("__fqnrm") * F.col("__fcnrm")),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

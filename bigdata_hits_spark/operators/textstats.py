@@ -720,3 +720,64 @@ def compression_stats(
             digits,
         ).alias("compression_ratio"),
     )
+
+
+#: Demo blocklists for :func:`toxicity_screen` — one category -> word
+#: tuple each, deliberately MILD stand-ins exercising the machinery (a
+#: real deployment swaps in its own taxonomy, e.g. an LDNOOBW-style
+#: list, via the ``categories=`` parameter).  Words must be lowercase
+#: ASCII alphanumerics so the generated alternation is regex-safe and
+#: the ``\b`` boundaries mean the same thing in Java regex and RE2
+#: (both define ``\b`` against the ASCII word class) — the same
+#: portability subset discipline as functions/text.py PII_PATTERNS.
+TOXICITY_BLOCKLISTS: dict[str, tuple[str, ...]] = {
+    "profanity": ("damn", "hell", "crap", "bastard"),
+    "violence": ("kill", "murder", "assault", "slaughter", "massacre"),
+    "sexual": ("porn", "nude", "xxx", "erotic"),
+    "harassment": ("idiot", "stupid", "loser", "moron"),
+}
+
+
+def blocklist_pattern(words: tuple[str, ...]) -> str:
+    """Whole-word alternation over a category word list, portable across
+    Java regex and RE2 (DuckDB).  Exact-token matching by design —
+    inflected forms belong in the list, not in suffix magic the two
+    engines might disagree on."""
+    import re as _re
+
+    for w in words:
+        if not _re.fullmatch(r"[a-z0-9]+", w):
+            raise ValueError(f"blocklist words must be lowercase alnum: {w!r}")
+    return r"\b(?:" + "|".join(words) + r")\b"
+
+
+def toxicity_screen(
+    docs: DataFrame,
+    categories: dict[str, tuple[str, ...]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_<category>..., n_blocked, flagged): per-document match
+    counts against per-category blocklists — the standard corpus-curation
+    screen beside PII (counts feed thresholds downstream; a hard drop on
+    any match is ``flagged = 1``).  Counting, not redaction: counts are
+    engine-portable where replacement semantics are not (the pii_screen
+    precedent).
+
+    JVM-side ``regexp_count`` over ``lower(text)`` per category —
+    whole-stage-codegen projection, shuffle-free, survives any scale by
+    construction."""
+    cats = categories or TOXICITY_BLOCKLISTS
+    low = F.lower(F.col(text_col))
+    counts = {
+        c: F.regexp_count(low, F.lit(blocklist_pattern(ws))) for c, ws in cats.items()
+    }
+    total = None
+    for col in counts.values():
+        total = col if total is None else total + col
+    return docs.select(
+        id_col,
+        *[col.alias(f"n_{c}") for c, col in counts.items()],
+        total.alias("n_blocked"),
+        (total > 0).cast("int").alias("flagged"),
+    )

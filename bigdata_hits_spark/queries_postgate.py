@@ -4375,3 +4375,71 @@ def q_ann_ivf_quantized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_quantized_topk(emb, queries, k=10)
+
+
+@register("ann_ivfq_recall", None)  # rows-only like the other ANN recall
+# report (the numpy probe kernel has no SQL twin); the rerank arm's
+# exactness is equality-tested against ivf_topk in tests/test_similarity.py.
+def q_ann_ivfq_recall(spark, sf_dir):
+    """Per-query recall@k of the int8-quantized IVF serving path WITH
+    the full-precision rerank arm (operators/similarity.py
+    ann_recall_report method='ivfq' over ivf_quantized_topk rerank=True)
+    — the measured answer to "what does quantization cost at this
+    probe/rerank setting" (VERDICT r8 #3)."""
+    from bigdata_hits_spark.operators.similarity import ann_recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ann_recall_report(emb, queries, k=10, method="ivfq", rerank=True)
+
+
+def _toxicity_sql() -> str:
+    from bigdata_hits_spark.operators.textstats import (
+        TOXICITY_BLOCKLISTS,
+        blocklist_pattern,
+    )
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{blocklist_pattern(ws)}')) AS n_{c}"
+        for c, ws in TOXICITY_BLOCKLISTS.items()
+    )
+    total = " + ".join(f"n_{c}" for c in TOXICITY_BLOCKLISTS)
+    return (
+        f"WITH c AS (SELECT doc_id, {counts} FROM documents) "
+        f"SELECT doc_id, {', '.join('n_' + c for c in TOXICITY_BLOCKLISTS)}, "
+        f"{total} AS n_blocked, "
+        f"CASE WHEN {total} > 0 THEN 1 ELSE 0 END AS flagged FROM c"
+    )
+
+
+@register("toxicity_screen_docs", _toxicity_sql())
+def q_toxicity_screen(spark, sf_dir):
+    """Per-document blocklist/toxicity match counts by category
+    (operators/textstats.py toxicity_screen): the corpus-curation screen
+    beside pii_screen (VERDICT r8 #6) — whole-word regexp counts over
+    lower(text), portable across Java regex and RE2 by restricting the
+    alternation to lowercase-alnum words and ASCII ``\\b`` boundaries."""
+    from bigdata_hits_spark.operators.textstats import toxicity_screen
+
+    return toxicity_screen(load_table(spark, sf_dir, "documents"))
+
+
+_EPOCH_SHUFFLE_SQL = (
+    "SELECT doc_id, source, ROW_NUMBER() OVER ("
+    "ORDER BY md5('0|2|' || CAST(doc_id AS VARCHAR)), doc_id) AS pos "
+    "FROM documents"
+)
+
+
+@register("epoch_shuffle_docs", _EPOCH_SHUFFLE_SQL)
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch-2 training order (operators/sampling.py
+    epoch_shuffle): contiguous 1-based positions in md5(seed|epoch|key)
+    order, re-derivable by any engine with md5 (VERDICT r8 #7).  Spark
+    runs the two-phase global_rank (range exchange + bucket-offset
+    broadcast); the oracle is the plain ROW_NUMBER over the same
+    portable key — hex strings order identically in both engines."""
+    from bigdata_hits_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_shuffle(docs, "doc_id", epoch=2)

@@ -27,6 +27,7 @@ def test_every_oracle_key_is_a_declared_query():
         "ann_lsh_recall",
         "compression_ratio_docs",
         "ann_ivf_quantized_topk",
+        "ann_ivfq_recall",
     }, rows_only
 
 

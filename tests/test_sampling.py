@@ -567,3 +567,26 @@ def test_leakage_safe_split_groups_families(spark):
     }
     for i in range(100, 200):
         assert rows[i] == want[i]
+
+
+def test_epoch_shuffle_determinism_and_permutation(spark):
+    from bigdata_hits_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(97)], "doc_id long, source string"
+    )
+    e1 = epoch_shuffle(df, "doc_id", epoch=1)
+    a = {r["doc_id"]: r["pos"] for r in e1.collect()}
+    b = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, "doc_id", epoch=1).collect()}
+    # deterministic: identical assignment on re-run
+    assert a == b
+    # a permutation: positions are exactly 1..N
+    assert sorted(a.values()) == list(range(1, 98))
+    # a DIFFERENT epoch is a different permutation of the same positions
+    c = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, "doc_id", epoch=2).collect()}
+    assert sorted(c.values()) == list(range(1, 98)) and a != c
+    # and so is a different seed at the same epoch
+    d = {r["doc_id"]: r["pos"] for r in epoch_shuffle(df, "doc_id", epoch=1, seed=7).collect()}
+    assert sorted(d.values()) == list(range(1, 98)) and a != d
+    # input columns survive
+    assert set(e1.columns) == {"doc_id", "source", "pos"}

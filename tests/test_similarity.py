@@ -640,3 +640,36 @@ def test_ivf_quantized_recall_and_error_floor(spark, emb):
     assert recall >= 0.3, f"quantized IVF recall too low: {recall}"
     for pair in set(truth) & set(got):
         assert abs(truth[pair] - got[pair]) < 0.03, pair
+
+
+def test_ivfq_rerank_equals_ivf_topk_when_probing_all(spark, emb):
+    """With every centroid probed, the quantized path sees the same
+    candidate set as the float IVF path; the rerank arm re-scores its
+    survivor pool full-precision, so with a pool comfortably above k the
+    output (ids AND cosines) must equal ivf_topk's exactly — the
+    two-stage shape loses nothing when the coarse stage over-fetches."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    kw = dict(k=10, n_centroids=4, n_probe=4)
+    exact = SIM.ivf_topk(emb, queries, **kw).collect()
+    reranked = SIM.ivf_quantized_topk(
+        emb, queries, rerank=True, rerank_pool=100, **kw
+    ).collect()
+    want = {(r["qid"], r["cid"], r["cosine"]) for r in exact}
+    got = {(r["qid"], r["cid"], r["cosine"]) for r in reranked}
+    assert got == want
+
+
+def test_ann_recall_report_ivfq(spark, emb):
+    """The recall report runs over the quantized path; with probe-all +
+    rerank it must read 1.0 per query (it IS the exact top-k then), and
+    the default quantized path clears the same conservative floor as the
+    float IVF path."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = SIM.ann_recall_report(
+        emb, queries, k=10, method="ivfq",
+        n_centroids=4, n_probe=4, rerank=True, rerank_pool=100,
+    ).collect()
+    assert len(full) == 5 and all(r["recall"] == 1.0 for r in full)
+    rep = SIM.ann_recall_report(emb, queries, k=10, method="ivfq").collect()
+    mean_recall = sum(r["recall"] for r in rep) / len(rep)
+    assert mean_recall >= 0.3, f"quantized IVF mean recall too low: {mean_recall}"

@@ -462,3 +462,38 @@ def test_compression_stats_orders_repetition_below_prose(spark):
     assert again == {k: tuple(v) for k, v in got.items()}
     with pytest.raises(ValueError, match="level 6"):
         compression_stats(df, level=1)
+
+
+def test_toxicity_screen_known_counts(spark):
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.toxicity_screen(
+            spark.createDataFrame(
+                [
+                    Row(doc_id=0, text="Damn the HELL out of it"),
+                    Row(doc_id=1, text="the killer kill kills nothing"),
+                    Row(doc_id=2, text="porn and an idiot walk in"),
+                    Row(doc_id=3, text=""),
+                    Row(doc_id=4, text="perfectly clean prose"),
+                ]
+            )
+        ).collect()
+    }
+    # case-insensitive whole-word counts
+    assert rows[0]["n_profanity"] == 2 and rows[0]["flagged"] == 1
+    # word boundaries: "killer"/"kills" do NOT match "kill"
+    assert rows[1]["n_violence"] == 1 and rows[1]["n_blocked"] == 1
+    assert rows[2]["n_sexual"] == 1 and rows[2]["n_harassment"] == 1
+    assert rows[2]["n_blocked"] == 2 and rows[2]["flagged"] == 1
+    for i in (3, 4):
+        assert rows[i]["n_blocked"] == 0 and rows[i]["flagged"] == 0
+
+
+def test_toxicity_screen_custom_categories_and_validation(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="foo bar foo")])
+    out = textstats.toxicity_screen(df, categories={"custom": ("foo",)}).first()
+    assert out["n_custom"] == 2 and out.asDict().keys() == {
+        "doc_id", "n_custom", "n_blocked", "flagged"
+    }
+    with pytest.raises(ValueError, match="lowercase alnum"):
+        textstats.blocklist_pattern(("Bad Word",))
