@@ -120,8 +120,17 @@ Beyond-reference pipeline jobs (no reference twin):
   smoothing with restart (the node-feature PPR twin).
 - ``bootstrap table.parquet group_col value_col key_col [B]`` —
   deterministic subsampling CIs for per-group means.
-- ``ann_recall embeddings.parquet [k] [method] [qid_mod]`` — recall@k of
-  the lsh/ivf path against exact cosine.
+- ``ann_recall embeddings.parquet [k] [method] [qid_mod] [rerank]`` —
+  recall@k of the lsh/ivf/ivfq path against exact cosine (``ivfq`` +
+  ``rerank`` adds the full-precision re-rank arm).
+- ``toxicity docs.parquet`` — per-document blocklist match counts by
+  category (the curation screen beside PII).
+- ``epoch_shuffle table.parquet key_col epoch [seed]`` — deterministic
+  md5(seed|epoch|key) training order, re-derivable by any engine.
+- ``dedup_norm docs.parquet`` — exact dedup over canonicalized text
+  (case/punctuation/whitespace variants collapse into one family).
+- ``diversity docs.parquet [n] [group_col]`` — distinct-n diversity per
+  group (templated-content screen).
 """
 
 from __future__ import annotations
@@ -869,12 +878,14 @@ def main(argv: list[str] | None = None) -> None:
         src = args.take()
         if src is None:
             raise SystemExit("ann_recall needs an embeddings parquet path")
-        k = args.take(int, 10, usage="ann_recall <embeddings> [k] [method] [qid_mod]")
+        k = args.take(int, 10, usage="ann_recall <embeddings> [k] [method] [qid_mod] [rerank]")
         method = args.take(str, "lsh")
         qid_mod = args.take(int, 100)
+        rerank = args.take(str, "") == "rerank"
         emb = spark.read.parquet(src)
         queries = emb.filter(F.col("vec_id") % qid_mod == 0)
-        ann_recall_report(emb, queries, k=k, method=method).write.mode(
+        kwargs = {"rerank": True} if (method == "ivfq" and rerank) else {}
+        ann_recall_report(emb, queries, k=k, method=method, **kwargs).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "ann_recall"))
     elif job == "dup_profile":
@@ -889,6 +900,56 @@ def main(argv: list[str] | None = None) -> None:
         duplicated_ngram_profile(
             spark.read.parquet(docs_path), min_docs=min_docs
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "dup_profile"))
+    elif job == "toxicity":
+        # toxicity <docs.parquet> — per-document blocklist match counts by
+        # category (swap in your own taxonomy via the library API).
+        from bigdata_hits_spark.operators.textstats import toxicity_screen
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("toxicity needs a documents parquet path")
+        toxicity_screen(spark.read.parquet(docs_path)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "toxicity"))
+    elif job == "epoch_shuffle":
+        # epoch_shuffle <table.parquet> <key_col> <epoch> [seed] — the
+        # deterministic md5(seed|epoch|key) training order, re-derivable
+        # by any engine with md5.
+        from bigdata_hits_spark.operators.sampling import epoch_shuffle
+
+        src = args.take()
+        key_col = args.take()
+        epoch = args.take(int, None, usage="epoch_shuffle <table> <key_col> <epoch> [seed]")
+        if None in (src, key_col, epoch):
+            raise SystemExit("epoch_shuffle needs table.parquet key_col epoch [seed]")
+        seed = args.take(int, 0)
+        epoch_shuffle(spark.read.parquet(src), key_col, epoch, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "epoch_shuffle"))
+    elif job == "dedup_norm":
+        # dedup_norm <docs.parquet> — exact dedup over canonicalized text
+        # (case/punctuation/whitespace variants collapse).
+        from bigdata_hits_spark.operators.dedup import exact_duplicates_normalized
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("dedup_norm needs a documents parquet path")
+        exact_duplicates_normalized(spark.read.parquet(docs_path)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "dedup_norm"))
+    elif job == "diversity":
+        # diversity <docs.parquet> [n] [group_col] — distinct-n diversity
+        # per group (templated-content screen).
+        from bigdata_hits_spark.operators.textstats import distinct_ngram_diversity
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("diversity needs a documents parquet path")
+        n = args.take(int, 2, usage="diversity <docs.parquet> [n] [group_col]")
+        group_col = args.take(str, "source")
+        distinct_ngram_diversity(
+            spark.read.parquet(docs_path), n=n, group_col=group_col
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "diversity"))
     else:
         raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")
 

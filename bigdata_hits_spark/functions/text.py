@@ -245,3 +245,14 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(text, "[\\x00-\\x1f\\x7f]", " ")
     t = F.regexp_replace(t, " +", " ")
     return F.lower(F.trim(t))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup keys: lowercase, collapse
+    every non-alphanumeric run to one space, trim.  Catches the
+    trivially-reformatted duplicates byte-exact dedup misses (case,
+    punctuation, whitespace variants) while staying portable: the
+    pattern is in the Java/RE2-identical subset, so any engine
+    re-derives the same canonical form (DuckDB twin:
+    ``trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))``)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))

@@ -780,3 +780,21 @@ def dedup_savings(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def exact_duplicates_normalized(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup over NORMALIZED text (functions/text.py
+    normalize_text: lowercase, punctuation/whitespace collapse) — the
+    standard first tightening of byte-exact dedup in web-corpus
+    curation: case/punctuation/whitespace variants of the same document
+    collapse into one family without any near-dup machinery.  Same plan
+    as :func:`exact_duplicates`: only the 32-char md5 of the canonical
+    form shuffles, never document bodies."""
+    from bigdata_hits_spark.functions.text import normalize_text
+
+    return (
+        docs.groupBy(F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        .agg(F.min(F.col(id_col)).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )

@@ -781,3 +781,45 @@ def toxicity_screen(
         total.alias("n_blocked"),
         (total > 0).cast("int").alias("flagged"),
     )
+
+
+def distinct_ngram_diversity(
+    docs: DataFrame,
+    n: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+    digits: int = 7,
+) -> DataFrame:
+    """(group, n_ngrams, n_distinct, distinct_ratio): distinct-n
+    diversity per group — the share of n-gram OCCURRENCES that are
+    distinct types (Li et al. 2016's distinct-n, the standard
+    mode-collapse / templated-content readout).  A source whose docs are
+    stamped from one template scores near 0; diverse prose scores high.
+    Complements zipf_fit (distribution shape) and repetition_signals
+    (within-doc): this one is ACROSS docs within a group.
+
+    Scale shape: one explode to (group, ngram) rows, then a two-level
+    aggregation — count per (group, ngram) with map-side combine, then
+    per-group totals — so the shuffle carries compact n-gram keys, never
+    documents, and no COUNT DISTINCT expansion (the distinct count is
+    the row count of the first level)."""
+    grams = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(_ngram_terms(text_col, n)).alias("ng"),
+    )
+    per_gram = grams.groupBy("grp", "ng").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_ngrams",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_ngrams"), digits).alias(
+                "distinct_ratio"
+            ),
+        )
+    )

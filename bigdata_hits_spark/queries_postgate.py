@@ -4443,3 +4443,44 @@ def q_epoch_shuffle(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return epoch_shuffle(docs, "doc_id", epoch=2)
+
+
+@register(
+    "dedup_exact_normalized",
+    "SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) "
+    "AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "
+    "FROM documents GROUP BY 1",
+)
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup over canonicalized text (operators/dedup.py
+    exact_duplicates_normalized): lowercase + punctuation/whitespace
+    collapse before hashing, so trivially-reformatted duplicates join
+    one family.  The normalization regex stays in the Java/RE2-identical
+    subset; only the md5 key shuffles."""
+    return DD.exact_duplicates_normalized(load_table(spark, sf_dir, "documents"))
+
+
+def _diversity_sql(n: int = 2) -> str:
+    return (
+        "WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents), "
+        f"g AS (SELECT source, list_aggregate(w[i + 1:i + {n}], 'string_agg', ' ') AS ng "
+        f"FROM (SELECT source, w, unnest(range(len(w) - {n - 1})) AS i FROM t "
+        f"WHERE len(w) >= {n})), "
+        "pg AS (SELECT source, ng, COUNT(*) AS c FROM g GROUP BY source, ng) "
+        "SELECT source, CAST(SUM(c) AS BIGINT) AS n_ngrams, "
+        "COUNT(*) AS n_distinct, "
+        "ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 7) AS distinct_ratio "
+        "FROM pg GROUP BY source"
+    )
+
+
+@register("diversity_distinct2_source", _diversity_sql())
+def q_diversity_distinct2(spark, sf_dir):
+    """Distinct-2 diversity per source (operators/textstats.py
+    distinct_ngram_diversity): share of bigram occurrences that are
+    distinct types — the mode-collapse / templated-content screen
+    across documents within a source.  Two-level aggregation, compact
+    n-gram keys only."""
+    from bigdata_hits_spark.operators.textstats import distinct_ngram_diversity
+
+    return distinct_ngram_diversity(load_table(spark, sf_dir, "documents"))

@@ -558,3 +558,42 @@ def test_cli_round8_eval_jobs(spark, tmp_path):
     assert ar.count() > 0
     for r in ar.collect():
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_cli_round9_jobs(spark, tmp_path):
+    """toxicity / epoch_shuffle / dedup_norm / diversity / ann_recall
+    ivfq+rerank end to end on the tiny tables."""
+    docs_src = str(tmp_path / "docs_r9")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs_src)
+
+    out = str(tmp_path / "out_tox")
+    cli.main(["toxicity", docs_src, "--out", out])
+    tox = spark.read.parquet(os.path.join(out, "toxicity"))
+    assert tox.count() > 0 and "n_blocked" in tox.columns and "flagged" in tox.columns
+
+    out = str(tmp_path / "out_ep")
+    cli.main(["epoch_shuffle", docs_src, "doc_id", "3", "--out", out])
+    ep = spark.read.parquet(os.path.join(out, "epoch_shuffle"))
+    n = ep.count()
+    assert sorted(r["pos"] for r in ep.select("pos").collect()) == list(range(1, n + 1))
+
+    out = str(tmp_path / "out_dn")
+    cli.main(["dedup_norm", docs_src, "--out", out])
+    dn = spark.read.parquet(os.path.join(out, "dedup_norm"))
+    assert dn.count() > 0 and set(dn.columns) == {"text_hash", "keep_id", "n_dups"}
+
+    out = str(tmp_path / "out_dv")
+    cli.main(["diversity", docs_src, "2", "source", "--out", out])
+    dv = spark.read.parquet(os.path.join(out, "diversity"))
+    assert dv.count() > 0
+    for r in dv.collect():
+        assert 0.0 < r["distinct_ratio"] <= 1.0
+
+    emb_src = str(tmp_path / "emb_r9")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(emb_src)
+    out = str(tmp_path / "out_ivfq")
+    cli.main(["ann_recall", emb_src, "5", "ivfq", "50", "rerank", "--out", out])
+    ar = spark.read.parquet(os.path.join(out, "ann_recall"))
+    assert ar.count() > 0
+    for r in ar.collect():
+        assert 0.0 <= r["recall"] <= 1.0

@@ -321,3 +321,20 @@ def test_dedup_savings_families_and_survivors(spark):
     assert set(got) == {1}
     assert got[1]["n_docs"] == 3 and got[1]["tokens_total"] == 230
     assert got[1]["tokens_saved"] == 130
+
+
+def test_exact_duplicates_normalized_collapses_variants(spark):
+    from bigdata_hits_spark.operators.dedup import exact_duplicates_normalized
+
+    df = spark.createDataFrame(
+        [
+            (0, "The quick brown fox."),
+            (1, "the QUICK   brown fox"),   # case/space/punct variant of 0
+            (2, "the, quick; brown! fox?"),  # punctuation variant of 0
+            (3, "a different document"),
+            (4, "a different document"),     # byte-exact dup of 3
+        ],
+        "doc_id long, text string",
+    )
+    fams = {r["keep_id"]: r["n_dups"] for r in exact_duplicates_normalized(df).collect()}
+    assert fams == {0: 3, 3: 2}

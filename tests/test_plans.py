@@ -311,6 +311,10 @@ _BNLJ_ALLOWED = {
     # recall report embeds the exact-cosine truth pass (probe x corpus)
     # plus the LSH arm's bounded query-side attach
     "ann_lsh_recall": 2,
+    # same shape as ann_lsh_recall: the exact-cosine truth pass (a
+    # deliberate probe x corpus baseline over the tiny query set) is
+    # referenced by both the hit semi-join and the truth counts
+    "ann_ivfq_recall": 2,
     "embedding_neardup_pairs": 1,
     "domain_mix_docs": 1,  # grand-total one-row attach on the host counts
     "keywords_per_source": 1,  # corpus-doc-count one-row attach on tf-idf

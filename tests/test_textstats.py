@@ -497,3 +497,23 @@ def test_toxicity_screen_custom_categories_and_validation(spark):
     }
     with pytest.raises(ValueError, match="lowercase alnum"):
         textstats.blocklist_pattern(("Bad Word",))
+
+
+def test_distinct_ngram_diversity_known_ratios(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "tmpl", "a b a b"),    # bigrams: ab, ba, ab -> 3 occ, 2 types
+            (1, "tmpl", "a b"),        # ab -> total 4 occ, 2 types = 0.5
+            (2, "rich", "p q r s"),    # pq qr rs -> 3 occ, 3 types = 1.0
+            (3, "tiny", "x"),          # shorter than n: no bigrams, no row
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r["source"]: r
+        for r in textstats.distinct_ngram_diversity(df).collect()
+    }
+    assert rows["tmpl"]["n_ngrams"] == 4 and rows["tmpl"]["n_distinct"] == 2
+    assert rows["tmpl"]["distinct_ratio"] == 0.5
+    assert rows["rich"]["distinct_ratio"] == 1.0
+    assert "tiny" not in rows
