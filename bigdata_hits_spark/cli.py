@@ -131,6 +131,9 @@ Beyond-reference pipeline jobs (no reference twin):
   (case/punctuation/whitespace variants collapse into one family).
 - ``diversity docs.parquet [n] [group_col]`` — distinct-n diversity per
   group (templated-content screen).
+- ``winnow docs.parquet [k] [w] [report]`` — winnowing fingerprints
+  (MOSS scheme); ``report`` writes the per-doc shared-fingerprint
+  fractions instead of the raw selections.
 """
 
 from __future__ import annotations
@@ -950,6 +953,25 @@ def main(argv: list[str] | None = None) -> None:
         distinct_ngram_diversity(
             spark.read.parquet(docs_path), n=n, group_col=group_col
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "diversity"))
+    elif job == "winnow":
+        # winnow <docs.parquet> [k] [w] [report] — winnowing fingerprints
+        # (Schleimer et al. 2003); 'report' writes per-doc shared-fp
+        # fractions instead of the raw (id, fp, pos) selections.
+        from bigdata_hits_spark.operators.dedup import (
+            winnow_dup_report,
+            winnow_fingerprints,
+        )
+
+        docs_path = args.take()
+        if docs_path is None:
+            raise SystemExit("winnow needs a documents parquet path")
+        kk = args.take(int, 4, usage="winnow <docs.parquet> [k] [w] [report]")
+        ww = args.take(int, 4)
+        report = args.take(str, "") == "report"
+        fn = winnow_dup_report if report else winnow_fingerprints
+        fn(spark.read.parquet(docs_path), k=kk, w=ww).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "winnow"))
     else:
         raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")
 

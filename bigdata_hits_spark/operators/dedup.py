@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from bigdata_hits_spark.functions.text import token_hash, tokens
 
@@ -797,4 +797,108 @@ def exact_duplicates_normalized(
     return (
         docs.groupBy(F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
         .agg(F.min(F.col(id_col)).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+#: Position capacity for the winnowing min-key encoding: key =
+#: hash * WINNOW_POSCAP + (WINNOW_POSCAP - 1 - pos) packs (hash asc,
+#: pos desc) into ONE int64 so a plain windowed MIN implements
+#: "smallest hash, rightmost on ties" — the classic winnowing tie rule —
+#: identically in any engine with integer windows.  hash < 2^32 and
+#: pos < 2^20 keep the product under 2^52; documents longer than ~1M
+#: tokens should go through chunk_documents first (the same bound the
+#: fingerprint literature assumes — fingerprinting operates on
+#: passage-sized units).
+WINNOW_POSCAP = 1 << 20
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, fp, pos): winnowing fingerprint selection (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS scheme): hash every k-gram, slide
+    a w-window over the hash sequence, and keep each window's minimum
+    (rightmost on ties).  Guarantees every match of length >= w + k - 1
+    shares at least one selected fingerprint, at ~2/(w+1) the storage of
+    the full hash sequence — the local, position-aware fingerprinting
+    layer between exact hashing (doc_fingerprint) and set-based MinHash.
+
+    Portable by construction: the (hash asc, pos desc) tie rule is
+    packed into one int64 key (see ``WINNOW_POSCAP``) so the selection
+    is a windowed MIN any engine reproduces bit-for-bit.  Documents with
+    fewer than ``w`` k-grams contribute their single global minimum
+    (the pos-0 partial window); shorter than ``k`` contribute nothing.
+
+    Scale shape: one explode to (id, pos, hash) rows, one per-doc
+    window pass (partitioned by id — no global sort), one distinct on
+    the compact selected keys.  Only 8-byte keys shuffle, never text."""
+    from bigdata_hits_spark.functions.text import token_hash
+    from bigdata_hits_spark.operators.textstats import _ngram_terms
+
+    cap = WINNOW_POSCAP
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_ngram_terms(text_col, k)).alias("pos", "gram"),
+    )
+    key = token_hash(F.col("gram")) * F.lit(cap) + (F.lit(cap - 1) - F.col("pos"))
+    wspec = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    nspec = Window.partitionBy("id")
+    sel = (
+        grams.select("id", "pos", key.alias("key"))
+        .select(
+            "id",
+            "pos",
+            F.min("key").over(wspec).alias("wmin"),
+            F.count(F.lit(1)).over(nspec).alias("n"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("n") - F.lit(w), F.lit(0)))
+    )
+    return (
+        sel.select(
+            "id",
+            F.expr(f"wmin div {cap}").alias("fp"),
+            (F.lit(cap - 1) - F.expr(f"wmin % {cap}")).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_dup_report(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 7,
+) -> DataFrame:
+    """(id, n_fp, n_shared, shared_frac): per-document share of winnowed
+    fingerprints that also appear in at least one OTHER document — the
+    MOSS-style copied-content readout built on
+    :func:`winnow_fingerprints` (a positional complement to
+    duplicated_ngram_profile: winnowing samples ~2/(w+1) of the n-grams
+    with a locality guarantee, so the report costs a fraction of the
+    full-shingle profile at scale).
+
+    Two narrow aggregations over the selected 8-byte fingerprints: a
+    doc-frequency count per fp and a per-doc rollup — change-sized
+    state, no text movement."""
+    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col).select(
+        "id", "fp"
+    ).distinct()
+    dfq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("dfq"))
+    shared = F.sum((F.col("dfq") > 1).cast("long")).alias("n_shared")
+    return (
+        fps.join(dfq, "fp")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_fp"), shared)
+        .select(
+            "id",
+            "n_fp",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_fp"), digits).alias("shared_frac"),
+        )
     )

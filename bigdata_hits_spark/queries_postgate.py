@@ -4484,3 +4484,40 @@ def q_diversity_distinct2(spark, sf_dir):
     from bigdata_hits_spark.operators.textstats import distinct_ngram_diversity
 
     return distinct_ngram_diversity(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_sql(k: int = 4, w: int = 4) -> str:
+    cap = DD.WINNOW_POSCAP
+    x = duck_hex_to_long(
+        f"md5(list_aggregate(wd[i + 1:i + {k}], 'string_agg', ' '))", 8
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents), "
+        f"e AS (SELECT doc_id, wd, unnest(range(len(wd) - {k - 1})) AS i "
+        f"FROM t WHERE len(wd) >= {k}), "
+        f"g AS (SELECT doc_id, i AS pos, {x} AS x FROM e), "
+        f"kk AS (SELECT doc_id, pos, x * {cap} + ({cap - 1} - pos) AS key FROM g), "
+        "s AS (SELECT doc_id, pos, MIN(key) OVER (PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin, "
+        "COUNT(*) OVER (PARTITION BY doc_id) AS n FROM kk), "
+        f"f AS (SELECT DISTINCT doc_id, wmin // {cap} AS fp FROM s "
+        f"WHERE pos <= GREATEST(n - {w}, 0)), "
+        "d AS (SELECT fp, COUNT(*) AS dfq FROM f GROUP BY fp) "
+        "SELECT f.doc_id AS id, COUNT(*) AS n_fp, "
+        "CAST(SUM(CASE WHEN d.dfq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, "
+        "ROUND(CAST(SUM(CASE WHEN d.dfq > 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ COUNT(*), 7) AS shared_frac "
+        "FROM f JOIN d ON f.fp = d.fp GROUP BY f.doc_id"
+    )
+
+
+@register("winnow_dup_report", _winnow_sql())
+def q_winnow_dup_report(spark, sf_dir):
+    """Winnowing fingerprint duplication report (operators/dedup.py
+    winnow_dup_report; Schleimer et al. 2003): per-document share of
+    window-minimum k-gram fingerprints shared with other documents —
+    the MOSS-style positional copied-content signal at ~2/(w+1) the
+    n-gram volume.  The (hash asc, pos desc) tie rule is packed into
+    one int64 so both engines select identical fingerprints via a
+    plain windowed MIN."""
+    return DD.winnow_dup_report(load_table(spark, sf_dir, "documents"))

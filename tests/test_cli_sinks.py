@@ -597,3 +597,16 @@ def test_cli_round9_jobs(spark, tmp_path):
     assert ar.count() > 0
     for r in ar.collect():
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_cli_winnow(spark, tmp_path):
+    docs_src = str(tmp_path / "docs_wn")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs_src)
+    out = str(tmp_path / "out_wn")
+    cli.main(["winnow", docs_src, "4", "4", "--out", out])
+    fp = spark.read.parquet(os.path.join(out, "winnow"))
+    assert fp.count() > 0 and set(fp.columns) == {"id", "fp", "pos"}
+    out = str(tmp_path / "out_wnr")
+    cli.main(["winnow", docs_src, "4", "4", "report", "--out", out])
+    rep = spark.read.parquet(os.path.join(out, "winnow"))
+    assert set(rep.columns) == {"id", "n_fp", "n_shared", "shared_frac"}

@@ -338,3 +338,59 @@ def test_exact_duplicates_normalized_collapses_variants(spark):
     )
     fams = {r["keep_id"]: r["n_dups"] for r in exact_duplicates_normalized(df).collect()}
     assert fams == {0: 3, 3: 2}
+
+
+def test_winnow_fingerprints_guarantee_and_selection(spark):
+    """The winnowing contract (Schleimer et al. 2003): any shared
+    substring of >= w + k - 1 tokens yields at least one shared
+    fingerprint; selection density is far below one-per-gram; docs
+    shorter than k select nothing; docs with < w k-grams select exactly
+    their global minimum."""
+    from bigdata_hits_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens = w+k-1
+    df = spark.createDataFrame(
+        [
+            (0, f"one two {shared} three four five six seven eight nine"),
+            (1, f"ten eleven twelve thirteen {shared} fourteen fifteen"),
+            (2, "unrelated words entirely here okay truly"),
+            (3, "ab cd"),          # shorter than k: no fingerprints
+            (4, "a b c d e"),      # 2 k-grams < w: global min only
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    # guarantee: docs 0 and 1 share the 7-token run => >= 1 common fp
+    assert by_doc[0] & by_doc[1], "winnowing guarantee violated"
+    # unrelated doc shares nothing with either
+    assert not (by_doc[2] & (by_doc[0] | by_doc[1]))
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    # density: selections are a strict subsample of the gram count
+    n_grams_0 = len(df.filter("doc_id = 0").first()["text"].split()) - 3
+    assert len([r for r in fps if r["id"] == 0]) < n_grams_0
+    # determinism
+    again = {(r["id"], r["fp"], r["pos"]) for r in winnow_fingerprints(df, k=4, w=4).collect()}
+    assert again == {(r["id"], r["fp"], r["pos"]) for r in fps}
+
+
+def test_winnow_dup_report_flags_copied_content(spark):
+    from bigdata_hits_spark.operators.dedup import winnow_dup_report
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (0, f"{shared} and some trailing original text here"),
+            (1, f"totally different opening then {shared}"),
+            (2, "no overlap with anything else in this corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in winnow_dup_report(df, k=4, w=4).collect()}
+    assert rows[0]["n_shared"] > 0 and rows[1]["n_shared"] > 0
+    assert rows[2]["n_shared"] == 0 and rows[2]["shared_frac"] == 0.0
+    for r in rows.values():
+        assert 0 <= r["n_shared"] <= r["n_fp"]
