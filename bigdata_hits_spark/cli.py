@@ -131,9 +131,11 @@ Beyond-reference pipeline jobs (no reference twin):
   (case/punctuation/whitespace variants collapse into one family).
 - ``diversity docs.parquet [n] [group_col]`` — distinct-n diversity per
   group (templated-content screen).
-- ``winnow docs.parquet [k] [w] [report]`` — winnowing fingerprints
-  (MOSS scheme); ``report`` writes the per-doc shared-fingerprint
-  fractions instead of the raw selections.
+- ``winnow docs.parquet [k] [w] [report|pairs]`` — winnowing
+  fingerprints (MOSS scheme); ``report`` writes per-doc shared-fp
+  fractions, ``pairs`` near-duplicate pairs by fingerprint Jaccard.
+- ``outliers table.parquet group_col value_col [z]`` — per-group robust
+  outlier screen by modified z-score (median/MAD).
 """
 
 from __future__ import annotations
@@ -962,16 +964,35 @@ def main(argv: list[str] | None = None) -> None:
             winnow_fingerprints,
         )
 
+        from bigdata_hits_spark.operators.dedup import winnow_near_duplicates
+
         docs_path = args.take()
         if docs_path is None:
             raise SystemExit("winnow needs a documents parquet path")
-        kk = args.take(int, 4, usage="winnow <docs.parquet> [k] [w] [report]")
+        kk = args.take(int, 4, usage="winnow <docs.parquet> [k] [w] [report|pairs]")
         ww = args.take(int, 4)
-        report = args.take(str, "") == "report"
-        fn = winnow_dup_report if report else winnow_fingerprints
+        mode = args.take(str, "")
+        fn = {
+            "report": winnow_dup_report,
+            "pairs": winnow_near_duplicates,
+        }.get(mode, winnow_fingerprints)
         fn(spark.read.parquet(docs_path), k=kk, w=ww).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "winnow"))
+    elif job == "outliers":
+        # outliers <table.parquet> <group_col> <value_col> [z] — robust
+        # per-group outlier screen (median/MAD modified z-score).
+        from bigdata_hits_spark.operators.profiling import robust_outlier_report
+
+        src = args.take()
+        group_col = args.take()
+        value_col = args.take()
+        if None in (src, group_col, value_col):
+            raise SystemExit("outliers needs table.parquet group_col value_col [z]")
+        zt = args.take(float, 3.5, usage="outliers <table> <group> <value> [z]")
+        robust_outlier_report(
+            spark.read.parquet(src), value_col, group_col, z_thresh=zt
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "outliers"))
     else:
         raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")
 

@@ -902,3 +902,57 @@ def winnow_dup_report(
             F.round(F.col("n_shared") / F.col("n_fp"), digits).alias("shared_frac"),
         )
     )
+
+
+def winnow_near_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.35,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 7,
+) -> DataFrame:
+    """(id1, id2, jaccard): near-duplicate pairs by winnowed-fingerprint
+    Jaccard — the MOSS pairing step on top of
+    :func:`winnow_fingerprints`.  Same candidates-then-verify shape as
+    MinHash-LSH, but the signature is POSITION-AWARE (any shared run of
+    >= w + k - 1 tokens guarantees a shared fingerprint), so it catches
+    the copied-passage pairs set-based MinHash dilutes when the copied
+    span is a small fraction of a long document — the two arms screen
+    complementary duplication modes.
+
+    Scale shape: candidates come from a self-join on the 8-byte
+    fingerprint value (posting-list bounded, the fp analogue of the
+    LSH band join — df-cap extremely common fingerprints upstream if a
+    corpus degenerates); the verify is one (id1, id2)-keyed count over
+    candidate intersections joined against two per-doc size aggregates.
+    Only ids and 8-byte fps shuffle, never text."""
+    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col).select(
+        "id", "fp"
+    ).distinct()
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = fps.select(F.col("id").alias("id1"), "fp")
+    b = fps.select(F.col("id").alias("id2"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    z1 = sizes.select(F.col("id").alias("id1"), F.col("n").alias("n1"))
+    z2 = sizes.select(F.col("id").alias("id2"), F.col("n").alias("n2"))
+    return (
+        inter.join(z1, "id1")
+        .join(z2, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                digits,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

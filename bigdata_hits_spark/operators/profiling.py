@@ -883,3 +883,73 @@ def bootstrap_mean_ci(
         )
         .select(F.col("grp").alias(group_col), "n_replicates", "mean", "lo_ci", "hi_ci")
     )
+
+
+def robust_outlier_report(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    z_thresh: float = 3.5,
+    digits: int = 7,
+) -> DataFrame:
+    """(group, n, med, mad, n_outliers): per-group robust outlier screen
+    by modified z-score (Iglewicz & Hoaglin 1993): an observation is an
+    outlier when |0.6745 (x - median) / MAD| exceeds ``z_thresh``
+    (3.5 is the standard cut).  Median/MAD resist the very outliers a
+    mean/stddev rule would absorb — the screen that catches corrupted
+    numeric feeds (price glitches, sensor spikes) without first
+    cleaning them.
+
+    Determinism/portability: median is the exact interpolated quantile
+    (Spark ``percentile`` = DuckDB ``median``, both at index
+    p·(n-1)); the z rule uses median and MAD ROUNDED to 6 first, so the
+    threshold compare is a pure function of identical inputs in any
+    engine (the divide-by-derived-quantity rounding discipline).
+    Groups with MAD = 0 (over half the mass on one value) report
+    n_outliers = 0 by convention — the rule is undefined there; pair
+    with an exact-frequency screen for degenerate feeds.
+
+    Scale note: exact medians sort within each group (two group-keyed
+    aggregations + two broadcastable group-sized joins).  At corpus
+    scale swap ``percentile`` for ``percentile_approx`` — the report
+    shape is unchanged; the declared query pins the exact contract."""
+    v = F.col(value_col)
+    grouped = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile(v, F.lit(0.5)).alias("__med"),
+    )
+    j = df.select(F.col(group_col).alias("grp"), v.alias("__v")).join(
+        grouped, "grp"
+    )
+    stats = (
+        j.groupBy("grp")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("__med").alias("__med"),
+            F.percentile(F.abs(F.col("__v") - F.col("__med")), F.lit(0.5)).alias(
+                "__mad"
+            ),
+        )
+        .withColumn("__med6", F.round("__med", 6))
+        .withColumn("__mad6", F.round("__mad", 6))
+    )
+    z = F.abs(
+        F.lit(0.6745) * (F.col("__v") - F.col("__med6")) / F.col("__mad6")
+    )
+    outliers = (
+        df.select(F.col(group_col).alias("grp"), v.alias("__v"))
+        .join(stats.select("grp", "__med6", "__mad6"), "grp")
+        .filter((F.col("__mad6") > 0) & (z > z_thresh))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    return (
+        stats.join(outliers, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.round("__med", digits).alias("med"),
+            F.round("__mad", digits).alias("mad"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+        )
+    )

@@ -4486,7 +4486,10 @@ def q_diversity_distinct2(spark, sf_dir):
     return distinct_ngram_diversity(load_table(spark, sf_dir, "documents"))
 
 
-def _winnow_sql(k: int = 4, w: int = 4) -> str:
+def _winnow_fp_ctes(k: int = 4, w: int = 4) -> str:
+    """The shared winnowing-selection CTE chain ending at ``f`` =
+    DISTINCT (doc_id, fp) — MATERIALIZED because both consumers
+    reference it more than once (the multi-ref CTE discipline)."""
     cap = DD.WINNOW_POSCAP
     x = duck_hex_to_long(
         f"md5(list_aggregate(wd[i + 1:i + {k}], 'string_agg', ' '))", 8
@@ -4500,9 +4503,15 @@ def _winnow_sql(k: int = 4, w: int = 4) -> str:
         "s AS (SELECT doc_id, pos, MIN(key) OVER (PARTITION BY doc_id ORDER BY pos "
         f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin, "
         "COUNT(*) OVER (PARTITION BY doc_id) AS n FROM kk), "
-        f"f AS (SELECT DISTINCT doc_id, wmin // {cap} AS fp FROM s "
-        f"WHERE pos <= GREATEST(n - {w}, 0)), "
-        "d AS (SELECT fp, COUNT(*) AS dfq FROM f GROUP BY fp) "
+        f"f AS MATERIALIZED (SELECT DISTINCT doc_id, wmin // {cap} AS fp FROM s "
+        f"WHERE pos <= GREATEST(n - {w}, 0))"
+    )
+
+
+def _winnow_sql(k: int = 4, w: int = 4) -> str:
+    return (
+        _winnow_fp_ctes(k, w)
+        + ", d AS (SELECT fp, COUNT(*) AS dfq FROM f GROUP BY fp) "
         "SELECT f.doc_id AS id, COUNT(*) AS n_fp, "
         "CAST(SUM(CASE WHEN d.dfq > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, "
         "ROUND(CAST(SUM(CASE WHEN d.dfq > 1 THEN 1 ELSE 0 END) AS DOUBLE) "
@@ -4521,3 +4530,58 @@ def q_winnow_dup_report(spark, sf_dir):
     one int64 so both engines select identical fingerprints via a
     plain windowed MIN."""
     return DD.winnow_dup_report(load_table(spark, sf_dir, "documents"))
+
+
+def _winnow_pairs_sql(threshold: float = 0.35, k: int = 4, w: int = 4) -> str:
+    return (
+        _winnow_fp_ctes(k, w)
+        + ", z AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id), "
+        "i AS (SELECT f1.doc_id AS id1, f2.doc_id AS id2, COUNT(*) AS n_inter "
+        "FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id "
+        "GROUP BY f1.doc_id, f2.doc_id), "
+        "jac AS (SELECT id1, id2, "
+        "ROUND(CAST(i.n_inter AS DOUBLE) / (z1.n + z2.n - i.n_inter), 7) AS jaccard "
+        "FROM i JOIN z z1 ON z1.doc_id = i.id1 JOIN z z2 ON z2.doc_id = i.id2) "
+        f"SELECT id1, id2, jaccard FROM jac WHERE jaccard >= {threshold}"
+    )
+
+
+@register("winnow_dedup_pairs", _winnow_pairs_sql())
+def q_winnow_dedup_pairs(spark, sf_dir):
+    """Near-duplicate pairs by winnowed-fingerprint Jaccard
+    (operators/dedup.py winnow_near_duplicates): the MOSS pairing arm —
+    position-aware candidates (any shared >= w+k-1-token run guarantees
+    a shared fingerprint) complementing the set-based MinHash screen;
+    candidates from an 8-byte-fp self-join, one (id1, id2)-keyed
+    verify."""
+    return DD.winnow_near_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+_OUTLIER_SQL = (
+    "WITH med AS MATERIALIZED (SELECT o_orderpriority AS grp, COUNT(*) AS n, "
+    "median(o_totalprice) AS med FROM orders GROUP BY 1), "
+    "st AS MATERIALIZED (SELECT o.o_orderpriority AS grp, MIN(m.n) AS n, "
+    "MIN(m.med) AS med, median(ABS(o.o_totalprice - m.med)) AS mad "
+    "FROM orders o JOIN med m ON o.o_orderpriority = m.grp GROUP BY 1), "
+    "outl AS (SELECT o.o_orderpriority AS grp, COUNT(*) AS n_outliers "
+    "FROM orders o JOIN st ON o.o_orderpriority = st.grp "
+    "WHERE ROUND(st.mad, 6) > 0 AND ABS(0.6745 * (o.o_totalprice "
+    "- ROUND(st.med, 6)) / ROUND(st.mad, 6)) > 3.5 GROUP BY 1) "
+    "SELECT st.grp AS o_orderpriority, st.n, ROUND(st.med, 7) AS med, "
+    "ROUND(st.mad, 7) AS mad, COALESCE(outl.n_outliers, 0) AS n_outliers "
+    "FROM st LEFT JOIN outl ON st.grp = outl.grp"
+)
+
+
+@register("outlier_price_report", _OUTLIER_SQL)
+def q_outlier_price_report(spark, sf_dir):
+    """Robust per-group outlier screen by modified z-score
+    (operators/profiling.py robust_outlier_report; Iglewicz & Hoaglin
+    1993): median/MAD-based so the rule resists the outliers it hunts.
+    The z compare uses median and MAD rounded to 6 in BOTH engines (the
+    divide-by-derived-quantity discipline); exact interpolated medians
+    (Spark percentile == DuckDB median at p*(n-1))."""
+    from bigdata_hits_spark.operators.profiling import robust_outlier_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    return robust_outlier_report(orders, "o_totalprice", "o_orderpriority")

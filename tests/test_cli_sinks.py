@@ -610,3 +610,19 @@ def test_cli_winnow(spark, tmp_path):
     cli.main(["winnow", docs_src, "4", "4", "report", "--out", out])
     rep = spark.read.parquet(os.path.join(out, "winnow"))
     assert set(rep.columns) == {"id", "n_fp", "n_shared", "shared_frac"}
+
+
+def test_cli_winnow_pairs_and_outliers(spark, tmp_path):
+    docs_src = str(tmp_path / "docs_wp")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs_src)
+    out = str(tmp_path / "out_wp")
+    cli.main(["winnow", docs_src, "4", "4", "pairs", "--out", out])
+    pr = spark.read.parquet(os.path.join(out, "winnow"))
+    assert set(pr.columns) == {"id1", "id2", "jaccard"}
+
+    orders = str(tmp_path / "orders_r9")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").write.parquet(orders)
+    out = str(tmp_path / "out_ol")
+    cli.main(["outliers", orders, "o_orderpriority", "o_totalprice", "--out", out])
+    ol = spark.read.parquet(os.path.join(out, "outliers"))
+    assert ol.count() == 5 and "n_outliers" in ol.columns

@@ -394,3 +394,23 @@ def test_winnow_dup_report_flags_copied_content(spark):
     assert rows[2]["n_shared"] == 0 and rows[2]["shared_frac"] == 0.0
     for r in rows.values():
         assert 0 <= r["n_shared"] <= r["n_fp"]
+
+
+def test_winnow_near_duplicates_pairs(spark):
+    from bigdata_hits_spark.operators.dedup import winnow_near_duplicates
+
+    shared = " ".join(f"tok{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (0, shared),
+            (1, shared + " extra trailing words here"),
+            (2, "entirely different content with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_near_duplicates(df, threshold=0.3, k=4, w=4).collect()
+    got = {(r["id1"], r["id2"]) for r in pairs}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)
+    for r in pairs:
+        assert 0.0 < r["jaccard"] <= 1.0 and r["id1"] < r["id2"]

@@ -373,3 +373,22 @@ def test_bootstrap_mean_ci_brackets_truth_and_is_deterministic(spark):
         bootstrap_mean_ci(df, "grp", "v", "k", B=1)
     with pytest.raises(ValueError, match="lo < hi"):
         bootstrap_mean_ci(df, "grp", "v", "k", lo=0.9, hi=0.1)
+
+
+def test_robust_outlier_report_known_values(spark):
+    from bigdata_hits_spark.operators.profiling import robust_outlier_report
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
+         ("z", 5.0), ("z", 5.0), ("z", 5.0), ("z", 9.0)],
+        "grp string, v double",
+    )
+    rows = {r["grp"]: r for r in robust_outlier_report(df, "v", "grp").collect()}
+    g = rows["g"]
+    # median 3, MAD = median(|x-3|) = median([2,1,0,1,97]) = 1
+    assert g["n"] == 5 and g["med"] == 3.0 and g["mad"] == 1.0
+    # only 100 has |0.6745*(x-3)/1| > 3.5
+    assert g["n_outliers"] == 1
+    # MAD = 0 (interpolated median of [0,0,0,4] = 0): convention 0 outliers
+    z = rows["z"]
+    assert z["mad"] == 0.0 and z["n_outliers"] == 0
