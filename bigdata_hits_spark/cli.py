@@ -972,10 +972,16 @@ def main(argv: list[str] | None = None) -> None:
         kk = args.take(int, 4, usage="winnow <docs.parquet> [k] [w] [report|pairs]")
         ww = args.take(int, 4)
         mode = args.take(str, "")
-        fn = {
+        modes = {
+            "": winnow_fingerprints,
             "report": winnow_dup_report,
             "pairs": winnow_near_duplicates,
-        }.get(mode, winnow_fingerprints)
+        }
+        if mode not in modes:
+            raise SystemExit(
+                f"winnow: unknown mode {mode!r} (expected report|pairs or none)"
+            )
+        fn = modes[mode]
         fn(spark.read.parquet(docs_path), k=kk, w=ww).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "winnow"))

@@ -247,12 +247,16 @@ def normalize_text(text: Column) -> Column:
     return F.lower(F.trim(t))
 
 
-def normalize_text(text: Column) -> Column:
-    """Canonical text normalization for dedup keys: lowercase, collapse
-    every non-alphanumeric run to one space, trim.  Catches the
-    trivially-reformatted duplicates byte-exact dedup misses (case,
-    punctuation, whitespace variants) while staying portable: the
-    pattern is in the Java/RE2-identical subset, so any engine
-    re-derives the same canonical form (DuckDB twin:
-    ``trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))``)."""
+def canonicalize_text(text: Column) -> Column:
+    """Canonical text form for DEDUP KEYS (stronger than
+    :func:`normalize_text`): lowercase, collapse every non-alphanumeric
+    run to one space, trim.  Catches the trivially-reformatted
+    duplicates byte-exact dedup misses (case, punctuation, whitespace
+    variants) while staying portable: the pattern is in the
+    Java/RE2-identical subset, so any engine re-derives the same
+    canonical form (DuckDB twin:
+    ``trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))``).
+    Distinct from :func:`normalize_text`, which preserves punctuation
+    and only folds control chars/whitespace/case — use that one when
+    the text body must survive readable."""
     return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))

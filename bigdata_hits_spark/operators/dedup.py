@@ -49,6 +49,19 @@ SIMHASH_HAMMING_T = 8
 #: n-gram inverted-index parameters.
 NGRAM_MAX_DF = 50  # drop shingles appearing in more docs (stop-shingles)
 NGRAM_MIN_SHARED = 5  # candidate pairs must share this many shingles
+#: Band buckets larger than this are dropped from LSH candidate
+#: generation: a (band_id, sig) bucket of B members yields B(B-1)/2
+#: candidate pairs, so one mass-duplicated document (the exact case
+#: dedup exists for) would make its bucket quadratic.  Members of an
+#: over-cap bucket are near-exact copies the exact/normalized dedup
+#: passes upstream already catch.
+MINHASH_MAX_BUCKET = 64
+#: Winnowed fingerprints appearing in more documents than this are
+#: dropped before the pair self-join AND from the per-doc Jaccard sets:
+#: a corpus-hot fingerprint (shared boilerplate span) has a quadratic
+#: posting list and carries no discriminative signal — the fp analogue
+#: of the NGRAM_MAX_DF stop-shingle cap.
+WINNOW_MAX_DF = 64
 
 
 _SHINGLE_UDFS: dict[int, object] = {}
@@ -179,14 +192,39 @@ def _jaccard_verify(candidates: DataFrame, sets: DataFrame, threshold: float) ->
 def minhash_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.5,
+    max_bucket: int = MINHASH_MAX_BUCKET,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """LSH candidate generation + exact verify: (id1, id2, jaccard) with
-    id1 < id2 and jaccard >= threshold."""
-    bands = _band_rows(minhash_signatures(docs, id_col, text_col))
-    b1 = bands.select(F.col("id").alias("id1"), "band_id", "sig")
-    b2 = bands.select(F.col("id").alias("id2"), "band_id", "sig")
+    id1 < id2 and jaccard >= threshold.
+
+    ``max_bucket`` caps the band buckets: a (band_id, sig) bucket with
+    more than ``max_bucket`` members is excluded from candidate
+    generation entirely, so a mass-duplicated document can never make
+    one posting list quadratic — its family is near-exact and already
+    collapsed by :func:`exact_duplicates` /
+    :func:`exact_duplicates_normalized` upstream.  The cap is exact
+    (one count per bucket, map-side combined) and bounds the self-join
+    output at ``max_bucket**2 / 2`` rows per bucket at ANY corpus
+    scale."""
+    # bands is consumed by the bucket count AND the semi-join, and the
+    # surviving rows by both sides of the self-join: pin each once
+    # (lazy localCheckpoint — signature-sized, BANDS rows per doc) so
+    # the signature aggregation never recomputes per reference.
+    bands = _band_rows(minhash_signatures(docs, id_col, text_col)).localCheckpoint(
+        eager=False
+    )
+    bucket_n = bands.groupBy("band_id", "sig").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    small = bands.join(
+        bucket_n.filter(F.col("bucket_n") <= max_bucket).select("band_id", "sig"),
+        ["band_id", "sig"],
+        "left_semi",
+    ).localCheckpoint(eager=False)
+    b1 = small.select(F.col("id").alias("id1"), "band_id", "sig")
+    b2 = small.select(F.col("id").alias("id2"), "band_id", "sig")
     candidates = (
         b1.join(b2, ["band_id", "sig"])
         .filter(F.col("id1") < F.col("id2"))
@@ -370,7 +408,9 @@ def minhash_dedup_incremental(
     new_sigs = minhash_signatures(new_docs, id_col, text_col)
 
     # Stage 1: exact dedup within the new batch.
-    intra_pairs = minhash_near_duplicates(new_docs, threshold, id_col, text_col)
+    intra_pairs = minhash_near_duplicates(
+        new_docs, threshold, id_col=id_col, text_col=text_col
+    )
     from bigdata_hits_spark.operators.components import dedup_survivors
 
     intra = dedup_survivors(new_docs, intra_pairs, id_col)
@@ -785,17 +825,17 @@ def dedup_savings(
 def exact_duplicates_normalized(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Exact dedup over NORMALIZED text (functions/text.py
-    normalize_text: lowercase, punctuation/whitespace collapse) — the
+    """Exact dedup over CANONICALIZED text (functions/text.py
+    canonicalize_text: lowercase, punctuation/whitespace collapse) — the
     standard first tightening of byte-exact dedup in web-corpus
     curation: case/punctuation/whitespace variants of the same document
     collapse into one family without any near-dup machinery.  Same plan
     as :func:`exact_duplicates`: only the 32-char md5 of the canonical
     form shuffles, never document bodies."""
-    from bigdata_hits_spark.functions.text import normalize_text
+    from bigdata_hits_spark.functions.text import canonicalize_text
 
     return (
-        docs.groupBy(F.md5(normalize_text(F.col(text_col))).alias("text_hash"))
+        docs.groupBy(F.md5(canonicalize_text(F.col(text_col))).alias("text_hash"))
         .agg(F.min(F.col(id_col)).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
 
@@ -844,7 +884,24 @@ def winnow_fingerprints(
         F.col(id_col).alias("id"),
         F.posexplode(_ngram_terms(text_col, k)).alias("pos", "gram"),
     )
-    key = token_hash(F.col("gram")) * F.lit(cap) + (F.lit(cap - 1) - F.col("pos"))
+    # Fail LOUDLY on pos >= WINNOW_POSCAP: a document with >= 2^20
+    # k-grams would silently corrupt the (hash asc, pos desc) packing
+    # (the pos offset underflows into the adjacent hash slot).  The
+    # guard rides the key expression as a null-on-success term, so it
+    # costs one JVM comparison per row and no extra plan node.
+    guard = F.assert_true(
+        F.col("pos") < F.lit(cap),
+        F.concat(
+            F.lit("winnow_fingerprints: k-gram position "),
+            F.col("pos").cast("string"),
+            F.lit(f" >= WINNOW_POSCAP ({cap}); chunk over-long documents first"),
+        ),
+    )
+    key = (
+        token_hash(F.col("gram")) * F.lit(cap)
+        + (F.lit(cap - 1) - F.col("pos"))
+        + F.coalesce(guard.cast("long"), F.lit(0))
+    )
     wspec = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     nspec = Window.partitionBy("id")
     sel = (
@@ -909,6 +966,7 @@ def winnow_near_duplicates(
     threshold: float = 0.35,
     k: int = 4,
     w: int = 4,
+    max_df: int = WINNOW_MAX_DF,
     id_col: str = "doc_id",
     text_col: str = "text",
     digits: int = 7,
@@ -923,14 +981,28 @@ def winnow_near_duplicates(
     complementary duplication modes.
 
     Scale shape: candidates come from a self-join on the 8-byte
-    fingerprint value (posting-list bounded, the fp analogue of the
-    LSH band join — df-cap extremely common fingerprints upstream if a
-    corpus degenerates); the verify is one (id1, id2)-keyed count over
-    candidate intersections joined against two per-doc size aggregates.
-    Only ids and 8-byte fps shuffle, never text."""
-    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col).select(
+    fingerprint value, and ``max_df`` bounds every posting list — a
+    fingerprint appearing in more than ``max_df`` documents (shared
+    boilerplate) is dropped from the pair sets BEFORE the self-join,
+    the fp analogue of the :func:`ngram_jaccard_pairs` stop-shingle
+    cap, so no bucket can go quadratic at any corpus scale.  The
+    Jaccard is therefore over DISCRIMINATIVE fingerprints only (sizes
+    and intersections both use the df-filtered sets — a well-defined
+    semantic both engines reproduce).  The verify is one
+    (id1, id2)-keyed count over candidate intersections joined against
+    two per-doc size aggregates.  Only ids and 8-byte fps shuffle,
+    never text."""
+    # the raw selection feeds the df count AND the semi-join, and the
+    # df-filtered sets feed sizes plus both self-join sides: pin each
+    # once (lazy localCheckpoint, 16 bytes/row) so the window pass
+    # never recomputes per reference.
+    allf = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col).select(
         "id", "fp"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    dfc = allf.groupBy("fp").agg(F.count(F.lit(1)).alias("dfq"))
+    fps = allf.join(
+        dfc.filter(F.col("dfq") <= max_df).select("fp"), "fp", "left_semi"
+    ).localCheckpoint(eager=False)
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = fps.select(F.col("id").alias("id1"), "fp")
     b = fps.select(F.col("id").alias("id2"), "fp")

@@ -118,7 +118,9 @@ def clean_corpus(
 
     # 3. Near-dup removal — MinHash+LSH pairs, clustered, one survivor
     #    per cluster (operators/components.py).
-    pairs = minhash_near_duplicates(exact, near_dup_threshold, id_col, text_col)
+    pairs = minhash_near_duplicates(
+        exact, near_dup_threshold, id_col=id_col, text_col=text_col
+    )
     final = dedup_survivors(exact, pairs, id_col)
     n_lexical = None
 

@@ -15,6 +15,12 @@ from bigdata_hits_spark.sources.readers import load_table
 
 MINHASH_THRESHOLD = 0.2
 NGRAM_THRESHOLD = 0.2
+#: Declared-query band-bucket cap, deliberately BELOW the sf0.01 max
+#: bucket size (3) so the hot-bucket exclusion is exercised — BINDING —
+#: under the oracle comparison, not dead code (the
+#: events_cooccurrence_hourly cap precedent).  The operator default
+#: (dedup.MINHASH_MAX_BUCKET) is the production value.
+MINHASH_MAX_BUCKET_DECLARED = 2
 
 _SHINGLE_CTES = (
     "t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
@@ -54,11 +60,15 @@ def _minhash_sql() -> str:
         f"params(j, a, b) AS (VALUES {values}), "
         f"mh AS (SELECT id, j, MIN((a * x + b) % {DD.MINHASH_P}) AS v "
         "FROM tok CROSS JOIN params GROUP BY id, j), "
-        f"bands AS (SELECT id, j // {DD.ROWS_PER_BAND} AS band_id, "
+        f"bands AS MATERIALIZED (SELECT id, j // {DD.ROWS_PER_BAND} AS band_id, "
         "string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS sig "
         f"FROM mh GROUP BY id, j // {DD.ROWS_PER_BAND}), "
-        "cand AS (SELECT DISTINCT b1.id AS id1, b2.id AS id2 FROM bands b1 "
-        "JOIN bands b2 ON b1.band_id = b2.band_id AND b1.sig = b2.sig AND b1.id < b2.id), "
+        "bsz AS (SELECT band_id, sig FROM bands GROUP BY band_id, sig "
+        f"HAVING COUNT(*) <= {MINHASH_MAX_BUCKET_DECLARED}), "
+        "bk AS (SELECT b.id, b.band_id, b.sig FROM bands b "
+        "JOIN bsz ON b.band_id = bsz.band_id AND b.sig = bsz.sig), "
+        "cand AS (SELECT DISTINCT b1.id AS id1, b2.id AS id2 FROM bk b1 "
+        "JOIN bk b2 ON b1.band_id = b2.band_id AND b1.sig = b2.sig AND b1.id < b2.id), "
         f"{_VERIFY_CTES} "
         f"SELECT id1, id2, jaccard FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}"
     )
@@ -66,8 +76,14 @@ def _minhash_sql() -> str:
 
 @register("dedup_minhash_lsh", _minhash_sql())
 def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with the hot-bucket cap BINDING: at
+    sf0.01 three band buckets have 3 members (> cap 2) and are excluded
+    from candidate generation in BOTH engines (25 -> 23 pairs), proving
+    the quadratic-bucket guard is live, not dead code."""
     return DD.minhash_near_duplicates(
-        load_table(spark, sf_dir, "documents"), threshold=MINHASH_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        threshold=MINHASH_THRESHOLD,
+        max_bucket=MINHASH_MAX_BUCKET_DECLARED,
     )
 
 
@@ -155,6 +171,8 @@ def q_dedup_components(spark, sf_dir):
     from bigdata_hits_spark.operators.components import connected_components
 
     pairs = DD.minhash_near_duplicates(
-        load_table(spark, sf_dir, "documents"), threshold=MINHASH_THRESHOLD
+        load_table(spark, sf_dir, "documents"),
+        threshold=MINHASH_THRESHOLD,
+        max_bucket=MINHASH_MAX_BUCKET_DECLARED,
     )
     return connected_components(pairs)

@@ -4022,10 +4022,15 @@ def q_leakage_safe_split_docs(spark, sf_dir):
     md5 bucket from the component key."""
     from bigdata_hits_spark.operators.components import connected_components
     from bigdata_hits_spark.operators.sampling import leakage_safe_split
-    from bigdata_hits_spark.queries_dedup import MINHASH_THRESHOLD
+    from bigdata_hits_spark.queries_dedup import (
+        MINHASH_MAX_BUCKET_DECLARED,
+        MINHASH_THRESHOLD,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_near_duplicates(docs, threshold=MINHASH_THRESHOLD)
+    pairs = DD.minhash_near_duplicates(
+        docs, threshold=MINHASH_THRESHOLD, max_bucket=MINHASH_MAX_BUCKET_DECLARED
+    )
     comps = connected_components(pairs)
     return leakage_safe_split(
         docs.select("doc_id", "source"), comps, dict(SPLIT_WEIGHTS)
@@ -4352,10 +4357,15 @@ def q_dedup_savings_report(spark, sf_dir):
     from bigdata_hits_spark.operators.components import connected_components
     from bigdata_hits_spark.operators.dedup import dedup_savings
     from bigdata_hits_spark.functions import text as TX
-    from bigdata_hits_spark.queries_dedup import MINHASH_THRESHOLD
+    from bigdata_hits_spark.queries_dedup import (
+        MINHASH_MAX_BUCKET_DECLARED,
+        MINHASH_THRESHOLD,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = DD.minhash_near_duplicates(docs, threshold=MINHASH_THRESHOLD)
+    pairs = DD.minhash_near_duplicates(
+        docs, threshold=MINHASH_THRESHOLD, max_bucket=MINHASH_MAX_BUCKET_DECLARED
+    )
     comps = connected_components(pairs)
     with_n = docs.select("doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tokens"))
     return dedup_savings(with_n, comps)
@@ -4532,12 +4542,27 @@ def q_winnow_dup_report(spark, sf_dir):
     return DD.winnow_dup_report(load_table(spark, sf_dir, "documents"))
 
 
-def _winnow_pairs_sql(threshold: float = 0.35, k: int = 4, w: int = 4) -> str:
+#: Declared-query fingerprint df cap, deliberately BELOW the sf0.01 max
+#: fp doc-frequency (3) so the stop-fingerprint exclusion BINDS under
+#: the oracle (32 fps dropped, 25 -> 23 pairs); the operator default
+#: (dedup.WINNOW_MAX_DF) is the production value.
+WINNOW_MAX_DF_DECLARED = 2
+
+
+def _winnow_pairs_sql(
+    threshold: float = 0.35,
+    k: int = 4,
+    w: int = 4,
+    max_df: int = WINNOW_MAX_DF_DECLARED,
+) -> str:
     return (
         _winnow_fp_ctes(k, w)
-        + ", z AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id), "
+        + ", dfc AS (SELECT fp FROM f GROUP BY fp "
+        f"HAVING COUNT(*) <= {max_df}), "
+        "fk AS MATERIALIZED (SELECT f.doc_id, f.fp FROM f JOIN dfc ON f.fp = dfc.fp), "
+        "z AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM fk GROUP BY doc_id), "
         "i AS (SELECT f1.doc_id AS id1, f2.doc_id AS id2, COUNT(*) AS n_inter "
-        "FROM f f1 JOIN f f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id "
+        "FROM fk f1 JOIN fk f2 ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id "
         "GROUP BY f1.doc_id, f2.doc_id), "
         "jac AS (SELECT id1, id2, "
         "ROUND(CAST(i.n_inter AS DOUBLE) / (z1.n + z2.n - i.n_inter), 7) AS jaccard "
@@ -4553,8 +4578,12 @@ def q_winnow_dedup_pairs(spark, sf_dir):
     position-aware candidates (any shared >= w+k-1-token run guarantees
     a shared fingerprint) complementing the set-based MinHash screen;
     candidates from an 8-byte-fp self-join, one (id1, id2)-keyed
-    verify."""
-    return DD.winnow_near_duplicates(load_table(spark, sf_dir, "documents"))
+    verify.  The max_df stop-fingerprint cap is BINDING at sf0.01
+    (df-3 fps excluded in both engines), so the quadratic-posting
+    guard is exercised, not declared-only."""
+    return DD.winnow_near_duplicates(
+        load_table(spark, sf_dir, "documents"), max_df=WINNOW_MAX_DF_DECLARED
+    )
 
 
 _OUTLIER_SQL = (

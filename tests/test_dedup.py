@@ -414,3 +414,73 @@ def test_winnow_near_duplicates_pairs(spark):
     assert all(2 not in p for p in got)
     for r in pairs:
         assert 0.0 < r["jaccard"] <= 1.0 and r["id1"] < r["id2"]
+
+
+def test_minhash_hot_bucket_cap_keeps_candidates_linear(spark):
+    """A mass-duplicated document (the exact situation dedup exists
+    for) puts its whole family into every band bucket; without the
+    max_bucket cap the band self-join is quadratic in the family size.
+    With the cap, over-cap buckets are excluded entirely: the 200-copy
+    family produces ZERO LSH pairs (it belongs to exact dedup), while
+    an ordinary small near-dup pair in the same corpus still surfaces."""
+    from bigdata_hits_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_near_duplicates,
+    )
+
+    fam = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, fam) for i in range(200)]
+    near = " ".join(f"tok{i}" for i in range(20))
+    rows += [(1000, near), (1001, near + " with a small tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_near_duplicates(df, threshold=0.3, max_bucket=8).collect()
+    got = {(r["id1"], r["id2"]) for r in pairs}
+    assert (1000, 1001) in got
+    # the 200-copy family never reaches the pair join: 0 pairs from it
+    assert all(p[0] >= 1000 for p in got), got
+    # ...because exact dedup already owns that family
+    fams = {r["keep_id"]: r["n_dups"] for r in exact_duplicates(df).collect()}
+    assert fams[0] == 200
+
+
+def test_winnow_max_df_cap_keeps_postings_linear(spark):
+    """Corpus-hot fingerprints (boilerplate shared by every document)
+    are dropped by max_df before the fp self-join, so the candidate
+    volume stays linear; a discriminative near-dup pair still
+    surfaces.  Uncapped (max_df huge) the same corpus produces
+    quadratically many boilerplate pairs — asserted as the contrast."""
+    from bigdata_hits_spark.operators.dedup import winnow_near_duplicates
+
+    boiler = "subscribe to our newsletter for updates every single day"
+    rows = [(i, f"{boiler} unique{i} filler{i} words{i} here{i}") for i in range(60)]
+    near = " ".join(f"tok{i}" for i in range(20))
+    rows += [(1000, near), (1001, near + " plus small tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = winnow_near_duplicates(df, threshold=0.3, k=4, w=4, max_df=8).collect()
+    got = {(r["id1"], r["id2"]) for r in capped}
+    assert (1000, 1001) in got
+    assert all(p[0] >= 1000 for p in got), got
+
+    uncapped = winnow_near_duplicates(
+        df, threshold=0.3, k=4, w=4, max_df=1_000_000
+    ).count()
+    assert uncapped > 100 * len(capped)  # the quadratic blow-up the cap removes
+
+
+def test_winnow_poscap_overflow_fails_loudly(spark, monkeypatch):
+    """pos >= WINNOW_POSCAP would silently corrupt the packed
+    (hash asc, pos desc) key; the assert_true guard must raise instead.
+    POSCAP is monkeypatched small so the test doesn't need a 2^20-gram
+    document."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from bigdata_hits_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "WINNOW_POSCAP", 8)
+    df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(16)))], "doc_id long, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="WINNOW_POSCAP"):
+        dedup.winnow_fingerprints(df, k=4, w=4).collect()

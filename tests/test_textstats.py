@@ -318,6 +318,23 @@ def test_normalize_text_canonical_form(spark):
     assert got == ["hello world foo bar", None]
 
 
+def test_normalize_vs_canonicalize_punctuation(spark):
+    """normalize_text PRESERVES punctuation (only control chars /
+    whitespace / case fold); canonicalize_text strips every
+    non-alphanumeric run.  Pins the two functions apart so a rename or
+    re-shadowing regression on punctuated text fails loudly (the
+    synthetic corpus has no punctuation, so only this test sees it)."""
+    from bigdata_hits_spark.functions.text import canonicalize_text, normalize_text
+
+    df = spark.createDataFrame([("  Hello, World!\t(Par-t #2)  ",)], "t string")
+    row = df.select(
+        normalize_text(F.col("t")).alias("norm"),
+        canonicalize_text(F.col("t")).alias("canon"),
+    ).first()
+    assert row["norm"] == "hello, world! (par-t #2)"
+    assert row["canon"] == "hello world par t 2"
+
+
 def test_domain_mix_shares_sum_to_one(spark):
     from bigdata_hits_spark.operators.textstats import domain_mix
 
