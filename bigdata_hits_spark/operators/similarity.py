@@ -1043,7 +1043,7 @@ def mmr_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     digits: int = 6,
-    distributed: bool = False,
+    distributed: bool = True,
 ) -> DataFrame:
     """(qid, cid, rank, mmr): Maximal Marginal Relevance diversified
     top-k — the retrieval reranker that trades raw cosine relevance
@@ -1055,13 +1055,14 @@ def mmr_topk(
     Scale shape: the CLUSTER does the heavy part — an exact (or, at
     real scale, LSH/IVF) top-``pool`` candidate pass per query.  The
     greedy selection is sequential PER QUERY (each pick changes the
-    next margin) but queries are independent, so ``distributed=True``
-    runs the identical greedy per query via
-    ``groupBy(qid).applyInPandas`` — zero driver state, the arm for a
-    real query load.  The default driver path collects the
-    pool x n_queries candidate rows (bounded, fine for reranker-sized
-    fixtures) and loops; both arms call the same ``_mmr_greedy`` kernel
-    so the pick sequences are identical by construction.
+    next margin) but queries are independent, so the DEFAULT
+    (``distributed=True``) runs the identical greedy per query via
+    ``groupBy(qid).applyInPandas`` — zero driver state, safe for a
+    real query load.  ``distributed=False`` is the opt-in driver path
+    (collects the pool x n_queries candidate rows and loops — only for
+    reranker-sized fixtures/debugging); both arms call the same
+    ``_mmr_greedy`` kernel so the pick sequences are identical by
+    construction.
     Deterministic: scores round to ``digits`` before comparison and
     ties break toward the smaller candidate id, making the pick
     sequence a pure function of the data; declared rows-only (the
@@ -1209,6 +1210,63 @@ def ann_recall_report(
     )
 
 
+#: Session-lifetime cache of PERSISTED int8 IVF indexes, keyed like
+#: `_IVF_CACHE` on (applicationId, corpus plan semantic hash, quantizer
+#: params).  The index build (quantize + centroid-assign UDF + norms) is
+#: the dominant per-call cost of the quantized serving path; a production
+#: corpus builds the index ONCE and serves many query batches from it, so
+#: every `ivf_quantized_topk` / recall-report call re-deriving it was a
+#: bench artifact.  The persisted state is the int8 arrays + one scale per
+#: row — the 4-8x-smaller representation is exactly what you'd pin in
+#: memory/disk at 100 TB.
+_IVFQ_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def ivfq_index_cached(
+    corpus: DataFrame,
+    centroids,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Memoized, PERSISTED quantized inverted file: (cid, __cq int8
+    vector, __cs scale, cnrm, cluster) for ``corpus``, built once per
+    (session, corpus plan, params) and `persist`-ed MEMORY_AND_DISK so
+    repeated top-k / recall calls against the same corpus serve from the
+    cached int8 index instead of re-running quantize + assign."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = corpus.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        corpus.semanticHash(),
+        n_centroids,
+        id_col,
+        vec_col,
+    )
+    if key not in _IVFQ_INDEX_CACHE:
+        live = spark.sparkContext.applicationId
+        for stale in [k for k in _IVFQ_INDEX_CACHE if k[0] != live]:
+            _IVFQ_INDEX_CACHE.pop(stale)
+        assign = _assign_udf(centroids)
+        quant = quantize_embeddings(corpus, vec_col=vec_col)
+        indexed = (
+            quant.select(
+                F.col(id_col).alias("cid"),
+                F.col("q_embedding").alias("__cq"),
+                F.col("q_scale").alias("__cs"),
+                l2_norm(
+                    dequantize_embedding(F.col("q_embedding"), F.col("q_scale"))
+                ).alias("cnrm"),
+                assign(F.col(vec_col)).alias("cluster"),
+            )
+            .filter(F.col("cnrm") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _IVFQ_INDEX_CACHE[key] = indexed
+    return _IVFQ_INDEX_CACHE[key]
+
+
 def ivf_quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1246,7 +1304,6 @@ def ivf_quantized_topk(
     from pyspark.sql.functions import pandas_udf
 
     centroids = ivf_centroids_cached(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
-    assign = _assign_udf(centroids)
     c_unit = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     @pandas_udf("array<int>")
@@ -1258,16 +1315,7 @@ def ivf_quantized_topk(
         order = np.argsort(-(mat @ c_unit.T), axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
-    quant = quantize_embeddings(corpus, vec_col=vec_col)
-    indexed = quant.select(
-        F.col(id_col).alias("cid"),
-        F.col("q_embedding").alias("__cq"),
-        F.col("q_scale").alias("__cs"),
-        l2_norm(dequantize_embedding(F.col("q_embedding"), F.col("q_scale"))).alias(
-            "cnrm"
-        ),
-        assign(F.col(vec_col)).alias("cluster"),
-    ).filter(F.col("cnrm") > 0)
+    indexed = ivfq_index_cached(corpus, centroids, n_centroids, id_col, vec_col)
     probed = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),

@@ -62,6 +62,23 @@ def test_ivf_centroids_cached_per_corpus(spark, emb):
     assert c is not a and c.shape[0] == 8
 
 
+def test_ivfq_index_cached_and_persisted(spark, emb):
+    """The int8 inverted file is built once per (session, corpus, params)
+    and persisted — repeated quantized-ANN calls must reuse the SAME
+    DataFrame object, and the serving plan must read it from the cache
+    (InMemoryTableScan), not re-run quantize + assign."""
+    cent = SIM.ivf_centroids_cached(emb)
+    a = SIM.ivfq_index_cached(emb, cent, SIM.IVF_CENTROIDS, "vec_id", "embedding")
+    b = SIM.ivfq_index_cached(emb, cent, SIM.IVF_CENTROIDS, "vec_id", "embedding")
+    assert a is b
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = SIM.ivf_quantized_topk(emb, queries, k=5)
+    topk.count()  # materialize the persisted index
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
 def test_cosine_pairs_threshold(spark):
     rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
@@ -550,15 +567,29 @@ def test_mmr_topk_distributed_equals_driver(spark, sf_dir_oracle):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     queries = df.filter("vec_id < 3")
     for lam in (0.2, 0.7, 1.0):
-        drv = mmr_topk(df, queries, k=5, pool=10, lam=lam).collect()
+        drv = mmr_topk(df, queries, k=5, pool=10, lam=lam, distributed=False).collect()
         dist = mmr_topk(df, queries, k=5, pool=10, lam=lam, distributed=True).collect()
         assert sorted(map(tuple, drv)) == sorted(map(tuple, dist)), f"lam={lam}"
 
     emb = load_table(spark, sf_dir_oracle, "embeddings")
     q = emb.filter("vec_id % 100 = 0")
-    drv = mmr_topk(emb, q, k=5, pool=20, lam=0.7).collect()
+    drv = mmr_topk(emb, q, k=5, pool=20, lam=0.7, distributed=False).collect()
     dist = mmr_topk(emb, q, k=5, pool=20, lam=0.7, distributed=True).collect()
     assert sorted(map(tuple, drv)) == sorted(map(tuple, dist))
+
+
+def test_mmr_topk_default_plan_has_no_driver_collect(spark):
+    """The DEFAULT arm must be the distributed one: its plan is a lazy
+    DataFrame ending in FlatMapGroupsInPandas — no createDataFrame of
+    collected rows (a driver-built result has a LocalTableScan /
+    LogicalRDD leaf and no pandas-group node)."""
+    from bigdata_hits_spark.operators.similarity import mmr_topk
+
+    rows = [(i, [float((i * 7 + d) % 13) + 1.0 for d in range(4)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_topk(df, df.filter("vec_id < 2"), k=3, pool=8, lam=0.5)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_mmr_topk_rejects_bad_lam(spark):
