@@ -84,6 +84,21 @@ SMOKE = [
     "bootstrap_order_value_ci",
     "ann_ivf_quantized_topk",
     "feature_smooth_parts",
+    # round-9 families (VERDICT r9 #3): winnow fingerprints (report +
+    # the fp-posting pair join — the one to watch under near-dup-scaled
+    # data), the MAD outlier screen, the md5-portable epoch shuffle,
+    # distinct-n diversity, and the toxicity regexp screen.
+    "winnow_dup_report",
+    "winnow_dedup_pairs",
+    "outlier_price_report",
+    "epoch_shuffle_docs",
+    "diversity_distinct2_source",
+    "toxicity_screen_docs",
+    # round-10 (VERDICT r9 #7): triangles served from the persisted
+    # degree-ordered bucketed layout — the cold-pass answer (registered
+    # in main() after the layout is written; build time recorded
+    # separately as triangles_layout_build_sec).
+    "graph_triangles_layout",
 ]
 
 
@@ -114,6 +129,24 @@ def main() -> None:
         **registry,
     }
 
+    # Write the persisted degree-ordered triangle layout ONCE (the
+    # nightly-ingestion cost), then serve graph_triangles_layout from it
+    # in both passes — pass 0 is the COLD measurement VERDICT r9 #7 asks
+    # for (target: within ~1.5x the warm in-session triangles number).
+    from bigdata_hits_spark.operators.graphalgs import (
+        persist_triangle_layout,
+        triangle_counts_from_layout,
+    )
+    from bigdata_hits_spark.sources.derived import g_pp
+
+    t0 = time.time()
+    persist_triangle_layout(g_pp(spark, sf_dir).edges, "t_scale_tri", buckets=32)
+    layout_build = round(time.time() - t0, 3)
+    print(f"triangles layout build: {layout_build}", file=sys.stderr)
+    registry["graph_triangles_layout"] = lambda s, d: triangle_counts_from_layout(
+        s, "t_scale_tri"
+    )
+
     def canary() -> float:
         ts = []
         for _ in range(3):
@@ -125,6 +158,7 @@ def main() -> None:
         return round(sorted(ts)[1], 3)
 
     timings: dict[str, float] = {}
+    per_pass: dict[str, list[float]] = {}
     canaries: list[float] = []
     n_run = 0
     for p in range(passes):
@@ -155,6 +189,7 @@ def main() -> None:
                 print(f"scale smoke FAILED {name}: {e}", file=sys.stderr)
                 dt = -1.0
             print(f"scale pass {p} {name}: {dt}", file=sys.stderr)
+            per_pass.setdefault(name, []).append(dt)
             prev = timings.get(name)
             timings[name] = dt if prev is None or prev < 0 else (
                 min(prev, dt) if dt >= 0 else prev
@@ -164,6 +199,8 @@ def main() -> None:
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
         "queries": timings,
+        "per_pass": per_pass,
+        "triangles_layout_build_sec": layout_build,
         "canary_sec": canaries,
         "sf_dir": sf_dir,
         "n_failed": sum(1 for t in timings.values() if t < 0),

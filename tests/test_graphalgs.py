@@ -55,6 +55,42 @@ def test_triangles_skew_plan_has_no_cartesian(spark):
     assert got["hub"] == 1 and got["s0"] == 1 and got["s2"] == 0
 
 
+def test_triangle_layout_matches_in_session_and_skips_prep(spark):
+    """persist_triangle_layout + triangle_counts_from_layout must return
+    the identical (id, triangles) relation as the direct operator, and
+    the layout plan must start at the wedge join: no degree aggregation
+    or orientation joins (their hallmark is a join on deg_a/deg_b), and
+    the wedge self-join's inputs come straight from the bucketed scan
+    with no Exchange under it."""
+    from bigdata_hits_spark.operators.graphalgs import (
+        persist_triangle_layout,
+        triangle_counts_from_layout,
+    )
+
+    rng = random.Random(11)
+    pairs = list({(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(200)})
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    try:
+        persist_triangle_layout(df, "t_tri_layout", buckets=8)
+        out = triangle_counts_from_layout(spark, "t_tri_layout")
+        direct = {(r["id"], r["triangles"]) for r in triangle_counts(df).collect()}
+        got = {(r["id"], r["triangles"]) for r in out.collect()}
+        assert got == direct and len(got) > 0
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "deg_a" not in plan and "deg_b" not in plan, plan
+        # the wedge self-join key (u, aliased from the layout's lo) must
+        # never be hash-exchanged — both sides come out of the bucketed
+        # scan already distributed on it.  (Exchanges on idh — the final
+        # id-restore join — and on the wedge (v, w) close are expected.)
+        import re
+
+        assert not re.search(r"Exchange hashpartitioning\((?:u|lo)#", plan), plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_tri_layout_oriented")
+        spark.sql("DROP TABLE IF EXISTS t_tri_layout_nodes")
+
+
 def test_label_propagation_two_cliques_with_bridge(spark):
     """Two tight cliques joined by one bridge edge settle into two
     communities labeled by each clique's minimum id."""
