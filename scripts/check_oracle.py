@@ -7,7 +7,11 @@ names/dtypes, and cell values after sorting columns by name and rows by all
 columns — a strictly harsher check than the driver's order-insensitive
 value hash.
 
-Usage: python scripts/check_oracle.py [name_substring] [--sf DIR]
+Usage: python scripts/check_oracle.py [name_substring] [--sf DIR] [--json OUT]
+
+``--json OUT`` writes the per-query record (status ok/rows/fail, row
+count, runtime, problems) — the committed full-surface correctness
+artifact (`CORRECTNESS_local_r{N}.json`, VERDICT r9 #2).
 """
 
 from __future__ import annotations
@@ -78,6 +82,11 @@ def main() -> int:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     if args:
         filt = args[0]
 
@@ -90,6 +99,7 @@ def main() -> int:
     all_o = q.oracle_sql()
     names = [n for n in all_q if filt is None or filt in n]
     failed = []
+    record: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -97,25 +107,52 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
+            record[name] = {"status": "fail", "sec": round(time.time() - t0, 2),
+                            "problems": [f"spark error: {e}"]}
             continue
         if name not in all_o:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle; rows-only) [{time.time()-t0:.1f}s]")
+            dt = time.time() - t0
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle; rows-only) [{dt:.1f}s]")
+            record[name] = {"status": "rows", "rows": len(sdf), "sec": round(dt, 2)}
             continue
         try:
             ddf = con.execute(all_o[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
+            record[name] = {"status": "fail", "sec": round(time.time() - t0, 2),
+                            "problems": [f"duckdb error: {e}"]}
             continue
         problems = compare(name, sdf, ddf)
+        dt = time.time() - t0
         if problems:
-            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            print(f"FAIL  {name} [{dt:.1f}s]")
             for p in problems:
                 print(f"      - {p}")
             failed.append(name)
+            record[name] = {"status": "fail", "rows": len(sdf), "sec": round(dt, 2),
+                            "problems": problems}
         else:
-            print(f"OK    {name}: {len(sdf)} rows match [{time.time()-t0:.1f}s]")
+            print(f"OK    {name}: {len(sdf)} rows match [{dt:.1f}s]")
+            record[name] = {"status": "ok", "rows": len(sdf), "sec": round(dt, 2)}
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if json_out:
+        import json
+
+        n_ok = sum(1 for r in record.values() if r["status"] == "ok")
+        n_rows = sum(1 for r in record.values() if r["status"] == "rows")
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(names),
+            "n_oracle_ok": n_ok,
+            "n_rows_only": n_rows,
+            "n_failed": len(failed),
+            "failed": sorted(failed),
+            "queries": record,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failed else 0
 
