@@ -32,9 +32,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def build_table() -> str:
     from bigdata_hits_spark import queries as q
 
-    q.queries()  # force extension load
+    # Iterate in the CANONICAL declared order (queries() sorts by
+    # gate-prefix/module rank) — the raw _REGISTRY insertion order shifts
+    # when a caller imports a queries_* module directly before the
+    # extension loader runs, which made the table flap under pytest.
+    ordered = q.queries()
     rows = []
-    for name, (fn, oracle) in q._REGISTRY.items():
+    for name in ordered:
+        fn, oracle = q._REGISTRY[name]
         target = inspect.unwrap(fn)
         try:
             path = os.path.relpath(inspect.getsourcefile(target), REPO)

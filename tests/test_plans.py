@@ -308,6 +308,10 @@ _BNLJ_ALLOWED = {
     "query_dependent_salsa": 2,
     # fixed tiny probe set / deliberate exact baseline
     "ann_cosine_topk": 1,
+    # the distributed MMR arm embeds the same deliberate exact-cosine
+    # candidate pass (probe x corpus) as ann_cosine_topk; at real scale
+    # the candidate generator is the LSH/IVF path per the docstring
+    "retrieval_mmr": 1,
     # recall report embeds the exact-cosine truth pass (probe x corpus)
     # plus the LSH arm's bounded query-side attach
     "ann_lsh_recall": 2,
