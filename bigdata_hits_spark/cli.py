@@ -136,6 +136,12 @@ Beyond-reference pipeline jobs (no reference twin):
   fractions, ``pairs`` near-duplicate pairs by fingerprint Jaccard.
 - ``outliers table.parquet group_col value_col [z]`` — per-group robust
   outlier screen by modified z-score (median/MAD).
+- ``scc edges.parquet`` — strongly connected components of a directed
+  edge list (trim + FW-BW coloring; scc = min member id).
+- ``vocab docs.parquet [top_n]`` — tokenizer vocabulary-coverage plan
+  (top-n tokens, rank, cumulative token-mass share).
+- ``bpe_pairs docs.parquet [top_n]`` — first BPE merge iteration:
+  top-n adjacent character pairs by corpus frequency.
 """
 
 from __future__ import annotations
@@ -999,6 +1005,43 @@ def main(argv: list[str] | None = None) -> None:
         robust_outlier_report(
             spark.read.parquet(src), value_col, group_col, z_thresh=zt
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "outliers"))
+    elif job == "scc":
+        # scc <edges.parquet> — strongly connected components of a
+        # directed edge list (src, dst columns); scc = min member id.
+        from bigdata_hits_spark.operators.components import (
+            strongly_connected_components,
+        )
+
+        src = args.take()
+        if src is None:
+            raise SystemExit("scc needs an edges parquet path (src, dst)")
+        strongly_connected_components(spark.read.parquet(src)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "scc"))
+    elif job == "vocab":
+        # vocab <docs.parquet> [top_n] — tokenizer vocabulary-coverage
+        # plan: top-n tokens with rank + cumulative token-mass share.
+        from bigdata_hits_spark.operators.textstats import vocab_coverage
+
+        src = args.take()
+        if src is None:
+            raise SystemExit("vocab needs a documents parquet path")
+        top_n = args.take(int, 100, usage="vocab <docs.parquet> [top_n]")
+        vocab_coverage(spark.read.parquet(src), top_n=top_n).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "vocab"))
+    elif job == "bpe_pairs":
+        # bpe_pairs <docs.parquet> [top_n] — first BPE merge iteration:
+        # top-n adjacent character pairs by corpus frequency.
+        from bigdata_hits_spark.operators.textstats import bpe_pair_counts
+
+        src = args.take()
+        if src is None:
+            raise SystemExit("bpe_pairs needs a documents parquet path")
+        top_n = args.take(int, 50, usage="bpe_pairs <docs.parquet> [top_n]")
+        bpe_pair_counts(spark.read.parquet(src), top_n=top_n).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "bpe_pairs"))
     else:
         raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")
 

@@ -823,3 +823,100 @@ def distinct_ngram_diversity(
             ),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    top_n: int = 100,
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Vocabulary-truncation plan: the ``top_n`` corpus tokens by
+    frequency with ``(token, cnt, rank, cum_share)`` — the cumulative
+    token-mass coverage a tokenizer/vocab of that size would reach.
+    The standard first artifact of tokenizer training: pick the vocab
+    cut where cum_share crosses the budget (0.95/0.99/...).
+
+    Scale shape: one hash-agg over exploded tokens (map-side combine
+    reduces each partition to its distinct types before the exchange),
+    then a DISTRIBUTED top-k (``orderBy().limit()`` = per-partition
+    top-n + driver-side merge of n-row heads, never a global sort of
+    the vocabulary), and only then the single-partition running-sum
+    window — over exactly ``top_n`` rows, not the corpus vocabulary.
+    The prefix property makes this exact: the running sum over the
+    top-n rows in global order equals the global prefix sums.  The
+    grand total rides a broadcast one-row cross join (no driver
+    collect)."""
+    from bigdata_hits_spark.functions.text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), F.col("token")))
+            .cast("long")
+            .alias("rank"),
+            F.round(
+                F.sum("cnt").over(w).cast("double") / F.col("__total"), digits
+            ).alias("cum_share"),
+        )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """First BPE merge iteration at corpus scale: the ``top_n`` adjacent
+    character pairs by corpus frequency, ``(pair, cnt, rank)`` — the
+    pair the tokenizer trainer would merge next (Sennrich et al. 2016).
+    A full BPE train is this, re-run per merge against the evolving
+    symbol table; the per-iteration dataflow is what needs an engine.
+
+    Scale shape: pair generation runs on the DISTINCT-WORD table
+    weighted by word frequency (the classic trick — corpus positions
+    collapse to the type table before any character work), via a
+    JVM-side ``transform(sequence(...))`` array expression, no Python
+    UDF.  Two hash-aggs (word counts, pair counts) and a distributed
+    top-k; nothing single-partition except the final ``top_n`` rows."""
+    from bigdata_hits_spark.functions.text import tokens
+
+    wc = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # sequence(1, 0) would be DESCENDING in Spark, not empty — guard
+    # single-char words explicitly.
+    pairs = wc.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "cnt",
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("cnt").alias("cnt"))
+    top = pc.orderBy(F.col("cnt").desc(), F.col("pair")).limit(top_n)
+    return top.select(
+        "pair",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("pair")))
+        .cast("long")
+        .alias("rank"),
+    )

@@ -4614,3 +4614,46 @@ def q_outlier_price_report(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return robust_outlier_report(orders, "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "vocab_coverage_top100",
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents), "
+    "counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token), "
+    "total AS (SELECT SUM(cnt) AS t FROM counts), "
+    "ranked AS (SELECT token, cnt, "
+    "ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank, "
+    "SUM(cnt) OVER (ORDER BY cnt DESC, token "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM counts) "
+    "SELECT token, cnt, rank, ROUND(CAST(cum AS DOUBLE) / t, 6) AS cum_share "
+    "FROM ranked, total WHERE rank <= 100",
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer vocabulary-truncation plan (operators/textstats.py
+    vocab_coverage): top-100 corpus tokens with rank + cumulative
+    token-mass share.  The cum_share ratio divides exact integer
+    prefix sums by the exact integer total in both engines (one
+    division, then round), so 6 digits is drift-free."""
+    from bigdata_hits_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"), top_n=100)
+
+
+@register(
+    "bpe_pair_counts_top50",
+    "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), "
+    "wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word), "
+    "pairs AS (SELECT substring(word, i, 2) AS pair, cnt FROM wc, "
+    "UNNEST(generate_series(1, length(word) - 1)) AS t(i)), "
+    "pc AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS cnt FROM pairs GROUP BY pair), "
+    "ranked AS (SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank "
+    "FROM pc) SELECT pair, cnt, rank FROM ranked WHERE rank <= 50",
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """First BPE merge iteration (operators/textstats.py
+    bpe_pair_counts): top-50 adjacent character pairs by corpus
+    frequency over the frequency-weighted DISTINCT-WORD table.  Pure
+    integer counts — exact."""
+    from bigdata_hits_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_n=50)

@@ -203,3 +203,4 @@ def q_pii_screen(spark, sf_dir):
     subset Java and RE2 interpret identically)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", *TX.pii_counts(F.col("text")).values())
+

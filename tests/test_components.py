@@ -122,3 +122,41 @@ def test_dedup_survivors_end_to_end(spark, sf_dir):
     assert minima <= kept_ids
     members = {r["id"] for r in comp.collect()}
     assert (members - minima).isdisjoint(kept_ids)
+
+
+def test_scc_known_structure(spark):
+    """Hand-built condensation: 3-cycle with in/out tendrils, a 2-cycle
+    reachable one-way from it, a self-loop, and a detached DAG edge —
+    every SCC id must be the minimum member id, tendrils are
+    singletons, and one-way reachability must NOT merge components."""
+    from bigdata_hits_spark.operators.components import strongly_connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),     # 3-cycle -> scc 1
+        (4, 1),                     # in-tendril
+        (3, 5),                     # out-tendril
+        (3, 6), (6, 7), (7, 6),     # one-way into a 2-cycle -> scc 6
+        (8, 8),                     # self-loop singleton
+        (9, 10),                    # detached DAG edge
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["scc"] for r in strongly_connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 6, 8: 8, 9: 9, 10: 10}
+
+
+def test_scc_long_cycle_batched_checks(spark):
+    """A 25-cycle with a 6-deep tail forces multi-batch trim AND
+    multi-batch color/mark fixpoints (check_every=4): the batched
+    convergence discipline must not early-stop or over-run."""
+    from bigdata_hits_spark.operators.components import strongly_connected_components
+
+    n = 25
+    edges = [(i, (i + 1) % n) for i in range(n)]          # 25-cycle -> scc 0
+    edges += [(100 + i, 100 + i + 1) for i in range(6)]   # tail chain
+    edges += [(106, 5)]                                   # tail feeds the cycle
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["scc"] for r in
+           strongly_connected_components(df, check_every=4).collect()}
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[100 + i] == 100 + i for i in range(7))
+    assert len(got) == n + 7

@@ -337,6 +337,7 @@ _BNLJ_ALLOWED = {
     "community_modularity": 1,  # 2m one-row attach
     "community_modularity_lp": 1,  # 2m one-row attach
     "domain_reweight_plan": 1,  # total-weight one-row attach
+    "vocab_coverage_top100": 1,  # corpus-token-total one-row attach
 }
 
 

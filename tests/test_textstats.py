@@ -534,3 +534,35 @@ def test_distinct_ngram_diversity_known_ratios(spark):
     assert rows["tmpl"]["distinct_ratio"] == 0.5
     assert rows["rich"]["distinct_ratio"] == 1.0
     assert "tiny" not in rows
+
+
+def test_vocab_coverage_exact_shares(spark):
+    from bigdata_hits_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    rows = {r["token"]: r for r in vocab_coverage(df, top_n=10).collect()}
+    assert rows["a"]["rank"] == 1 and rows["a"]["cnt"] == 3
+    assert rows["a"]["cum_share"] == 0.5
+    assert rows["b"]["rank"] == 2 and rows["b"]["cum_share"] == round(5 / 6, 6)
+    assert rows["c"]["rank"] == 3 and rows["c"]["cum_share"] == 1.0
+    # Prefix property: a truncated top-n reports the SAME shares.
+    top2 = {r["token"]: r for r in vocab_coverage(df, top_n=2).collect()}
+    assert set(top2) == {"a", "b"}
+    assert top2["b"]["cum_share"] == rows["b"]["cum_share"]
+
+
+def test_bpe_pair_counts_and_single_char_guard(spark):
+    """Pair counts weight the distinct-word table by word frequency;
+    single-char words contribute nothing (the sequence(1, 0) descending
+    pitfall must not fabricate pairs)."""
+    from bigdata_hits_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "ab ab x"), (1, "abc x x")], "doc_id long, text string"
+    )
+    rows = {r["pair"]: r for r in bpe_pair_counts(df, top_n=10).collect()}
+    assert rows["ab"]["cnt"] == 3 and rows["ab"]["rank"] == 1
+    assert rows["bc"]["cnt"] == 1 and rows["bc"]["rank"] == 2
+    assert set(rows) == {"ab", "bc"}
