@@ -221,6 +221,8 @@ def strongly_connected_components(
     max_outer: int = 25,
     max_rounds: int = 80,
     check_every: int = 5,
+    max_doublings: int = 2,
+    shortcut_budget: float = 6.0,
 ) -> DataFrame:
     """(id, scc) for every node of a DIRECTED edge set; ``scc`` is the
     minimum node id in the strongly connected component.
@@ -257,6 +259,20 @@ def strongly_connected_components(
     in action count, which is what dominates iterative wall time.  At
     1000-executor scale each round is one hash exchange of the label
     frame, keyed on node id.
+
+    Round-count accelerator: before the color phase, the post-trim edge
+    set is augmented with SHORTCUT edges by guarded path-doubling —
+    ``max_doublings`` rounds of ``E := E ∪ E·E`` kept only while
+    ``|E'| <= shortcut_budget × |E_original|``.  Shortcuts are real
+    reachability paths, so min-label fixpoints over the augmented set
+    are unchanged but arrive in ~1/2^doublings the rounds; the backward
+    mark may use them too because SCC confinement only needs the two
+    ENDPOINT colors to match (a marked vertex reaches its root by any
+    path, through any intermediate colors).  The budget is the 100 TB
+    guard: on a dense giant-SCC core the square blows up, the guard
+    trips, and the loops fall back to linear rounds — never a memory
+    cliff.  Trim always runs on the ORIGINAL edges (shortcuts would
+    fabricate in/out-degrees).
     """
     e = materialize(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -304,12 +320,35 @@ def strongly_connected_components(
         e = materialize(e)
         nodes = materialize(nodes)
 
+        # 1b) Guarded path-doubling: augment with shortcut edges while
+        # the size budget holds (see docstring).  ``prop`` drives the
+        # label/mark fixpoints; ``e`` stays the real edge set.
+        prop = e
+        n_e = max(e.count(), 1)
+        n_prev = n_e
+        for _ in range(max_doublings):
+            sq = (
+                prop.select("src", F.col("dst").alias("mid"))
+                .join(prop.select(F.col("src").alias("mid"), "dst"), "mid")
+                .select("src", "dst")
+                .unionByName(prop)
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            n_sq = sq.count()
+            if n_sq > shortcut_budget * n_e:
+                break
+            prop = sq
+            if n_sq == n_prev:
+                break  # closure reached; squaring again is a no-op
+            n_prev = n_sq
+
         # 2) Forward min-label coloring to fixpoint.
         labels = materialize(nodes.select("id", F.col("id").alias("color")))
         converged = False
         for r in range(max_rounds):
             incoming = (
-                e.join(labels, e["src"] == labels["id"])
+                prop.join(labels, prop["src"] == labels["id"])
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("color").alias("in_min"))
             )
@@ -336,7 +375,7 @@ def strongly_connected_components(
         lsrc = labels.select(F.col("id").alias("src"), F.col("color").alias("c_src"))
         ldst = labels.select(F.col("id").alias("dst"), F.col("color").alias("c_dst"))
         intra = materialize(
-            e.join(lsrc, "src")
+            prop.join(lsrc, "src")
             .join(ldst, "dst")
             .filter(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst")
