@@ -438,3 +438,50 @@ def strongly_connected_components(
     for p in parts:
         out = out.unionByName(p)
     return out
+
+
+def dedup_survivors_ranked(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Survivor election by QUALITY instead of minimum id: cluster the
+    duplicate ``pairs``, keep each cluster's highest-``score_col`` member
+    (ties broken by minimum id), pass through unpaired documents as
+    singleton clusters.  Returns ``(id_col, score_col, n_members)`` —
+    the production dedup policy (a training pipeline keeps the best
+    copy, not the lexicographically first) with the cluster size kept
+    for ROI accounting.
+
+    Scale shape: the clustering shuffles only id pairs
+    (:func:`connected_components`); document scores join by id; the
+    election is one windowed row_number per component — components are
+    near-dup families, orders of magnitude smaller than any corpus
+    partition, so the window never concentrates a meaningful fraction
+    of rows on one task."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, id1, id2)
+    scored = docs.select(
+        F.col(id_col).alias("id"), F.col(score_col).alias("__score")
+    ).join(comp, "id", "left")
+    members = scored.select(
+        "id", "__score", F.coalesce(F.col("component"), F.col("id")).alias("component")
+    )
+    sizes = members.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col("id").asc()
+    )
+    return (
+        members.join(sizes, "component")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__score").alias(score_col),
+            "n_members",
+        )
+    )

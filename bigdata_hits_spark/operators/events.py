@@ -869,3 +869,37 @@ def multi_touch_attribution(
             F.round(F.sum(F.col("__v") / F.col("__n")), digits).alias("credit"),
         )
     )
+
+
+DEDUP_WINDOW_NS = 5_000_000_000  # 5 s
+
+
+def dedup_consecutive(
+    events: DataFrame, window_ns: int = DEDUP_WINDOW_NS
+) -> DataFrame:
+    """Ingestion-time telemetry dedup: drop an event when the SAME user
+    emitted the SAME event_type within ``window_ns`` immediately before
+    it (double-clicks, retry storms, at-least-once delivery replays).
+    Keeps (event_id, user_id, ts_ns, event_type, value) of survivors.
+
+    "Immediately before" is the previous RAW event in (ts_ns, event_id)
+    order — a pure ``lag`` formulation, one shuffle on user_id, no
+    running state.  (Chained bursts A@0s A@3s A@6s keep A@0s and drop
+    the rest pairwise: each non-first element sits within the window of
+    its raw predecessor.)  The batch twin of
+    streaming/jobs.py dedup_events_stream's watermarked drop.
+    """
+    order = [F.asc("ts_ns"), F.asc("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    flagged = events.select(
+        "event_id",
+        "user_id",
+        "ts_ns",
+        "event_type",
+        "value",
+        (
+            (F.lag("event_type").over(w) == F.col("event_type"))
+            & ((F.col("ts_ns") - F.lag("ts_ns").over(w)) <= window_ns)
+        ).alias("dup"),
+    )
+    return flagged.filter(~F.coalesce(F.col("dup"), F.lit(False))).drop("dup")

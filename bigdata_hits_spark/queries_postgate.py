@@ -4657,3 +4657,86 @@ def q_bpe_pair_counts(spark, sf_dir):
     from bigdata_hits_spark.operators.textstats import bpe_pair_counts
 
     return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_n=50)
+
+
+#: Dedup window for the DECLARED events row: the synthetic corpus's
+#: per-user cadence is minutes, so the operator's 5 s production default
+#: never fires there; 10 min makes the drop predicate BINDING at sf0.01
+#: (27 drops) so the gate actually exercises the filter.
+EVENTS_DEDUP_WINDOW_NS = 600_000_000_000
+
+
+@register(
+    "events_dedup_consecutive",
+    "WITH o AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type, value "
+    "FROM events), "
+    "l AS (SELECT *, "
+    "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS pt, "
+    "LAG(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS pts FROM o) "
+    "SELECT event_id, user_id, ts_ns, event_type, value FROM l "
+    "WHERE NOT COALESCE(pt = event_type "
+    f"AND ts_ns - pts <= {EVENTS_DEDUP_WINDOW_NS}, FALSE)",
+)
+def q_events_dedup_consecutive(spark, sf_dir):
+    """Ingestion telemetry dedup (operators/events.py dedup_consecutive):
+    drop events repeating the same user's same event_type within the
+    window of the previous RAW event — at-least-once-delivery replays
+    and double-clicks.  Pure lag comparison, one shuffle on user_id;
+    passthrough columns only, so the compare is exact."""
+    from bigdata_hits_spark.operators.events import dedup_consecutive
+    from bigdata_hits_spark.queries_events import _events_us
+
+    return dedup_consecutive(
+        _events_us(spark, sf_dir), window_ns=EVENTS_DEDUP_WINDOW_NS
+    )
+
+
+def _survivors_quality_sql() -> str:
+    # Reuse the dedup_components recursive-CTE clustering verbatim and
+    # elect per-cluster argmax-quality survivors on top of it.
+    from bigdata_hits_spark.queries_dedup import _components_sql
+    from bigdata_hits_spark.queries_text import QUALITY_SQL_EXPR
+
+    comp_sql = _components_sql()
+    ctes, final = comp_sql.rsplit(" SELECT id, MIN(comp)", 1)
+    return (
+        ctes
+        + ", comp AS (SELECT id, MIN(comp)"
+        + final
+        + "), tq AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents), "
+        f"q AS (SELECT doc_id, {QUALITY_SQL_EXPR} AS quality FROM tq), "
+        "m AS (SELECT q.doc_id, q.quality, COALESCE(c.component, q.doc_id) AS component "
+        "FROM q LEFT JOIN comp c ON c.id = q.doc_id), "
+        "sz AS (SELECT component, COUNT(*) AS n_members FROM m GROUP BY component), "
+        "r AS (SELECT m.doc_id, m.quality, sz.n_members, ROW_NUMBER() OVER "
+        "(PARTITION BY m.component ORDER BY m.quality DESC, m.doc_id) AS rn "
+        "FROM m JOIN sz ON sz.component = m.component) "
+        "SELECT doc_id, quality, n_members FROM r WHERE rn = 1"
+    )
+
+
+@register("dedup_survivors_quality", _survivors_quality_sql())
+def q_dedup_survivors_quality(spark, sf_dir):
+    """Quality-ranked survivor election (operators/components.py
+    dedup_survivors_ranked): MinHash near-dup pairs -> connected
+    components -> keep each cluster's HIGHEST-quality member (ties by
+    min doc_id), singletons pass through — the production dedup policy,
+    vs dedup_components' min-id convention.  Ordering runs on the
+    7-digit-rounded quality on BOTH engines (the quality_ntile_gate
+    parity discipline), so the argmax is drift-free."""
+    from bigdata_hits_spark.functions.text import quality_score
+    from bigdata_hits_spark.operators.components import dedup_survivors_ranked
+    from bigdata_hits_spark.queries_dedup import (
+        MINHASH_MAX_BUCKET_DECLARED,
+        MINHASH_THRESHOLD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score(F.col("text")), 7).alias("quality")
+    )
+    pairs = DD.minhash_near_duplicates(
+        load_table(spark, sf_dir, "documents"),
+        threshold=MINHASH_THRESHOLD,
+        max_bucket=MINHASH_MAX_BUCKET_DECLARED,
+    )
+    return dedup_survivors_ranked(docs, pairs, "quality")

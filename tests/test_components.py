@@ -160,3 +160,21 @@ def test_scc_long_cycle_batched_checks(spark):
     assert all(got[i] == 0 for i in range(n))
     assert all(got[100 + i] == 100 + i for i in range(7))
     assert len(got) == n + 7
+
+
+def test_dedup_survivors_ranked_quality_election(spark):
+    """Cluster {1,2,3}: highest quality wins; tie inside {5,6} breaks to
+    the minimum id; unpaired doc 9 passes through as a singleton."""
+    from bigdata_hits_spark.operators.components import dedup_survivors_ranked
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (5, 0.7), (6, 0.7), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id1 long, id2 long")
+    rows = {r["doc_id"]: r for r in
+            dedup_survivors_ranked(docs, pairs, "quality").collect()}
+    assert set(rows) == {2, 5, 9}
+    assert rows[2]["n_members"] == 3 and rows[2]["quality"] == 0.9
+    assert rows[5]["n_members"] == 2   # tie -> min id 5
+    assert rows[9]["n_members"] == 1

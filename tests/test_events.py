@@ -436,3 +436,25 @@ def test_multi_touch_attribution_splits_evenly(spark):
     assert again == {k: tuple(v) for k, v in got.items()}
     with pytest.raises(ValueError, match="window_ns"):
         multi_touch_attribution(ev, window_ns=0)
+
+
+def test_dedup_consecutive_raw_predecessor_semantics(spark):
+    """Burst A@0 A@3 A@6 with a 5s window keeps only A@0: each later
+    element sits within the window of its RAW predecessor (documented
+    lag semantics), and a different type or a wide gap resets."""
+    from bigdata_hits_spark.operators.events import dedup_consecutive
+
+    s = 1_000_000_000
+    rows = [
+        (0, 1, 0 * s, "click", 1.0),
+        (1, 1, 3 * s, "click", 1.0),   # 3s after raw prev -> drop
+        (2, 1, 6 * s, "click", 1.0),   # 3s after raw prev (dropped) -> drop
+        (3, 1, 20 * s, "click", 1.0),  # 14s gap -> keep
+        (4, 1, 21 * s, "view", 1.0),   # type change -> keep
+        (5, 2, 22 * s, "view", 1.0),   # other user -> keep
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, event_type string, value double"
+    )
+    kept = {r["event_id"] for r in dedup_consecutive(df, window_ns=5 * s).collect()}
+    assert kept == {0, 3, 4, 5}
