@@ -1375,3 +1375,277 @@ def ivf_quantized_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+PQ_TRAIN_FRACTION = 0.2
+PQ_TRAIN_SAMPLE = 2048
+PQ_LLOYD_ITERS = 4
+
+#: Session cache of trained PQ codebooks, (appId, corpus hash, params).
+_PQ_BOOKS_CACHE: dict[tuple, "np.ndarray"] = {}
+#: Session cache of the persisted PQ-coded inverted file.
+_PQ_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = PQ_SUBSPACES,
+    ksub: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = PQ_TRAIN_SAMPLE,
+    fraction: float = PQ_TRAIN_FRACTION,
+    seed: int = IVF_SEED,
+    iters: int = PQ_LLOYD_ITERS,
+):
+    """Train product-quantization codebooks: split the d-dim space into
+    ``m`` subspaces and k-means each to ``ksub`` centroids (Jégou et
+    al. 2011).  Returns a (m, ksub, d/m) numpy array.
+
+    Training runs DRIVER-SIDE on a seeded bounded sample — the codebook
+    is m*ksub*(d/m) = d*ksub floats (KBs) and PQ training is famously
+    sample-efficient, so shipping a few thousand vectors to the driver
+    is the right scale trade (the ivf_centroids seeding precedent);
+    the CORPUS-sized work (encoding, scoring) stays distributed.
+    Deterministic: seeded sample, first-ksub init, fixed Lloyd rounds;
+    empty clusters keep their previous centroid."""
+    rows = (
+        corpus.select(vec_col).sample(fraction=fraction, seed=seed).limit(sample_n).collect()
+    )
+    if len(rows) < ksub:
+        rows = corpus.select(vec_col).limit(max(sample_n, ksub)).collect()
+    x = np.array([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by {m} subspaces")
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        c = xs[: min(ksub, len(xs))].copy()
+        if len(c) < ksub:  # degenerate tiny corpus: pad by repetition
+            c = np.vstack([c] * (ksub // len(c) + 1))[:ksub]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for j in range(ksub):
+                if (a == j).any():
+                    c[j] = xs[a == j].mean(0)
+        books[s] = c
+    return books
+
+
+def pq_codebooks_cached(corpus: DataFrame, **kw):
+    """Memoized :func:`pq_codebooks` (the ivf_centroids_cached pattern)."""
+    spark = corpus.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        corpus.semanticHash(),
+        kw.get("m", PQ_SUBSPACES),
+        kw.get("ksub", PQ_CODES),
+        kw.get("vec_col", "embedding"),
+    )
+    if key not in _PQ_BOOKS_CACHE:
+        live = spark.sparkContext.applicationId
+        for stale in [k for k in _PQ_BOOKS_CACHE if k[0] != live]:
+            _PQ_BOOKS_CACHE.pop(stale)
+        _PQ_BOOKS_CACHE[key] = pq_codebooks(corpus, **kw)
+    return _PQ_BOOKS_CACHE[key]
+
+
+def _pq_encode_udf(books):
+    """Arrow-batched encoder: per subspace, the argmin-distance codebook
+    entry.  Python touches each corpus vector ONCE, at index build —
+    the serving path stays JVM-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = books.shape
+
+    @pandas_udf("array<tinyint>")
+    def enc(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        codes = np.empty((len(mat), m), dtype=np.int8)
+        for s in range(m):
+            xs = mat[:, s * dsub : (s + 1) * dsub]
+            d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+            codes[:, s] = d2.argmin(1).astype(np.int8)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def _books_literal(books) -> Column:
+    """The codebook tensor as a nested array literal — d*ksub doubles
+    embedded in the plan so ADC reconstruction runs in whole-stage
+    codegen, no Python in the scoring path."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in cent]) for cent in book])
+            for book in books
+        ]
+    )
+
+
+def pq_reconstruct(code: Column, books) -> Column:
+    """array<double> reconstruction of a PQ code: concat of the coded
+    centroid per subspace (the ADC scoring proxy)."""
+    lit = _books_literal(books)
+    return F.flatten(
+        F.zip_with(
+            code,
+            F.sequence(F.lit(1), F.lit(int(books.shape[0]))),
+            lambda c, s: F.element_at(F.element_at(lit, s), c.cast("int") + F.lit(1)),
+        )
+    )
+
+
+def pq_index_cached(
+    corpus: DataFrame,
+    books,
+    centroids,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Memoized, persisted IVF-PQ inverted file: (cluster, cid, code
+    array<tinyint> of m bytes, rnrm) — the FAISS-IVFPQ shape.  At rest
+    and through the probe shuffle each corpus vector is m CODE BYTES
+    (8 here) instead of d floats (256 bytes) or d int8s (64): the index
+    state that has to move at 100 TB shrinks ~32x vs float.  The
+    reconstruction norm is precomputed once so serving never rebuilds
+    it."""
+    from pyspark.storagelevel import StorageLevel
+
+    spark = corpus.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        corpus.semanticHash(),
+        n_centroids,
+        int(books.shape[0]),
+        int(books.shape[1]),
+        id_col,
+        vec_col,
+    )
+    if key not in _PQ_INDEX_CACHE:
+        live = spark.sparkContext.applicationId
+        for stale in [k for k in _PQ_INDEX_CACHE if k[0] != live]:
+            _PQ_INDEX_CACHE.pop(stale)
+        enc = _pq_encode_udf(books)
+        assign = _assign_udf(centroids)
+        coded = corpus.select(
+            F.col(id_col).alias("cid"),
+            enc(F.col(vec_col)).alias("__code"),
+            assign(F.col(vec_col)).alias("cluster"),
+        )
+        indexed = (
+            coded.withColumn("rnrm", l2_norm(pq_reconstruct(F.col("__code"), books)))
+            .filter(F.col("rnrm") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _PQ_INDEX_CACHE[key] = indexed
+    return _PQ_INDEX_CACHE[key]
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    m: int = PQ_SUBSPACES,
+    ksub: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: bool = False,
+    rerank_pool: int | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k (Jégou et al. 2011; the FAISS IVFPQ serving shape):
+    coarse IVF probe prunes to n_probe clusters, then candidates score
+    by asymmetric distance — full-precision query against the PQ
+    reconstruction — entirely in JVM array expressions.  Approximate by
+    construction (rows-only contract; recall floors pinned in pytest,
+    the ann_lsh/ivf discipline).
+
+    ``rerank=True`` re-scores the top pool of PQ survivors against the
+    full-precision vectors (two-stage retrieval: 8-byte coarse scan,
+    float fine rank) — survivors are k-bounded per query, so the float
+    vectors never ride the probe shuffle."""
+    centroids = ivf_centroids_cached(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    books = pq_codebooks_cached(corpus, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    c_unit = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ c_unit.T), axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    indexed = pq_index_cached(corpus, books, centroids, n_centroids, id_col, vec_col)
+    probed = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        l2_norm(F.col(vec_col)).alias("qnrm"),
+        F.explode(probes(F.col(vec_col))).alias("cluster"),
+    )
+    rec = pq_reconstruct(F.col("__code"), books)
+    scored = (
+        probed.join(indexed, "cluster")
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(dot(F.col("qvec"), rec) / (F.col("qnrm") * F.col("rnrm")), 9).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    if not rerank:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+    pool = rerank_pool if rerank_pool is not None else 4 * k
+    survivors = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= pool)
+        .select("qid", "cid")
+    )
+    fullc = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("__fcvec"),
+        l2_norm(F.col(vec_col)).alias("__fcnrm"),
+    )
+    fullq = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__fqvec"),
+        l2_norm(F.col(vec_col)).alias("__fqnrm"),
+    )
+    rescored = (
+        survivors.join(fullc, "cid")
+        .join(fullq, "qid")
+        .select(
+            "qid",
+            "cid",
+            F.round(
+                dot(F.col("__fqvec"), F.col("__fcvec"))
+                / (F.col("__fqnrm") * F.col("__fcnrm")),
+                9,
+            ).alias("cosine"),
+        )
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

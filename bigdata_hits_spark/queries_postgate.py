@@ -4740,3 +4740,18 @@ def q_dedup_survivors_quality(spark, sf_dir):
         max_bucket=MINHASH_MAX_BUCKET_DECLARED,
     )
     return dedup_survivors_ranked(docs, pairs, "quality")
+
+
+@register("ann_ivfpq_topk", None)  # rows-only like the other approximate
+# ANN paths (numpy codebook training has no SQL twin); recall floor and
+# rerank exactness pinned in tests/test_similarity.py.
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-k (operators/similarity.py ivfpq_topk): coarse IVF
+    probe + asymmetric scoring against the 8-byte product-quantization
+    reconstruction, full-precision rerank of the survivor pool — the
+    32x-smaller-index serving shape (FAISS IVFPQ)."""
+    from bigdata_hits_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(emb, queries, k=10, rerank=True)

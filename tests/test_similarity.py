@@ -704,3 +704,45 @@ def test_ann_recall_report_ivfq(spark, emb):
     rep = SIM.ann_recall_report(emb, queries, k=10, method="ivfq").collect()
     mean_recall = sum(r["recall"] for r in rep) / len(rep)
     assert mean_recall >= 0.3, f"quantized IVF mean recall too low: {mean_recall}"
+
+
+def test_ivfpq_recall_floor_and_rerank_exactness(spark, emb):
+    """IVF-PQ with the full-precision rerank must clear the family's
+    recall floor on the adversarially random fixture, and every score
+    it returns must EQUAL the exact cosine for that (qid, cid) pair —
+    the rerank arm scores on the true vectors, PQ only prunes."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=10).collect()
+    approx = SIM.ivfpq_topk(emb, queries, k=10, rerank=True).collect()
+    truth = {(r["qid"], r["cid"]) for r in exact}
+    got = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.3, f"IVF-PQ recall too low: {recall}"
+    exact_scores = {(r["qid"], r["cid"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["qid"], r["cid"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key], key
+
+
+def test_pq_codebooks_deterministic_and_reconstruction_bounded(spark, emb):
+    """Codebook training is seeded + deterministic; the 8-byte
+    reconstruction must stay meaningfully correlated with the original
+    vector (cosine(orig, reconstruction) well above random)."""
+    import numpy as np
+
+    b1 = SIM.pq_codebooks(emb)
+    b2 = SIM.pq_codebooks(emb)
+    assert np.array_equal(b1, b2)
+    assert b1.shape == (SIM.PQ_SUBSPACES, SIM.PQ_CODES, 64 // SIM.PQ_SUBSPACES)
+    rec = emb.select(
+        SIM.dot(
+            F.col("embedding"),
+            SIM.pq_reconstruct(SIM._pq_encode_udf(b1)(F.col("embedding")), b1),
+        ).alias("d"),
+        SIM.l2_norm(F.col("embedding")).alias("n1"),
+        SIM.l2_norm(
+            SIM.pq_reconstruct(SIM._pq_encode_udf(b1)(F.col("embedding")), b1)
+        ).alias("n2"),
+    ).selectExpr("avg(d / (n1 * n2)) AS mc").first()["mc"]
+    assert rec > 0.5, f"PQ reconstruction barely correlates: {rec}"
