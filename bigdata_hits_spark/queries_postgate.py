@@ -4755,3 +4755,93 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivfpq_topk(emb, queries, k=10, rerank=True)
+
+
+def _degree_dist_sql() -> str:
+    # Degrees over the SAME symmetric distinct non-loop edge set the
+    # whole graph family uses (_SYM_CTE).
+    return (
+        f"WITH e0 AS ({derived.G_PP_EDGES_SQL}), "
+        f"{_SYM_CTE}, "
+        "d AS (SELECT a AS id, COUNT(*) AS degree FROM sym GROUP BY a) "
+        "SELECT degree, COUNT(*) AS n_nodes, "
+        "ROUND(CAST(SUM(COUNT(*)) OVER (ORDER BY degree DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+        "/ (SELECT COUNT(*) FROM d), 6) AS ccdf "
+        "FROM d GROUP BY degree"
+    )
+
+
+@register("graph_degree_distribution", _degree_dist_sql())
+def q_graph_degree_distribution(spark, sf_dir):
+    """Undirected degree histogram with the complementary CDF — the
+    first diagnostic of any graph workload (power-law check, hub-cap
+    sizing for the triangle/link-prediction degree caps).  One hash agg
+    over symmetrized 8-byte-keyed edges, one tiny window over the
+    DISTINCT-DEGREE rows (hundreds, not nodes).  ccdf = share of nodes
+    with degree >= this row's."""
+    from bigdata_hits_spark.queries_graph import _sym
+
+    g = derived.g_pp(spark, sf_dir)
+    sym = _sym(g)
+    deg = (
+        sym.select(F.col("a").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("degree").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "degree",
+            "n_nodes",
+            F.round(
+                F.sum("n_nodes").over(w).cast("double") / F.col("__n"), 6
+            ).alias("ccdf"),
+        )
+    )
+
+
+@register(
+    "graph_reciprocity",
+    f"WITH e0 AS ({derived.G_PP_EDGES_SQL}), "
+    "e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst), "
+    "r AS (SELECT COUNT(*) AS n_edges, "
+    "SUM(EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)::int) "
+    "AS n_reciprocal FROM e) "
+    "SELECT n_edges, CAST(n_reciprocal AS BIGINT) AS n_reciprocal, "
+    "ROUND(CAST(n_reciprocal AS DOUBLE) / n_edges, 6) AS reciprocity FROM r",
+)
+def q_graph_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity of g_pp: the share of distinct non-loop
+    edges whose reverse also exists — the standard directed-graph health
+    metric (1.0 = effectively undirected, ~0 = feed-forward).  One
+    left-semi self-join on 8-byte-keyed (src, dst) pairs + a grand agg;
+    the oracle's EXISTS subquery is the same semi-join."""
+    g = derived.g_pp(spark, sf_dir)
+    e = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    m = recip.agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    return (
+        n.crossJoin(m)
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(
+                F.col("n_reciprocal").cast("double") / F.col("n_edges"), 6
+            ).alias("reciprocity"),
+        )
+    )

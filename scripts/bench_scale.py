@@ -99,6 +99,21 @@ SMOKE = [
     # in main() after the layout is written; build time recorded
     # separately as triangles_layout_build_sec).
     "graph_triangles_layout",
+    # round-10 families: the iterative FW-BW SCC (the scale-shape
+    # question is round count vs diameter at 10x), its condensation
+    # projection (memo reuse), quality-ranked survivor election
+    # (components + window), the IVF-PQ serving path (codebook train +
+    # encode + probe), telemetry event dedup, and the tokenizer-planning
+    # aggregations.
+    "graph_scc",
+    "graph_condensation",
+    "dedup_survivors_quality",
+    "ann_ivfpq_topk",
+    "events_dedup_consecutive",
+    "vocab_coverage_top100",
+    "bpe_pair_counts_top50",
+    "graph_degree_distribution",
+    "graph_reciprocity",
 ]
 
 

@@ -338,6 +338,8 @@ _BNLJ_ALLOWED = {
     "community_modularity_lp": 1,  # 2m one-row attach
     "domain_reweight_plan": 1,  # total-weight one-row attach
     "vocab_coverage_top100": 1,  # corpus-token-total one-row attach
+    "graph_degree_distribution": 1,  # node-count one-row attach
+    "graph_reciprocity": 1,  # two grand aggregates cross-joined (1-row x 1-row)
 }
 
 
