@@ -28,6 +28,7 @@ def test_every_oracle_key_is_a_declared_query():
         "compression_ratio_docs",
         "ann_ivf_quantized_topk",
         "ann_ivfq_recall",
+        "ann_ivfpq_topk",
     }, rows_only
 
 
