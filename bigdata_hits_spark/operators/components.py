@@ -291,8 +291,14 @@ def strongly_connected_components(
 
         # 1) Trim: anything outside (has-in INTERSECT has-out) is a
         # singleton SCC — including nodes with no remaining edges.
-        # Batched: peel check_every layers lazily, count only the last
-        # layer (peeling is monotone — an empty layer stays empty).
+        # Per-round work is ONLY the edge filter (peel bookkeeping is
+        # deferred: the trimmed singletons are one anti-join against the
+        # final core after the fixpoint); convergence is |e| stabilizing
+        # — an unchanged edge set has unchanged in/out supports, so the
+        # next core is identical.  Batched like the label loops.
+        orig_nodes = nodes
+        core = nodes
+        n_prev = e.count()
         for r in range(max_rounds):
             core = (
                 e.select(F.col("dst").alias("id"))
@@ -300,25 +306,30 @@ def strongly_connected_components(
                 .join(e.select(F.col("src").alias("id")).distinct(), "id", "left_semi")
                 .localCheckpoint(eager=False)
             )
-            trimmed = (
-                nodes.join(core, "id", "left_anti")
-                .select("id", F.col("id").alias("scc"))
-                .localCheckpoint(eager=False)
-            )
-            parts.append(trimmed)
             e = e.join(core.select(F.col("id").alias("src")), "src", "left_semi").join(
                 core.select(F.col("id").alias("dst")), "dst", "left_semi"
             ).select("src", "dst").localCheckpoint(eager=False)
-            nodes = core
-            if (r + 1) % check_every == 0 or r == max_rounds - 1:
-                if trimmed.count() == 0:
+            # Check round 0 too: a trim-free graph (dense core, or the
+            # straggler residue of a later outer round) exits after one
+            # cheap round instead of burning a whole batch of no-ops.
+            if r == 0 or (r + 1) % check_every == 0 or r == max_rounds - 1:
+                n_now = e.count()
+                if n_now == n_prev:
                     break
+                n_prev = n_now
         else:
             raise RuntimeError(f"scc trim did not converge in {max_rounds} rounds")
+        nodes = materialize(core)
+        parts.append(
+            materialize(
+                orig_nodes.join(nodes, "id", "left_anti").select(
+                    "id", F.col("id").alias("scc")
+                )
+            )
+        )
         if nodes.isEmpty():
             continue
         e = materialize(e)
-        nodes = materialize(nodes)
 
         # 1b) Guarded path-doubling: augment with shortcut edges while
         # the size budget holds (see docstring).  ``prop`` drives the
