@@ -208,6 +208,9 @@ def persist_triangle_layout(
         enc = sym
     ot, nt = f"{table_prefix}_oriented", f"{table_prefix}_nodes"
     write_bucketed(_oriented(enc), ot, "lo", buckets)
+    from bigdata_hits_spark.sources.bucketed import clear_orphaned_location
+
+    clear_orphaned_location(keyed.sparkSession, nt)
     keyed.write.format("parquet").mode("overwrite").saveAsTable(nt)
     return ot, nt
 

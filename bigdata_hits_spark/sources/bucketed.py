@@ -20,6 +20,8 @@ rather than failing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -39,6 +41,7 @@ def write_bucketed(
     — the shuffle elimination, not sort elision, is the scale win.)
     """
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    clear_orphaned_location(df.sparkSession, table)
     # Align write tasks to buckets: one file per bucket instead of one per
     # (input partition x bucket) — avoids the small-files explosion at
     # high write parallelism.
@@ -47,6 +50,29 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(*cols)
     writer.saveAsTable(table)
+
+
+def clear_orphaned_location(spark: SparkSession, table: str) -> None:
+    """Remove a managed table's leftover warehouse DIRECTORY when the
+    catalog has no entry for it — the fresh-session footgun: a local
+    in-memory metastore forgets tables between sessions while their
+    files persist, and ``saveAsTable`` then refuses with
+    LOCATION_ALREADY_EXISTS even in overwrite mode (the table is "new"
+    to the catalog).  Only fires for ORPHANED locations; a table the
+    catalog knows is left for the writer's own mode semantics.  On a
+    real cluster with a durable metastore this is a no-op."""
+    import shutil
+
+    if spark.catalog.tableExists(table):
+        return
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file:", ""):
+        if warehouse.startswith(prefix) and prefix:
+            warehouse = warehouse[len(prefix):]
+            break
+    path = os.path.join(warehouse, table.lower())
+    if os.path.isdir(path):
+        shutil.rmtree(path)
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
