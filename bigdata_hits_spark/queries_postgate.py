@@ -4845,3 +4845,57 @@ def q_graph_reciprocity(spark, sf_dir):
             ).alias("reciprocity"),
         )
     )
+
+
+#: k-truss parameter and oracle unroll: support >= KTRUSS_K - 2.
+#: k=4 keeps a non-degenerate truss at BOTH declared scales (130 edges
+#: at sf0.01, 162 at sf0.1; the 5-truss is empty at sf0.1).  Measured
+#: peeling fixpoint depth at sf0.01 is 18 rounds; rounds past the
+#: fixpoint drop nothing (the kcore unroll argument), so 22 only needs
+#: to be an upper bound.
+KTRUSS_K = 4
+KTRUSS_UNROLL = 22
+
+
+def _ktruss_sql(k: int = KTRUSS_K, unroll: int = KTRUSS_UNROLL) -> str:
+    # Same AS MATERIALIZED discipline as _kcore_sql: each round
+    # references its predecessor multiple times; inlined, the scan tree
+    # grows exponentially with unroll depth.
+    ctes = [
+        f"e0 AS MATERIALIZED ({derived.G_PP_EDGES_SQL})",
+        _SYM_CTE.replace("sym AS (", "sym AS MATERIALIZED (", 1),
+        "o0 AS MATERIALIZED (SELECT a AS lo, b AS hi FROM sym WHERE a < b)",
+    ]
+    prev = "o0"
+    for i in range(1, unroll + 1):
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT w1.lo AS x, w1.hi AS y, w2.hi AS z "
+            f"FROM {prev} w1 JOIN {prev} w2 ON w2.lo = w1.lo AND w1.hi < w2.hi "
+            f"JOIN {prev} w3 ON w3.lo = w1.hi AND w3.hi = w2.hi)"
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT lo, hi, COUNT(*) AS cnt FROM ("
+            f"SELECT x AS lo, y AS hi FROM t{i} UNION ALL "
+            f"SELECT x, z FROM t{i} UNION ALL SELECT y, z FROM t{i}) GROUP BY lo, hi)"
+        )
+        ctes.append(
+            f"o{i} AS MATERIALIZED (SELECT o.lo, o.hi FROM {prev} o "
+            f"JOIN s{i} s ON s.lo = o.lo AND s.hi = o.hi AND s.cnt >= {k - 2})"
+        )
+        prev = f"o{i}"
+    return "WITH " + ", ".join(ctes) + f" SELECT lo, hi FROM {prev}"
+
+
+@register("graph_ktruss", _ktruss_sql())
+def q_graph_ktruss(spark, sf_dir):
+    """Edges of the 5-truss of the part->part graph
+    (operators/graphalgs.py k_truss: iterative triangle-support peel) —
+    the EDGE-grained cohesion filter beside kcore's degree peel.  The
+    oracle unrolls the identical peel as triangle-support CTE rounds
+    past the measured fixpoint depth (the kcore oracle pattern);
+    surviving (lo, hi) pairs are DATA values, so the compare is
+    exact."""
+    from bigdata_hits_spark.operators.graphalgs import k_truss
+
+    g = derived.g_pp(spark, sf_dir)
+    return k_truss(g.edges, KTRUSS_K, sym=_sym(g))

@@ -438,3 +438,21 @@ def test_label_propagation_weighted_strong_links_win(spark):
     )
     sw = {(r["a"], r["b"]): r["w"] for r in weighted_symmetric_edges(dup).collect()}
     assert sw == {("u", "v"): 5.0, ("v", "u"): 5.0}
+
+
+def test_ktruss_k4_keeps_clique_drops_pendant_triangle(spark):
+    """K4 edges each sit in 2 triangles (support 2 = k-2 for k=4) and
+    survive; a pendant triangle's edges have support 1 and peel away —
+    including the shared-vertex edges, exercising the cascade.  At k=3
+    every triangle edge survives and the bridge (in no triangle) still
+    drops."""
+    from bigdata_hits_spark.operators.graphalgs import k_truss
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pendant = [(4, 5), (5, 6), (4, 6)]
+    bridge = [(6, 7)]
+    df = spark.createDataFrame(k4 + pendant + bridge, "src long, dst long")
+    t4 = {(r["lo"], r["hi"]) for r in k_truss(df, 4).collect()}
+    assert t4 == set(k4)
+    t3 = {(r["lo"], r["hi"]) for r in k_truss(df, 3).collect()}
+    assert t3 == set(k4) | set(pendant)
