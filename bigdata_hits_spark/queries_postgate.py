@@ -4899,3 +4899,62 @@ def q_graph_ktruss(spark, sf_dir):
 
     g = derived.g_pp(spark, sf_dir)
     return k_truss(g.edges, KTRUSS_K, sym=_sym(g))
+
+
+#: Vocabulary size for the per-source OOV screen.
+OOV_VOCAB_N = 24
+
+
+@register(
+    "vocab_oov_by_source",
+    "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "counts AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token), "
+    "vocab AS (SELECT token FROM counts "
+    f"ORDER BY cnt DESC, token LIMIT {OOV_VOCAB_N}), "
+    "j AS (SELECT t.source, (v.token IS NOT NULL) AS known FROM tok t "
+    "LEFT JOIN vocab v ON v.token = t.token) "
+    "SELECT source, COUNT(*) AS n_tokens, "
+    "CAST(SUM((NOT known)::int) AS BIGINT) AS n_oov, "
+    "ROUND(CAST(SUM((NOT known)::int) AS DOUBLE) / COUNT(*), 6) AS oov_rate "
+    "FROM j GROUP BY source",
+)
+def q_vocab_oov_by_source(spark, sf_dir):
+    """Per-source out-of-vocabulary rate against the corpus top-N vocab
+    (operators/textstats.py vocab_coverage's truncation, applied): the
+    domain-mix diagnostic for a fixed tokenizer budget — a source whose
+    oov_rate spikes is the one the vocab underserves.  The vocab is a
+    distributed top-N (orderBy/limit) broadcast to the token stream;
+    one hash agg per source.  Integer counts + one rounded division —
+    exact."""
+    from bigdata_hits_spark.functions.text import tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tok_fn(F.col("text"))).alias("token")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(OOV_VOCAB_N)
+        .select("token", F.lit(True).alias("known"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("known").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+                "oov_rate"
+            ),
+        )
+    )
