@@ -26,13 +26,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _artifact_files(repo_dir: str) -> list[tuple[str, str]]:
+    """(filename, full path) for every per-round artifact, whether at the
+    repo root (current + prior round) or archived under ``artifacts/r{N}/``
+    (VERDICT r10 #6: older rounds move out of the root to keep the
+    evidence chain diffable; round detection must keep seeing them)."""
+    out = [(f, os.path.join(repo_dir, f)) for f in os.listdir(repo_dir)]
+    adir = os.path.join(repo_dir, "artifacts")
+    if os.path.isdir(adir):
+        for sub in os.listdir(adir):
+            subdir = os.path.join(adir, sub)
+            if os.path.isdir(subdir):
+                out.extend((f, os.path.join(subdir, f)) for f in os.listdir(subdir))
+    return out
+
+
 def _current_round(repo_dir: str) -> int:
     """The round IN PROGRESS = 1 + the latest driver bench record
     (``BENCH_r{N}.json`` is written by the driver when round N closes,
     so its max is always the previous round while a round is running)."""
     rounds = [
         int(m.group(1))
-        for f in os.listdir(repo_dir)
+        for f, _ in _artifact_files(repo_dir)
         if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
     ]
     return max(rounds, default=0) + 1
@@ -46,8 +61,8 @@ def _pick_prior_record(repo_dir: str) -> str | None:
     had that self-comparison hole)."""
     cur = _current_round(repo_dir)
     cands = [
-        (int(m.group(1)), f)
-        for f in os.listdir(repo_dir)
+        (int(m.group(1)), path)
+        for f, path in _artifact_files(repo_dir)
         if (m := re.fullmatch(r"BENCH_local_r(\d+)\.json", f))
         and int(m.group(1)) < cur
     ]

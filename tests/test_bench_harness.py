@@ -55,7 +55,32 @@ def test_pick_prior_record_excludes_current_round(tmp_path):
             json.dumps({"extra_queries": {"x": float(n)}})
         )
     assert bench._current_round(str(tmp_path)) == 9
-    assert bench._pick_prior_record(str(tmp_path)) == "BENCH_local_r08.json"
+    assert os.path.basename(bench._pick_prior_record(str(tmp_path))) == (
+        "BENCH_local_r08.json"
+    )
+
+
+def test_round_detection_sees_archived_artifacts(tmp_path):
+    """VERDICT r10 #6: per-round artifacts for older rounds live under
+    artifacts/r{N}/; round detection and prior-record pick must keep
+    seeing them there (a root holding only the current round's files
+    must not reset the round counter)."""
+    arch = tmp_path / "artifacts" / "r08"
+    arch.mkdir(parents=True)
+    (arch / "BENCH_r08.json").write_text("{}")
+    (arch / "BENCH_local_r08.json").write_text(
+        json.dumps({"extra_queries": {"x": 8.0}})
+    )
+    assert bench._current_round(str(tmp_path)) == 9
+    picked = bench._pick_prior_record(str(tmp_path))
+    assert picked is not None and picked.endswith("BENCH_local_r08.json")
+    # root record from a NEWER round wins over the archived one
+    (tmp_path / "BENCH_r09.json").write_text("{}")
+    (tmp_path / "BENCH_local_r09.json").write_text(
+        json.dumps({"extra_queries": {"x": 9.0}})
+    )
+    assert bench._current_round(str(tmp_path)) == 10
+    assert bench._pick_prior_record(str(tmp_path)).endswith("BENCH_local_r09.json")
 
 
 def test_pick_prior_record_empty_dir(tmp_path):
