@@ -1247,7 +1247,11 @@ def ivfq_index_cached(
     if key not in _IVFQ_INDEX_CACHE:
         live = spark.sparkContext.applicationId
         for stale in [k for k in _IVFQ_INDEX_CACHE if k[0] != live]:
-            _IVFQ_INDEX_CACHE.pop(stale)
+            dropped = _IVFQ_INDEX_CACHE.pop(stale)
+            try:  # release cached storage, not just the Python handle
+                dropped.unpersist()
+            except Exception:
+                pass  # owning session already gone
         assign = _assign_udf(centroids)
         quant = quantize_embeddings(corpus, vec_col=vec_col)
         indexed = (
@@ -1438,14 +1442,22 @@ def pq_codebooks(
 
 
 def pq_codebooks_cached(corpus: DataFrame, **kw):
-    """Memoized :func:`pq_codebooks` (the ivf_centroids_cached pattern)."""
+    """Memoized :func:`pq_codebooks` (the ivf_centroids_cached pattern).
+    The key covers EVERY kwarg that affects training — including
+    sample_n/fraction/seed/iters — so two calls with different training
+    params never silently share a codebook."""
     spark = corpus.sparkSession
     key = (
         spark.sparkContext.applicationId,
         corpus.semanticHash(),
         kw.get("m", PQ_SUBSPACES),
         kw.get("ksub", PQ_CODES),
+        kw.get("id_col", "vec_id"),
         kw.get("vec_col", "embedding"),
+        kw.get("sample_n", PQ_TRAIN_SAMPLE),
+        kw.get("fraction", PQ_TRAIN_FRACTION),
+        kw.get("seed", IVF_SEED),
+        kw.get("iters", PQ_LLOYD_ITERS),
     )
     if key not in _PQ_BOOKS_CACHE:
         live = spark.sparkContext.applicationId
@@ -1533,7 +1545,11 @@ def pq_index_cached(
     if key not in _PQ_INDEX_CACHE:
         live = spark.sparkContext.applicationId
         for stale in [k for k in _PQ_INDEX_CACHE if k[0] != live]:
-            _PQ_INDEX_CACHE.pop(stale)
+            dropped = _PQ_INDEX_CACHE.pop(stale)
+            try:  # release cached storage, not just the Python handle
+                dropped.unpersist()
+            except Exception:
+                pass  # owning session already gone
         enc = _pq_encode_udf(books)
         assign = _assign_udf(centroids)
         coded = corpus.select(
@@ -1541,11 +1557,13 @@ def pq_index_cached(
             enc(F.col(vec_col)).alias("__code"),
             assign(F.col(vec_col)).alias("cluster"),
         )
-        indexed = (
-            coded.withColumn("rnrm", l2_norm(pq_reconstruct(F.col("__code"), books)))
-            .filter(F.col("rnrm") > 0)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
+        # Zero-reconstruction-norm rows are KEPT (the ADC score guards
+        # the division and gives them cosine 0) — filtering them would
+        # make those ids unretrievable even through the full-precision
+        # rerank arm, silently.
+        indexed = coded.withColumn(
+            "rnrm", l2_norm(pq_reconstruct(F.col("__code"), books))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         _PQ_INDEX_CACHE[key] = indexed
     return _PQ_INDEX_CACHE[key]
 
@@ -1603,9 +1621,12 @@ def ivfpq_topk(
         .select(
             "qid",
             "cid",
-            F.round(dot(F.col("qvec"), rec) / (F.col("qnrm") * F.col("rnrm")), 9).alias(
-                "cosine"
-            ),
+            F.when(
+                F.col("qnrm") * F.col("rnrm") > 0,
+                F.round(dot(F.col("qvec"), rec) / (F.col("qnrm") * F.col("rnrm")), 9),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))

@@ -60,17 +60,37 @@ def clear_orphaned_location(spark: SparkSession, table: str) -> None:
     LOCATION_ALREADY_EXISTS even in overwrite mode (the table is "new"
     to the catalog).  Only fires for ORPHANED locations; a table the
     catalog knows is left for the writer's own mode semantics.  On a
-    real cluster with a durable metastore this is a no-op."""
+    real cluster with a durable metastore this is a no-op.
+
+    Deletion guardrails (a function that rmtrees must be paranoid): the
+    table name is validated against a strict identifier pattern — no
+    path separators, no dots (a qualified ``db.tbl`` name resolves to a
+    DIFFERENT warehouse path than this helper would derive, so it is
+    rejected rather than guessed) — and the resolved target is
+    realpath-checked to sit DIRECTLY inside the warehouse directory
+    before anything is removed."""
+    import re
     import shutil
 
+    if not re.fullmatch(r"[A-Za-z0-9_]+", table):
+        raise ValueError(
+            f"clear_orphaned_location: table name {table!r} must be a bare "
+            "unqualified identifier ([A-Za-z0-9_]+) — path separators and "
+            "db.tbl qualification are rejected because the warehouse path "
+            "is derived from the name"
+        )
     if spark.catalog.tableExists(table):
         return
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for prefix in ("file:", ""):
-        if warehouse.startswith(prefix) and prefix:
-            warehouse = warehouse[len(prefix):]
-            break
-    path = os.path.join(warehouse, table.lower())
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    wreal = os.path.realpath(warehouse)
+    path = os.path.realpath(os.path.join(wreal, table.lower()))
+    if os.path.dirname(path) != wreal:
+        raise ValueError(
+            f"clear_orphaned_location: resolved path {path!r} escapes the "
+            f"warehouse dir {wreal!r} — refusing to delete"
+        )
     if os.path.isdir(path):
         shutil.rmtree(path)
 

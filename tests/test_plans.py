@@ -114,6 +114,22 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir_oracle):
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
 
 
+def test_clear_orphaned_location_rejects_unsafe_names(spark, tmp_path):
+    """ADVICE r10: the orphan-cleanup helper rmtrees a path derived from
+    the table NAME, so the name must be a bare identifier — path
+    separators, dots (db.tbl), and traversal sequences are rejected
+    before any filesystem touch."""
+    import pytest
+
+    from bigdata_hits_spark.sources.bucketed import clear_orphaned_location
+
+    for bad in ("../etc", "a/b", "db.tbl", "a b", "", "x\\y"):
+        with pytest.raises(ValueError, match="bare unqualified identifier"):
+            clear_orphaned_location(spark, bad)
+    # a safe name on a MISSING dir is a clean no-op
+    clear_orphaned_location(spark, "t_never_written_anywhere_42")
+
+
 def test_power_step_broadcasts_scores_not_edges(spark, sf_dir_oracle):
     from bigdata_hits_spark.operators.ranking import _hits_edges, _uniform_init, _step
     from bigdata_hits_spark.plans.iterate import materialize
