@@ -93,10 +93,13 @@ def _wedge_counts(sym: DataFrame) -> DataFrame:
     return _wedges_from_oriented(_oriented(sym))
 
 
-def _wedges_from_oriented(oriented: DataFrame) -> DataFrame:
-    """(id, triangles) from a degree-ordered (lo, hi, deg_hi) edge list —
-    the wedge self-join + closing semi-join half of the triangle plan,
-    shared by the in-session path and the persisted-layout path."""
+def _triangles_from_oriented(oriented: DataFrame) -> DataFrame:
+    """(u, v, w) triangle triples — each triangle exactly once, enumerated
+    at its lowest-(degree, id) vertex — from a degree-ordered
+    (lo, hi, deg_hi) edge list: the wedge self-join + closing semi-join
+    core shared by triangle counting and the k-truss peel.  Wedge fan-out
+    per pivot is bounded by the pivot's ORIENTED out-degree (O(sqrt(m))
+    after degree ordering), so hub skew never amplifies."""
     e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("deg_hi").alias("dv"))
     e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("deg_hi").alias("dw"))
     wedges = (
@@ -108,7 +111,14 @@ def _wedges_from_oriented(oriented: DataFrame) -> DataFrame:
         .select("u", "v", "w")
     )
     closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
-    triangles = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
+    return wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
+
+
+def _wedges_from_oriented(oriented: DataFrame) -> DataFrame:
+    """(id, triangles) from a degree-ordered (lo, hi, deg_hi) edge list —
+    the wedge self-join + closing semi-join half of the triangle plan,
+    shared by the in-session path and the persisted-layout path."""
+    triangles = _triangles_from_oriented(oriented)
     return (
         triangles.select(F.col("u").alias("id"))
         .unionByName(triangles.select(F.col("v").alias("id")))
@@ -839,18 +849,24 @@ def k_truss(
     standard "keep only tightly-knit community structure" cleanup.
 
     Peeling loop, k_core discipline: per round, per-edge triangle
-    support via the oriented wedge join (each triangle x<y<z found once
-    at its minimum vertex, exploded to its 3 member edges, counted),
-    then drop under-support edges; stop when the edge set is stable
-    (support can only DROP as edges leave, so simultaneous peeling
-    reaches the unique fixpoint).  Per round: one wedge self-join on
-    the shrinking oriented edge set + one key-only hash agg — edge
-    bodies never shuffle, only (lo, hi) pairs.  Lexicographic
-    orientation keeps the plan the oracle's EXACT twin; a production
-    run on a hub-heavy corpus would swap in the degree-ordered
-    orientation of :func:`triangle_counts` (same output, bounded wedge
-    fan-out) — at the declared scales the measured wedge volume is the
-    triangle row's, which the shuffle-budget gate already pins."""
+    support via the DEGREE-ORDERED wedge join (each triangle found once
+    at its lowest-(degree, id) vertex — :func:`_triangles_from_oriented`,
+    the exact machinery of :func:`triangle_counts` — then exploded to
+    its 3 member edges in lexicographic order and counted), then drop
+    under-support edges; stop when the edge set is stable (support can
+    only DROP as edges leave, so simultaneous peeling reaches the
+    unique fixpoint).  Per round: one degree count over the shrinking
+    edge set, the orientation joins, one wedge self-join + one key-only
+    hash agg — edge bodies never shuffle, only (lo, hi) pairs.
+
+    Re-deriving the (deg, id) orientation each round costs two extra
+    node-id equi-joins per round but keeps the wedge fan-out bounded by
+    the SMALLER endpoint's residual degree — O(m^1.5) total per round
+    regardless of skew.  The earlier lexicographic orientation was
+    O(d_hub²) per round on a hub that sorts low (exactly the skew real
+    corpora have); tests/test_graphalgs.py pins the wedge-volume gap on
+    a star graph.  The edge SET surviving each round is
+    orientation-invariant, so results are unchanged."""
     if sym is None:
         sym = symmetric_edges(edges, src, dst)
     ori = materialize(
@@ -860,20 +876,22 @@ def k_truss(
     )
     n_prev = ori.count()
     for _ in range(max_iter):
-        w1 = ori.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-        w2 = ori.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
-        closing = ori.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-        tri = (
-            w1.join(w2, "x")
-            .filter(F.col("y") < F.col("z"))
-            .join(closing, ["y", "z"], "left_semi")
-        )
+        sym_r = ori.unionByName(
+            ori.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+        ).select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+        tri = _triangles_from_oriented(_oriented(sym_r))
         tri_edges = tri.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("x").alias("lo"), F.col("y").alias("hi")),
-                    F.struct(F.col("x").alias("lo"), F.col("z").alias("hi")),
-                    F.struct(F.col("y").alias("lo"), F.col("z").alias("hi")),
+                    F.struct(
+                        F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+                    ),
+                    F.struct(
+                        F.least("u", "w").alias("lo"), F.greatest("u", "w").alias("hi")
+                    ),
+                    F.struct(
+                        F.least("v", "w").alias("lo"), F.greatest("v", "w").alias("hi")
+                    ),
                 )
             ).alias("e")
         ).select("e.lo", "e.hi")

@@ -456,3 +456,47 @@ def test_ktruss_k4_keeps_clique_drops_pendant_triangle(spark):
     assert t4 == set(k4)
     t3 = {(r["lo"], r["hi"]) for r in k_truss(df, 3).collect()}
     assert t3 == set(k4) | set(pendant)
+
+
+def test_ktruss_wedge_volume_is_degree_bounded_on_hub(spark):
+    """VERDICT r10 #1: the k-truss peel must enumerate wedges under the
+    DEGREE-ORDERED orientation, not the lexicographic one.  On a star
+    whose hub id sorts LOWEST, lexicographic orientation points every
+    edge hub->leaf and the wedge self-join fans out C(d_hub, 2); the
+    degree-ordered orientation points every edge leaf->hub (leaf degree
+    1 < hub degree d) and produces ZERO wedges.  Pin both numbers, then
+    pin correctness on a hub+clique composite."""
+    from bigdata_hits_spark.operators.graphalgs import (
+        _oriented,
+        k_truss,
+        symmetric_edges,
+    )
+
+    n = 200
+    star = [(0, leaf) for leaf in range(1, n + 1)]  # hub 0 sorts lowest
+    df = spark.createDataFrame(star, "src long, dst long")
+    sym = symmetric_edges(df)
+
+    def wedge_count(oriented):
+        e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        e2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+        return e1.join(e2, "u").filter(F.col("v") < F.col("w")).count()
+
+    lex = sym.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("lo"), F.col("b").alias("hi")
+    )
+    assert wedge_count(lex) == n * (n - 1) // 2  # the quadratic blow-up
+    assert wedge_count(_oriented(sym).select("lo", "hi")) == 0  # hub-safe
+
+    # Correctness with the star plus a disjoint K4 (hub edges sit in no
+    # triangle and must peel; the clique survives), and with the K4
+    # riding ON star leaves 1-4 (hub + K4 = a K5, so ALL ten K5 edges
+    # have support 3 and survive k=4 — the hub edges included).
+    k4_off = [(a, b) for a in range(1001, 1005) for b in range(a + 1, 1005)]
+    comp = spark.createDataFrame(star + k4_off, "src long, dst long")
+    t4 = {(r["lo"], r["hi"]) for r in k_truss(comp, 4).collect()}
+    assert t4 == set(k4_off)
+    k4_on = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k5 = spark.createDataFrame(star + k4_on, "src long, dst long")
+    t4b = {(r["lo"], r["hi"]) for r in k_truss(k5, 4).collect()}
+    assert t4b == set(k4_on) | {(0, x) for x in range(1, 5)}
