@@ -4888,7 +4888,7 @@ def _ktruss_sql(k: int = KTRUSS_K, unroll: int = KTRUSS_UNROLL) -> str:
 
 @register("graph_ktruss", _ktruss_sql())
 def q_graph_ktruss(spark, sf_dir):
-    """Edges of the 5-truss of the part->part graph
+    """Edges of the KTRUSS_K-truss (k=4: support >= 2) of the part->part graph
     (operators/graphalgs.py k_truss: iterative triangle-support peel) —
     the EDGE-grained cohesion filter beside kcore's degree peel.  The
     oracle unrolls the identical peel as triangle-support CTE rounds
@@ -4958,3 +4958,60 @@ def q_vocab_oov_by_source(spark, sf_dir):
             ),
         )
     )
+
+
+@register("streaming_hourly_agg", None)  # incremental execution: rows-only
+def q_streaming_hourly_agg(spark, sf_dir):
+    """Hourly event counts computed by the STRUCTURED STREAMING twin
+    (streaming/jobs.py hourly_event_counts_stream): the events parquet
+    is staged as a file-source stream, drained with
+    ``trigger(availableNow=True)`` into a memory sink, and the result
+    compared row-for-row against the batch operator INSIDE the query —
+    any stream/batch divergence raises instead of returning (VERDICT
+    r10 #4: the 642-LoC streaming surface gets a declared row the
+    per-round harness exercises, not just pytest).  Streaming output
+    order and micro-batch boundaries are engine-internal, so the row is
+    declared rows-only; the equivalence assertion inside IS the value
+    check, against the batch plan DuckDB already verifies via
+    events_hourly_agg."""
+    import os
+    import shutil
+
+    from bigdata_hits_spark.operators.events import hourly_event_counts
+    from bigdata_hits_spark.streaming.jobs import (
+        hourly_event_counts_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = os.path.join(repo_root, ".tmp_stream_hourly_query")
+    os.makedirs(stage, exist_ok=True)
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "part-0.parquet"),
+        )
+        run_to_memory(
+            hourly_event_counts_stream(read_events_stream(spark, stage)),
+            "t_stream_hourly_agg",
+        )
+        # Detach from the memory sink and the staging dir before cleanup.
+        streamed = spark.table("t_stream_hourly_agg").localCheckpoint()
+    finally:
+        spark.catalog.dropTempView("t_stream_hourly_agg")
+        shutil.rmtree(stage, ignore_errors=True)
+    batch = hourly_event_counts(load_table(spark, sf_dir, "events")).select(
+        *streamed.columns
+    )
+    n_stream, n_batch = streamed.count(), batch.count()
+    if (
+        n_stream != n_batch
+        or streamed.exceptAll(batch).count()
+        or batch.exceptAll(streamed).count()
+    ):
+        raise AssertionError(
+            f"stream-batch divergence in hourly counts: "
+            f"{n_stream} streamed vs {n_batch} batch rows"
+        )
+    return streamed
