@@ -114,6 +114,16 @@ SMOKE = [
     "bpe_pair_counts_top50",
     "graph_degree_distribution",
     "graph_reciprocity",
+    # round-11 (VERDICT r10 #2): the two rows added after the r10 smoke —
+    # k-truss (now on the degree-ordered orientation; the scale question
+    # is per-round wedge volume staying triangle-shaped) and the
+    # per-source OOV screen (token explode + broadcast top-N join).
+    "graph_ktruss",
+    "vocab_oov_by_source",
+    # round-11 (VERDICT r10 #3): SCC served from the persisted labeling
+    # (registered in main() after the build; build cost recorded as
+    # scc_layout_build_sec).
+    "graph_scc_layout",
 ]
 
 
@@ -160,6 +170,56 @@ def main() -> None:
     print(f"triangles layout build: {layout_build}", file=sys.stderr)
     registry["graph_triangles_layout"] = lambda s, d: triangle_counts_from_layout(
         s, "t_scale_tri"
+    )
+
+    # Same nightly-build-then-serve split for the SCC labeling (VERDICT
+    # r10 #3): build once on the graph_scc row's exact subgraph, serve
+    # graph_scc_layout from the table in both passes — pass 0 is the
+    # cold measurement (target: ~table-scan cost vs the 80 s in-session
+    # fixpoints).
+    from bigdata_hits_spark.operators.components import (
+        persist_scc_labels,
+        scc_labels_from_layout,
+    )
+    from bigdata_hits_spark.queries_graph import SCC_MAX_WEIGHT
+    from pyspark.sql import functions as F
+
+    scc_edges = (
+        g_pp(spark, sf_dir)
+        .edges.filter(F.col("weight") <= SCC_MAX_WEIGHT)
+        .select("src", "dst")
+    )
+    scc_layout_build = persist_scc_labels(scc_edges, "t_scale_scc")
+    print(f"scc layout build: {scc_layout_build}", file=sys.stderr)
+    registry["graph_scc_layout"] = lambda s, d: scc_labels_from_layout(s, "t_scale_scc")
+
+    # ANN index COLD-build costs at 10x (VERDICT r10 #5): the serving
+    # rows below reuse session-cached indexes, so the builds are timed
+    # here once, explicitly — the 100x index-build story as a number.
+    from bigdata_hits_spark.operators.similarity import (
+        IVF_CENTROIDS,
+        ivf_centroids_cached,
+        ivfq_index_cached,
+        pq_codebooks_cached,
+        pq_index_cached,
+    )
+    from bigdata_hits_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.time()
+    cents = ivf_centroids_cached(emb, IVF_CENTROIDS)
+    ivf_centroid_build = round(time.time() - t0, 3)
+    t0 = time.time()
+    ivfq_index_cached(emb, cents, IVF_CENTROIDS, "vec_id", "embedding").count()
+    ivfq_build = round(time.time() - t0, 3)
+    t0 = time.time()
+    books = pq_codebooks_cached(emb)
+    pq_index_cached(emb, books, cents, IVF_CENTROIDS, "vec_id", "embedding").count()
+    ivfpq_build = round(time.time() - t0, 3)
+    print(
+        f"ann builds: centroids {ivf_centroid_build}, ivfq {ivfq_build}, "
+        f"ivfpq {ivfpq_build}",
+        file=sys.stderr,
     )
 
     def canary() -> float:
@@ -216,6 +276,12 @@ def main() -> None:
         "queries": timings,
         "per_pass": per_pass,
         "triangles_layout_build_sec": layout_build,
+        "scc_layout_build_sec": scc_layout_build,
+        "ann_build_sec": {
+            "ivf_centroids": ivf_centroid_build,
+            "ivfq_index": ivfq_build,
+            "ivfpq_codebooks_plus_index": ivfpq_build,
+        },
         "canary_sec": canaries,
         "sf_dir": sf_dir,
         "n_failed": sum(1 for t in timings.values() if t < 0),

@@ -162,6 +162,29 @@ def test_scc_long_cycle_batched_checks(spark):
     assert len(got) == n + 7
 
 
+def test_scc_layout_serves_identical_labels(spark):
+    """persist_scc_labels + scc_labels_from_layout round-trip: the
+    persisted table serves EXACTLY the in-session solver's labeling,
+    and the serving plan is a table scan (no joins, no aggregates —
+    the whole point of paying the build once)."""
+    from bigdata_hits_spark.operators.components import (
+        persist_scc_labels,
+        scc_labels_from_layout,
+        strongly_connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    build_sec = persist_scc_labels(df, "t_test_scc_layout")
+    assert build_sec > 0
+    served = scc_labels_from_layout(spark, "t_test_scc_layout")
+    live = strongly_connected_components(df)
+    assert {tuple(r) for r in served.collect()} == {tuple(r) for r in live.collect()}
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
+    spark.sql("DROP TABLE IF EXISTS t_test_scc_layout")
+
+
 def test_dedup_survivors_ranked_quality_election(spark):
     """Cluster {1,2,3}: highest quality wins; tie inside {5,6} breaks to
     the minimum id; unpaired doc 9 passes through as a singleton."""
