@@ -103,3 +103,72 @@ def test_node_attribute_spot_checks(ref_nodes):
 
     lo, hi = ref_nodes.agg(F.min("rho"), F.max("rho")).collect()[0]
     assert 0.09 <= lo <= 0.11 and 0.94 <= hi <= 0.96
+
+
+REF_HUB_GOLDEN = "/root/reference/outputs/base_HITS/base_hub_scores.txt/part-00000"
+REF_AUTH_GOLDEN = (
+    "/root/reference/outputs/base_HITS/base_authority_scores.txt/part-00000"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(REF_HUB_GOLDEN) and os.path.exists(REF_AUTH_GOLDEN)),
+    reason="reference HITS goldens not present",
+)
+def test_committed_golden_row_counts_and_top_rows():
+    """The committed base-HITS goldens record the §2.4(a) drop semantics
+    as numbers: 19,456 hub rows and 20,829 auth rows out of 23,263 nodes
+    (nodes with no out-edges vanish from hubs, no in-edges from auths —
+    inner-join score updates).  Pin the golden files' line counts and
+    SURVEY §5's recorded top row so the invariant the synthetic test
+    below asserts is anchored to the reference's own record."""
+    with open(REF_HUB_GOLDEN) as f:
+        hub_lines = [line for line in f if line.strip()]
+    with open(REF_AUTH_GOLDEN) as f:
+        auth_lines = [line for line in f if line.strip()]
+    assert len(hub_lines) == 19_456
+    assert len(auth_lines) == 20_829
+    assert hub_lines[0].startswith("('execution_phase_of_apoptosis', 0.1514249007")
+    # sorted descending by score (the reference sinks sortBy(-score))
+    import ast
+
+    hub_scores = [ast.literal_eval(line)[1] for line in hub_lines[:50]]
+    assert hub_scores == sorted(hub_scores, reverse=True)
+
+
+def test_hits_drop_semantics_row_counts_on_synthetic_graph(spark):
+    """§2.4(a) as a property: after the first iteration's inner joins,
+    hubs == nodes WITH out-edges and auths == nodes WITH in-edges — the
+    exact shape invariant behind the 19,456/20,829 golden counts.  The
+    synthetic graph has all four node classes (both-degree, out-only,
+    in-only, isolated); teleport must NOT revive dropped keys (the
+    reference adds (1-beta)/N only to surviving keys), and weight==1
+    weighted HITS must match base exactly."""
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.operators.ranking import hits
+
+    #          both  out-only  in-only  isolated
+    # a -> b, a -> c, b -> c, d -> a   (e isolated)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")], "src string, dst string"
+    )
+    nodes = spark.createDataFrame(
+        [(x,) for x in "abcde"], "id string"
+    ).withColumn("labels", F.lit("t"))
+    g = Graph(nodes=nodes, edges=edges)
+
+    res = hits(g, k=3)
+    hub_ids = {r["id"] for r in res.hubs.collect()}
+    auth_ids = {r["id"] for r in res.auths.collect()}
+    assert hub_ids == {"a", "b", "d"}  # distinct src set: out-edge holders
+    assert auth_ids == {"a", "b", "c"}  # distinct dst set: in-edge holders
+
+    tele = hits(g, k=3, teleport="uniform")
+    assert {r["id"] for r in tele.hubs.collect()} == hub_ids  # no revival
+    assert {r["id"] for r in tele.auths.collect()} == auth_ids
+
+    weighted = hits(Graph(nodes=nodes, edges=edges.withColumn("w", F.lit(1.0))), k=3, weight="w")
+    base = {(r["id"], round(r["score"], 12)) for r in res.hubs.collect()}
+    wgt = {(r["id"], round(r["score"], 12)) for r in weighted.hubs.collect()}
+    assert base == wgt
