@@ -851,47 +851,41 @@ def k_truss(
     Peeling loop, k_core discipline: per round, per-edge triangle
     support via the DEGREE-ORDERED wedge join (each triangle found once
     at its lowest-(degree, id) vertex — :func:`_triangles_from_oriented`,
-    the exact machinery of :func:`triangle_counts` — then exploded to
-    its 3 member edges in lexicographic order and counted), then drop
+    the exact machinery of :func:`triangle_counts` — exploded to its 3
+    member edges in orientation coordinates and counted), then drop
     under-support edges; stop when the edge set is stable (support can
     only DROP as edges leave, so simultaneous peeling reaches the
-    unique fixpoint).  Per round: one degree count over the shrinking
-    edge set, the orientation joins, one wedge self-join + one key-only
-    hash agg — edge bodies never shuffle, only (lo, hi) pairs.
+    unique fixpoint).
 
-    Re-deriving the (deg, id) orientation each round costs two extra
-    node-id equi-joins per round but keeps the wedge fan-out bounded by
-    the SMALLER endpoint's residual degree — O(m^1.5) total per round
-    regardless of skew.  The earlier lexicographic orientation was
-    O(d_hub²) per round on a hub that sorts low (exactly the skew real
-    corpora have); tests/test_graphalgs.py pins the wedge-volume gap on
-    a star graph.  The edge SET surviving each round is
-    orientation-invariant, so results are unchanged."""
+    The orientation is computed ONCE, from the ORIGINAL degrees: the
+    (deg, id) total order orients every subgraph consistently, and
+    peeling only ever REMOVES oriented edges, so each pivot's oriented
+    out-degree — the wedge fan-out bound, O(sqrt(m)) after degree
+    ordering — can only shrink across rounds.  Every residual round
+    therefore keeps the original O(m^1.5) wedge bound with zero
+    per-round re-orientation cost: one wedge self-join + closing
+    semi-join + one key-only hash agg + the support filter join per
+    round, edge bodies never shuffling — only (lo, hi, deg_hi)
+    triples.  The earlier lexicographic orientation fanned out
+    O(d_hub²) on a hub that sorts low (exactly the skew real corpora
+    have); tests/test_graphalgs.py pins the wedge-volume gap on a star
+    graph.  The surviving edge SET is orientation-invariant, so the
+    (lo, hi) lexicographic output contract is restored by one
+    projection at the end."""
     if sym is None:
         sym = symmetric_edges(edges, src, dst)
-    ori = materialize(
-        sym.filter(F.col("a") < F.col("b")).select(
-            F.col("a").alias("lo"), F.col("b").alias("hi")
-        )
-    )
+    ori = materialize(_oriented(sym))
     n_prev = ori.count()
     for _ in range(max_iter):
-        sym_r = ori.unionByName(
-            ori.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
-        ).select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-        tri = _triangles_from_oriented(_oriented(sym_r))
+        tri = _triangles_from_oriented(ori)
+        # Member edges in orientation coordinates: u->v, u->w, v->w are
+        # all oriented edges by construction of the wedge + closing join.
         tri_edges = tri.select(
             F.explode(
                 F.array(
-                    F.struct(
-                        F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
-                    ),
-                    F.struct(
-                        F.least("u", "w").alias("lo"), F.greatest("u", "w").alias("hi")
-                    ),
-                    F.struct(
-                        F.least("v", "w").alias("lo"), F.greatest("v", "w").alias("hi")
-                    ),
+                    F.struct(F.col("u").alias("lo"), F.col("v").alias("hi")),
+                    F.struct(F.col("u").alias("lo"), F.col("w").alias("hi")),
+                    F.struct(F.col("v").alias("lo"), F.col("w").alias("hi")),
                 )
             ).alias("e")
         ).select("e.lo", "e.hi")
@@ -899,12 +893,14 @@ def k_truss(
         ori = (
             ori.join(sup, ["lo", "hi"], "left")
             .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
-            .select("lo", "hi")
+            .select("lo", "hi", "deg_hi")
             .localCheckpoint(eager=False)
         )
         n = ori.count()
         if n == n_prev:
-            return ori
+            return ori.select(
+                F.least("lo", "hi").alias("lo"), F.greatest("lo", "hi").alias("hi")
+            )
         n_prev = n
     raise RuntimeError(
         f"k_truss did not converge in {max_iter} rounds; "

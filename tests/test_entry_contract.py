@@ -29,6 +29,9 @@ def test_every_oracle_key_is_a_declared_query():
         "ann_ivf_quantized_topk",
         "ann_ivfq_recall",
         "ann_ivfpq_topk",
+        # incremental execution: stream-batch equivalence asserted
+        # INSIDE the query; output order/micro-batching engine-internal
+        "streaming_hourly_agg",
     }, rows_only
 
 
@@ -66,7 +69,10 @@ def test_gate_prefix_is_stable():
     above, and the recorded r03/r04 driver gate keys."""
     q = list(entry.queries())
     assert q[:50] == GATE_PREFIX
-    for rec in ("CORRECTNESS_r03.json", "CORRECTNESS_r04.json"):
+    for rec in (
+        os.path.join("artifacts", "r03", "CORRECTNESS_r03.json"),
+        os.path.join("artifacts", "r04", "CORRECTNESS_r04.json"),
+    ):
         recorded = json.load(open(os.path.join(REPO, rec)))
         assert q[:50] == list(recorded)[:50], rec
 
