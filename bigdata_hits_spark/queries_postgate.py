@@ -5015,3 +5015,114 @@ def q_streaming_hourly_agg(spark, sf_dir):
             f"{n_stream} streamed vs {n_batch} batch rows"
         )
     return streamed
+
+
+def _assortativity_sql() -> str:
+    # Exact decimal/hugeint sums, then one mirrored double expression:
+    # double SUMS would be order-nondeterministic across partitions, so
+    # both engines sum in exact integer arithmetic and only the final
+    # Pearson assembly runs in floating point (deterministic given exact
+    # inputs; round 6 leaves ~9 orders of margin over double noise).
+    return (
+        f"WITH e0 AS ({derived.G_PP_EDGES_SQL}), "
+        + _SYM_CTE
+        + ", deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a), "
+        "j AS (SELECT d1.deg AS deg_a, d2.deg AS deg_b FROM sym s "
+        "JOIN deg d1 ON d1.a = s.a JOIN deg d2 ON d2.a = s.b), "
+        "agg AS (SELECT COUNT(*) AS n_edges, "
+        "CAST(SUM(CAST(deg_a AS HUGEINT)) AS DOUBLE) AS sx, "
+        "CAST(SUM(CAST(deg_b AS HUGEINT)) AS DOUBLE) AS sy, "
+        "CAST(SUM(CAST(deg_a * deg_b AS HUGEINT)) AS DOUBLE) AS sxy, "
+        "CAST(SUM(CAST(deg_a * deg_a AS HUGEINT)) AS DOUBLE) AS sxx, "
+        "CAST(SUM(CAST(deg_b * deg_b AS HUGEINT)) AS DOUBLE) AS syy "
+        "FROM j) "
+        "SELECT n_edges, ROUND("
+        "(CAST(n_edges AS DOUBLE) * sxy - sx * sy) / "
+        "sqrt((CAST(n_edges AS DOUBLE) * sxx - sx * sx) * "
+        "(CAST(n_edges AS DOUBLE) * syy - sy * sy)), 6) AS assortativity "
+        "FROM agg"
+    )
+
+
+@register("graph_assortativity", _assortativity_sql())
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of g_pp (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetric edge set — the
+    one-number mixing diagnostic (hubs-link-hubs vs hubs-link-leaves)
+    that decides whether degree-skew mitigations (salting, broadcast
+    thresholds) matter on a given corpus graph.  Plan: one degree
+    aggregate, two node-id equi-joins to attach endpoint degrees, one
+    grand aggregate of exact decimal sums — degrees shuffle as scalars,
+    never edge bodies, and every sum is map-side-combinable.  The
+    Pearson assembly runs in doubles AFTER the exact sums, mirrored
+    expression-for-expression in the oracle, so the compare is exact."""
+    g = derived.g_pp(spark, sf_dir)
+    sym = _sym(g)
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select("a", F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("a").alias("b"), F.col("deg").alias("deg_b"))
+    j = sym.join(da, "a").join(db, "b")
+    dec = "decimal(38,0)"
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("deg_a").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("deg_b").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("deg_a") * F.col("deg_b")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("deg_a") * F.col("deg_a")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("deg_b") * F.col("deg_b")).cast(dec)).cast("double").alias("syy"),
+    )
+    n_d = F.col("n_edges").cast("double")
+    return agg.select(
+        "n_edges",
+        F.round(
+            (n_d * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "vocab_hapax_by_source",
+    "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token "
+    "FROM documents), "
+    "c AS (SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY source, token) "
+    "SELECT source, COUNT(*) AS n_types, "
+    "CAST(SUM((cnt = 1)::int) AS BIGINT) AS n_hapax, "
+    "ROUND(CAST(SUM((cnt = 1)::int) AS DOUBLE) / COUNT(*), 6) AS hapax_rate "
+    "FROM c GROUP BY source",
+)
+def q_vocab_hapax_by_source(spark, sf_dir):
+    """Per-source hapax-legomena share: the fraction of a source's
+    distinct token types that occur exactly once there — the third
+    tokenizer-planning diagnostic beside vocab_coverage (truncation
+    cost) and vocab_oov (fixed-budget miss rate): a high hapax share
+    flags a source whose tail vocabulary a learned tokenizer cannot
+    amortize (typos, ids, boilerplate noise).  Two hash aggregates —
+    (source, token) counts then a per-source rollup — both map-side
+    combinable; integer counts + one rounded division, exact."""
+    from bigdata_hits_spark.functions.text import tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tok_fn(F.col("text"))).alias("token"))
+    per_type = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_type.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_hapax"
+            ),
+        )
+        .select(
+            "source",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 6).alias(
+                "hapax_rate"
+            ),
+        )
+    )
