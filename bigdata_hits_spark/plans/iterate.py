@@ -40,11 +40,48 @@ def normalized(scores: DataFrame, how: str = "l2", score_col: str = "score") -> 
 
 
 def materialize(df: DataFrame) -> DataFrame:
-    """Truncate lineage + force evaluation (eager localCheckpoint).
+    """Truncate lineage + force evaluation + RESET the size estimate to
+    the real materialized size (persist -> eager ``localCheckpoint``,
+    whose job also populates the cache -> unpersist the scratch cache).
 
-    Equivalent role to the reference's per-iteration collects, but the data
-    stays distributed on the executors instead of landing on the driver.
-    On a real cluster with lost-executor concerns, swap for reliable
-    ``checkpoint()`` against a checkpoint dir; local mode doesn't need it.
+    The stats reset is load-bearing for iterative loops.  A bare
+    ``localCheckpoint`` copies the ORIGIN plan's ESTIMATED statistics
+    into the resulting LogicalRDD, and size-only estimation MULTIPLIES
+    sizeInBytes through inner/outer joins (left-semi/anti keep the left
+    size, so degree-peel loops are immune) — a loop whose round output
+    joins against an aggregate of the SAME frame therefore multiplies
+    the estimate's BIT-LENGTH every round.  The estimate is a
+    BigInteger: in the k-truss peel (x3 bit-growth per round) it
+    reached millions of digits by round ~17 and the driver stalled
+    20-130 s per round inside ``BigInteger.multiplyToomCook3`` during
+    stats propagation — with plan size, RDD lineage, GC, JIT, and AQE
+    all measured innocent on a 300-edge graph.  Checkpointing THROUGH a
+    persisted frame instead captures the InMemoryRelation's actual
+    materialized byte size, so every materialize restarts the
+    compounding from a small true number (flat ~0.5 s rounds at any
+    peel depth; pinned by tests/test_plans.py).
+
+    Equivalent role to the reference's per-iteration collects, but the
+    data stays distributed on the executors instead of landing on the
+    driver.  On a real cluster with lost-executor concerns, swap for
+    reliable ``checkpoint()`` against a checkpoint dir; local mode
+    doesn't need it.  Trade: one columnar cache build per call, freed
+    immediately; a caller that persisted the IDENTICAL plan for itself
+    would lose that cache entry to the unpersist — no engine call site
+    does.
     """
-    return df.localCheckpoint(eager=True)
+    cached = df.persist()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
+def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
+    """:func:`materialize` plus the row count every peel/fixpoint loop
+    needs for its convergence test, taken from the already-populated
+    scratch cache (a cache-read job, not a recompute)."""
+    cached = df.persist()
+    out = cached.localCheckpoint(eager=True)
+    n = cached.count()
+    cached.unpersist()
+    return out, n

@@ -5017,6 +5017,91 @@ def q_streaming_hourly_agg(spark, sf_dir):
     return streamed
 
 
+@register("streaming_sessionize", None)  # incremental execution: rows-only
+def q_streaming_sessionize(spark, sf_dir):
+    """Gap sessionization computed by the STATEFUL streaming twin
+    (streaming/jobs.py sessionize_stream, ``applyInPandasWithState``):
+    the events are staged as TWO time-split parquet files and drained
+    with ``maxFilesPerTrigger=1`` + ``trigger(availableNow=True)``, so
+    per-user session state genuinely carries across a micro-batch
+    boundary — a user whose events straddle the median timestamp has
+    the open session resumed in batch 2 (VERDICT r11 #7: the stateful
+    streaming surface gets a declared row, not just pytest).
+
+    Staging re-encodes time as bigint epoch-nanos (``ts_ns AS ts``) so
+    the stream reader's dtype dispatch round-trips EXACT nanos; a
+    timestamp re-encode would truncate to micros and could split a gap
+    differently from the batch plan.  Update-sink semantics: the LATEST
+    emission per (user_id, session_idx) is the session's final shape,
+    and since a session only ever grows within its key,
+    ``max(struct(n_events, end_s, start_s))`` selects it
+    deterministically.  Stream/batch divergence vs the window-function
+    operator (whose plan DuckDB already verifies via events_sessionize)
+    raises instead of returning; micro-batch boundaries make emission
+    multiplicity engine-internal, so the row is declared rows-only —
+    the in-query equivalence IS the value check."""
+    import os
+    import shutil
+
+    from bigdata_hits_spark.operators.events import sessionize
+    from bigdata_hits_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+        sessionize_stream,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = os.path.join(repo_root, ".tmp_stream_sessionize_query")
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.select(F.expr("approx_percentile(ts_ns, 0.5)")).first()[0]
+    raw = ev.select(
+        *[c for c in ev.columns if c not in ("ts", "ts_ns")],
+        F.col("ts_ns").alias("ts"),
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    try:
+        halves = (raw.filter(F.col("ts") <= med), raw.filter(F.col("ts") > med))
+        for i, half in enumerate(halves):
+            tmp = os.path.join(stage, f"_write{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part), os.path.join(stage, f"{i}.parquet"))
+            shutil.rmtree(tmp)
+            # FileStreamSource orders by modification time; pin it
+            # explicitly so "all ts <= median" is always batch 1 and the
+            # per-user in-order contract holds across the boundary.
+            os.utime(os.path.join(stage, f"{i}.parquet"), (1_000_000 + i, 1_000_000 + i))
+        run_to_memory(
+            sessionize_stream(
+                read_events_stream(spark, stage, max_files_per_trigger=1)
+            ),
+            "t_stream_sessionize",
+            output_mode="update",
+        )
+        streamed = spark.table("t_stream_sessionize").localCheckpoint()
+    finally:
+        spark.catalog.dropTempView("t_stream_sessionize")
+        shutil.rmtree(stage, ignore_errors=True)
+    latest = (
+        streamed.groupBy("user_id", "session_idx")
+        .agg(F.max(F.struct("n_events", "end_s", "start_s")).alias("s"))
+        .select("user_id", "session_idx", "s.n_events", "s.start_s", "s.end_s")
+    )
+    batch = sessionize(ev).select(*latest.columns)
+    n_stream, n_batch = latest.count(), batch.count()
+    if (
+        n_stream != n_batch
+        or latest.exceptAll(batch).count()
+        or batch.exceptAll(latest).count()
+    ):
+        raise AssertionError(
+            f"stream-batch divergence in sessionization: "
+            f"{n_stream} streamed vs {n_batch} batch sessions"
+        )
+    return latest
+
+
 def _assortativity_sql() -> str:
     # Exact decimal/hugeint sums, then one mirrored double expression:
     # double SUMS would be order-nondeterministic across partitions, so

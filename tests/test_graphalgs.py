@@ -500,3 +500,40 @@ def test_ktruss_wedge_volume_is_degree_bounded_on_hub(spark):
     k5 = spark.createDataFrame(star + k4_on, "src long, dst long")
     t4b = {(r["lo"], r["hi"]) for r in k_truss(k5, 4).collect()}
     assert t4b == set(k4_on) | {(0, x) for x in range(1, 5)}
+
+
+def test_ktruss_deep_peel_cascade_beyond_40_rounds(spark):
+    """VERDICT r11 #5: peel depth is graph-dependent, so the loop must
+    run to the fixpoint by default instead of failing an arbitrary
+    40-round budget.  Construction with cascade depth ~L: a path
+    v_0..v_L with chords c_i = (v_{i-1}, v_{i+1}), each chord (and the
+    last path edge) reinforced by a private K4 so it survives the
+    cascade.  At k=4 (support >= 2): e_0 sits in one triangle and dies
+    in round 1; killing e_{i-1} destroys triangle T_i and drops e_i to
+    support 1, so exactly one path edge peels per round — 45 productive
+    rounds for L=45, past the old constant.  Expected fixpoint: every
+    chord, every K4 edge, and the protected last path edge."""
+    from bigdata_hits_spark.operators.graphalgs import k_truss
+
+    L = 45
+    path = [(i, i + 1) for i in range(L)]
+    chords = [(i - 1, i + 1) for i in range(1, L)]
+    k4s = []
+
+    def brace(x, y, p, q):
+        k4s.extend([(x, p), (x, q), (y, p), (y, q), (p, q)])
+
+    for i in range(1, L):
+        brace(i - 1, i + 1, 1000 + 2 * i, 1001 + 2 * i)
+    brace(L - 1, L, 5000, 5001)  # protect e_{L-1}: cascade runs left-to-right only
+    df = spark.createDataFrame(path + chords + k4s, "src long, dst long")
+
+    got = {(r["lo"], r["hi"]) for r in k_truss(df, 4).collect()}
+    want = {tuple(sorted(e)) for e in chords + k4s} | {(L - 1, L)}
+    assert got == want
+
+    # The opt-in budget still fails loudly when the caller asks for one.
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        k_truss(df, 4, max_iter=3)

@@ -434,3 +434,31 @@ def test_count_shuffles_regex_classification():
     assert count_shuffles(plan) == 5
     assert count_shuffles("") == 0
     assert count_shuffles("BroadcastExchange only") == 0
+
+
+def test_materialize_resets_size_estimate(spark):
+    """materialize must capture the REAL materialized size, not copy the
+    origin plan's estimate: size-only estimation multiplies sizeInBytes
+    through inner/outer joins, so an iterative loop that checkpoints a
+    join against an aggregate of its OWN previous output compounds the
+    estimate's bit-length exponentially.  The estimate is a BigInteger —
+    in the k-truss peel it reached millions of digits by round ~17 and
+    the driver stalled 20-130 s/round inside BigInteger.multiply during
+    stats propagation.  Five self-join rounds: the old behavior reaches
+    ~10^40+; the persist-backed materialize stays at the actual few-KB
+    size."""
+    from bigdata_hits_spark.plans.iterate import materialize, materialize_counted
+
+    df = materialize(
+        spark.range(100).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    )
+    for _ in range(5):
+        agg = df.groupBy("a").agg(F.count(F.lit(1)).alias("c"))
+        df = materialize(df.join(agg, "a", "left").select("a", "b"))
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert size < 10**9, f"size estimate compounding through materialize: {size}"
+
+    ck, n = materialize_counted(df)
+    assert n == 100
+    size = int(ck._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert size < 10**9
