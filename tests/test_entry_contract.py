@@ -32,6 +32,7 @@ def test_every_oracle_key_is_a_declared_query():
         # incremental execution: stream-batch equivalence asserted
         # INSIDE the query; output order/micro-batching engine-internal
         "streaming_hourly_agg",
+        "streaming_sessionize",
     }, rows_only
 
 
