@@ -39,12 +39,30 @@ def normalized(scores: DataFrame, how: str = "l2", score_col: str = "score") -> 
     )
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Truncate lineage + force evaluation + RESET the size estimate to
-    the real materialized size (persist -> eager ``localCheckpoint``,
-    whose job also populates the cache -> unpersist the scratch cache).
+#: Size-estimate bit-length above which :func:`materialize` resets the
+#: estimate to the real materialized size.  Real data never gets here
+#: (2^256 bytes); only estimate COMPOUNDING does, and one loop round
+#: multiplies at most a handful of sub-cap estimates, so the check
+#: itself always reads a small number.
+_STATS_BITS_CAP = 256
 
-    The stats reset is load-bearing for iterative loops.  A bare
+
+def _stats_reset(df: DataFrame) -> DataFrame:
+    """Re-checkpoint through a persisted frame: the eager checkpoint's
+    own job populates the cache, so the resulting LogicalRDD's origin
+    stats are the InMemoryRelation's ACTUAL materialized byte size
+    instead of the compounded estimate.  The scratch cache is dropped
+    immediately (the checkpoint has its own storage)."""
+    cached = df.persist()
+    out = cached.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Truncate lineage + force evaluation (eager localCheckpoint), and
+    keep Catalyst's size estimate SANE across iterative loops.
+
     ``localCheckpoint`` copies the ORIGIN plan's ESTIMATED statistics
     into the resulting LogicalRDD, and size-only estimation MULTIPLIES
     sizeInBytes through inner/outer joins (left-semi/anti keep the left
@@ -55,31 +73,38 @@ def materialize(df: DataFrame) -> DataFrame:
     reached millions of digits by round ~17 and the driver stalled
     20-130 s per round inside ``BigInteger.multiplyToomCook3`` during
     stats propagation — with plan size, RDD lineage, GC, JIT, and AQE
-    all measured innocent on a 300-edge graph.  Checkpointing THROUGH a
-    persisted frame instead captures the InMemoryRelation's actual
-    materialized byte size, so every materialize restarts the
-    compounding from a small true number (flat ~0.5 s rounds at any
-    peel depth; pinned by tests/test_plans.py).
+    all measured innocent on a 300-edge graph.
+
+    The guard is ADAPTIVE because the reset is not free (an extra
+    columnar cache build per call — measured +40-70% on the sf0.1
+    graph-family rows when applied unconditionally): the cheap bare
+    checkpoint runs first, and only when its copied estimate has
+    compounded past ``_STATS_BITS_CAP`` bits does the persist-backed
+    reset kick in.  One-shot and linear-growth sites (HITS, label
+    propagation) never pay; a multiplicative loop pays one cache build
+    every few rounds and its estimate never exceeds a few hundred
+    bits, keeping every planning pass O(1) (flat ~0.5 s k-truss rounds
+    at any peel depth; pinned by tests/test_plans.py).
 
     Equivalent role to the reference's per-iteration collects, but the
     data stays distributed on the executors instead of landing on the
     driver.  On a real cluster with lost-executor concerns, swap for
     reliable ``checkpoint()`` against a checkpoint dir; local mode
-    doesn't need it.  Trade: one columnar cache build per call, freed
-    immediately; a caller that persisted the IDENTICAL plan for itself
-    would lose that cache entry to the unpersist — no engine call site
-    does.
+    doesn't need it.
     """
-    cached = df.persist()
-    out = cached.localCheckpoint(eager=True)
-    cached.unpersist()
-    return out
+    out = df.localCheckpoint(eager=True)
+    size = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size.bit_length() <= _STATS_BITS_CAP:
+        return out
+    return _stats_reset(out)
 
 
 def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
     """:func:`materialize` plus the row count every peel/fixpoint loop
-    needs for its convergence test, taken from the already-populated
-    scratch cache (a cache-read job, not a recompute)."""
+    needs for its convergence test — counted through a persisted frame
+    so the checkpoint captures real stats AND the count is a cache
+    read, not a recompute.  Always persist-backed: loop callers are
+    exactly the compounding sites, and they need the count anyway."""
     cached = df.persist()
     out = cached.localCheckpoint(eager=True)
     n = cached.count()
