@@ -920,3 +920,57 @@ def bpe_pair_counts(
         .cast("long")
         .alias("rank"),
     )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    chunk: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, chunk_idx, n_chunk_tokens, chunk_text): fixed-size
+    token-window chunks with overlap — the standard pretraining-prep
+    step that turns variable-length documents into model-context-sized
+    training examples while the ``chunk - stride`` token overlap
+    preserves cross-boundary context (the sliding-window convention of
+    GPT-2-style packing and every RAG chunker).
+
+    Chunk ``i`` covers whitespace tokens ``[i*stride, i*stride+chunk)``
+    (clamped to the document end); a document emits
+    ``1 + ceil((n - chunk)/stride)`` chunks when ``n > chunk``, else
+    exactly one, so every token lands in >= 1 chunk and no start offset
+    is wasted on a pure-suffix duplicate.
+
+    Scale shape (100 TB): pure per-row arithmetic — one ``sequence`` +
+    ``explode`` + ``slice`` per document, ZERO shuffles and no UDF; the
+    output is data-parallel with the input scan, and the ~chunk/stride
+    row fan-out is the unavoidable output size, not an intermediate.
+    """
+    if not (0 < stride <= chunk):
+        raise ValueError(f"need 0 < stride <= chunk, got {stride=} {chunk=}")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = F.when(n <= chunk, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - F.lit(chunk)).cast("double") / F.lit(stride))).cast("int")
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk
+            ).alias("__ct"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("__ct").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__ct", " ").alias("chunk_text"),
+        )
+    )

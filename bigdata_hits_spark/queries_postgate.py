@@ -5211,3 +5211,42 @@ def q_vocab_hapax_by_source(spark, sf_dir):
             ),
         )
     )
+
+
+#: Chunking defaults sized so the synthetic ~54-token documents emit a
+#: realistic 1-4 chunks each (a production 2k/1.5k setting would leave
+#: every test doc single-chunk and the overlap path dead).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def _chunk_sql() -> str:
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        f"k AS (SELECT doc_id, w, CASE WHEN len(w) <= {c} THEN 1 "
+        f"ELSE 1 + CAST(CEIL((len(w) - {c}) / {s}.0) AS INT) END AS nc FROM t), "
+        "e AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM k) "
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+        f"CAST(len(list_slice(w, i*{s} + 1, i*{s} + {c})) AS BIGINT) AS n_chunk_tokens, "
+        f"array_to_string(list_slice(w, i*{s} + 1, i*{s} + {c}), ' ') AS chunk_text "
+        "FROM e"
+    )
+
+
+@register("chunk_docs_tokens", _chunk_sql())
+def q_chunk_docs_tokens(spark, sf_dir):
+    """Fixed-size token-window chunks with overlap
+    (operators/textstats.py chunk_tokens): every document exploded into
+    CHUNK_TOKENS-token windows at CHUNK_STRIDE offsets — the
+    pretraining-prep step that turns variable-length documents into
+    context-sized training examples, with the 8-token overlap
+    preserving cross-boundary context.  Chunk starts, lengths, and
+    texts are exact integer/slice arithmetic on the whitespace token
+    array, so the DuckDB twin (generate_series + list_slice) compares
+    cell-exact.  Zero shuffles: one sequence+explode+slice per row,
+    data-parallel with the scan."""
+    from bigdata_hits_spark.operators.textstats import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_tokens(docs, CHUNK_TOKENS, CHUNK_STRIDE)

@@ -566,3 +566,34 @@ def test_bpe_pair_counts_and_single_char_guard(spark):
     assert rows["ab"]["cnt"] == 3 and rows["ab"]["rank"] == 1
     assert rows["bc"]["cnt"] == 1 and rows["bc"]["rank"] == 2
     assert set(rows) == {"ab", "bc"}
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    """chunk_tokens: a short doc emits one clamped chunk; a long doc
+    emits 1 + ceil((n-chunk)/stride) windows at stride offsets with the
+    final one clamped to the document end; overlap tokens repeat across
+    consecutive chunks; reconstruction of the stride-prefix of every
+    non-final chunk plus the full final chunk is the original text."""
+    toks = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [("short", "a b c"), ("long", " ".join(toks))], "doc_id string, text string"
+    )
+    out = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in textstats.chunk_tokens(df, chunk=4, stride=3).collect()
+    }
+    assert out[("short", 0)] == (3, "a b c")
+    assert ("short", 1) not in out
+    # n=10, chunk=4, stride=3 -> 1 + ceil(6/3) = 3 chunks: [0:4), [3:7), [6:10)
+    assert out[("long", 0)] == (4, "w0 w1 w2 w3")
+    assert out[("long", 1)] == (4, "w3 w4 w5 w6")
+    assert out[("long", 2)] == (4, "w6 w7 w8 w9")
+    assert ("long", 3) not in out
+    # n=11 -> ceil(7/3) = 3 extra chunks, final clamped to 2 tokens
+    df2 = spark.createDataFrame([("x", " ".join(f"w{i}" for i in range(11)))],
+                                "doc_id string, text string")
+    rows = {r["chunk_idx"]: r for r in textstats.chunk_tokens(df2, 4, 3).collect()}
+    assert len(rows) == 4 and rows[3]["chunk_text"] == "w9 w10"
+
+    with pytest.raises(ValueError, match="stride"):
+        textstats.chunk_tokens(df, chunk=4, stride=5)
