@@ -5250,3 +5250,46 @@ def q_chunk_docs_tokens(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_tokens(docs, CHUNK_TOKENS, CHUNK_STRIDE)
+
+
+@register(
+    "chunk_padding_waste",
+    "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents), "
+    f"k AS (SELECT doc_id, source, w, CASE WHEN len(w) <= {CHUNK_TOKENS} THEN 1 "
+    f"ELSE 1 + CAST(CEIL((len(w) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT) END AS nc FROM t), "
+    f"e AS (SELECT source, len(list_slice(w, i*{CHUNK_STRIDE} + 1, "
+    f"i*{CHUNK_STRIDE} + {CHUNK_TOKENS})) AS nt "
+    "FROM (SELECT source, w, unnest(generate_series(0, nc - 1)) AS i FROM k)) "
+    "SELECT source, COUNT(*) AS n_chunks, "
+    f"CAST(SUM(nt) AS BIGINT) AS n_tokens, "
+    f"CAST(SUM({CHUNK_TOKENS} - nt) AS BIGINT) AS n_pad_tokens, "
+    f"ROUND(CAST(SUM({CHUNK_TOKENS} - nt) AS DOUBLE) / ({CHUNK_TOKENS} * COUNT(*)), 6) AS pad_frac "
+    "FROM e GROUP BY source",
+)
+def q_chunk_padding_waste(spark, sf_dir):
+    """Per-source padding waste if every CHUNK_TOKENS-token chunk were
+    padded to the full context window: the diagnostic that decides
+    between naive pad-to-length batching and packing
+    (pack_docs_nextfit) — a source with high pad_frac (many short
+    tails) is where packing buys its throughput.  One zero-shuffle
+    chunk explode (operators/textstats.py chunk_tokens) then a single
+    map-side-combinable hash aggregate on source; integer sums + one
+    rounded division, exact against the DuckDB twin."""
+    from bigdata_hits_spark.operators.textstats import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_tokens(
+        docs.select(F.col("source").alias("doc_id"), "text"),
+        CHUNK_TOKENS,
+        CHUNK_STRIDE,
+    ).withColumnRenamed("doc_id", "source")
+    return ch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+        F.sum(F.lit(CHUNK_TOKENS) - F.col("n_chunk_tokens")).alias("n_pad_tokens"),
+        F.round(
+            F.sum(F.lit(CHUNK_TOKENS) - F.col("n_chunk_tokens")).cast("double")
+            / (F.lit(CHUNK_TOKENS) * F.count(F.lit(1))),
+            6,
+        ).alias("pad_frac"),
+    )
