@@ -198,11 +198,19 @@ def sessionize_stream(
         else:
             session_idx, n_events, start_ns, last_ns = 0, 0, None, None
         touched: dict[int, tuple[int, int, int]] = {}
-        for pdf in pdf_iter:
+        # Concatenate ALL Arrow chunks BEFORE sorting: a group whose
+        # rows straddle a maxRecordsPerBatch boundary arrives as
+        # multiple pdfs in shuffle order, and sorted(chunk1) +
+        # sorted(chunk2) is not sorted(all) — per-chunk sorting
+        # mis-sessionized 26 of ~950k sessions at the sf1 smoke (time
+        # running backward across the chunk seam), invisible at small
+        # scale where every group fits one chunk.  Per-group batch
+        # volume is state-sized, so the concat is bounded.
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
             pdf = pdf.sort_values(["ts_ns", "event_id"])
             ts = pdf["ts_ns"].to_numpy()
-            if len(ts) == 0:
-                continue
             # Vectorized gap detection: flag rows whose distance to the
             # previous event (carried state for row 0) exceeds the gap,
             # then a cumulative sum numbers the sessions.
@@ -298,15 +306,19 @@ def transition_pairs_stream(events: DataFrame) -> DataFrame:
     def fold(key, pdf_iter, state: GroupState):
         last_type, last_ts = state.get if state.exists else (None, None)
         prevs, nexts = [], []
-        for pdf in pdf_iter:
+        # Concat before sorting (same Arrow-chunk-seam hazard as
+        # sessionize_stream: per-chunk sorting is not a global sort
+        # when a group straddles a maxRecordsPerBatch boundary).
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
             pdf = pdf.sort_values(["ts_ns", "event_id"])
             for t in pdf["event_type"]:
                 if last_type is not None:
                     prevs.append(last_type)
                     nexts.append(t)
                 last_type = t
-            if len(pdf):
-                last_ts = int(pdf["ts_ns"].iloc[-1])
+            last_ts = int(pdf["ts_ns"].iloc[-1])
         state.update((last_type, last_ts))
         if prevs:
             yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})

@@ -124,6 +124,13 @@ SMOKE = [
     # (registered in main() after the build; build cost recorded as
     # scc_layout_build_sec).
     "graph_scc_layout",
+    # round-12 rows: the chunk explode (zero-shuffle row fan-out — the
+    # scale question is output volume only), its per-source padding
+    # rollup, and the stateful streaming sessionizer (state volume and
+    # the two-batch availableNow drain scale with users x events).
+    "chunk_docs_tokens",
+    "chunk_padding_waste",
+    "streaming_sessionize",
 ]
 
 

@@ -467,3 +467,59 @@ def test_checksum_maintenance_stream_equals_direct_digest(spark, tmp_path):
         ).collect()
     }
     assert maintained == direct
+
+
+def test_sessionize_stream_group_straddles_arrow_chunks(spark, tmp_path):
+    """A group whose micro-batch rows straddle an Arrow
+    maxRecordsPerBatch boundary arrives in pdf_iter as MULTIPLE chunks
+    in shuffle order; the fold must globally sort the union, because
+    sorted(chunk1) + sorted(chunk2) is not sorted(all).  Caught at the
+    sf1 smoke (26 of ~950k sessions mis-split, time running backward
+    across the chunk seam).  Repro at unit scale: one user, 40 events
+    in two-event sessions, rows staged in DECREASING ts order so any
+    multi-chunk split feeds the fold out of order; Arrow batches capped
+    at 7 rows to force several chunks."""
+    import pandas as pd
+
+    from bigdata_hits_spark.operators.events import sessionize
+    from bigdata_hits_spark.sources.readers import normalize_events_ts
+
+    gap = 60 * 1_000_000_000  # 60 s sessionizer gap
+    base = 1_700_000_000_000_000_000
+    rows = []
+    for s in range(20):  # session s = events (2s, 2s+1), 10 s apart
+        t0 = base + s * 10 * gap
+        rows.append((7, 2 * s, t0))
+        rows.append((7, 2 * s + 1, t0 + 10_000_000_000))
+    rows.sort(key=lambda r: -r[2])  # stage in reverse time order
+    stage = str(tmp_path / "events")
+    os.makedirs(stage)
+    pd.DataFrame(rows, columns=["user_id", "event_id", "ts"]).to_parquet(
+        os.path.join(stage, "0.parquet"), index=False
+    )
+
+    batch = sessionize(
+        normalize_events_ts(spark.read.parquet(stage)), gap_ns=gap
+    ).toPandas()
+    assert len(batch) == 20  # the construction really is 20 sessions
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        run_to_memory(
+            sessionize_stream(read_events_stream(spark, stage), gap_ns=gap),
+            "t_seam",
+            output_mode="update",
+        )
+        streamed = (
+            spark.sql("SELECT * FROM t_seam").toPandas()
+            .drop_duplicates(subset=["user_id", "session_idx"], keep="last")
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        spark.catalog.dropTempView("t_seam")
+    key = ["user_id", "session_idx"]
+    a = batch.sort_values(key).reset_index(drop=True)[sorted(batch.columns)]
+    b = streamed.sort_values(key).reset_index(drop=True)[sorted(streamed.columns)]
+    assert len(b) == 20
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
