@@ -69,6 +69,49 @@ def _pick_prior_record(repo_dir: str) -> str | None:
     return max(cands)[1] if cands else None
 
 
+def _retime_baselines(repo_dir: str) -> dict[str, float]:
+    """Per-extra-query baseline for the retime detector: the MIN across
+    the prior round's record AND the freshest MERGED record — including
+    the current round's own merged record when one is already committed
+    (VERDICT r12 #4: ``graph_ktruss`` smeared to 17.75 s in the driver
+    run — only 1.81x the prior round's single-run number, so the old
+    >2x-vs-prior trigger never fired, yet 3.1x the 5.80 s the freshest
+    merged record shows the same code doing).  A current-round record
+    only qualifies if it is a multi-run merge (``runs`` >= 2) — a
+    single first run of this round would reopen the r8 #8
+    self-comparison hole."""
+    cur = _current_round(repo_dir)
+    paths: list[str] = []
+    prior = _pick_prior_record(repo_dir)
+    if prior:
+        paths.append(prior)
+    cur_rec = next(
+        (
+            path
+            for f, path in _artifact_files(repo_dir)
+            if (m := re.fullmatch(r"BENCH_local_r(\d+)\.json", f))
+            and int(m.group(1)) == cur
+        ),
+        None,
+    )
+    if cur_rec:
+        paths.append(cur_rec)
+    out: dict[str, float] = {}
+    for path in paths:
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError) as e:
+            print(f"bench retime: record {path} unreadable ({e})", file=sys.stderr)
+            continue
+        if path == cur_rec and rec.get("runs", 1) < 2:
+            continue
+        for k, v in rec.get("extra_queries", {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                out[k] = min(out.get(k, v), v)
+    return out
+
+
 def merge_records(details: list[dict]) -> dict:
     """Merge >=2 same-round clean-run detail records into one committed
     record: per-query MIN across runs (VERDICT r8 #1 — the ±10%
@@ -312,30 +355,19 @@ def main() -> None:
     # methodology), so a single first-touch stall is indistinguishable
     # from a real regression in the record (round-7's quantize_embeddings
     # read 7.1 s vs a 1.2 s prior min with no plan change).  Any extra
-    # reading >2x its PRIOR-ROUND record gets two bounded re-timings;
-    # the record keeps BOTH the first reading and the re-timings
+    # reading >1.7x its baseline — min(prior-round record, freshest
+    # merged record; VERDICT r12 #4) — gets two bounded re-timings; the
+    # record keeps BOTH the first reading and the re-timings
     # (detail["retimed"]), and the per-query number becomes the min —
     # two fast re-timings mark the anomaly confirmed-noise, two slow
     # ones make the regression a number nobody can wave away.
-    prior_extras: dict[str, float] = {}
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prior_record = _pick_prior_record(repo_dir)
-    if prior_record:
-        try:
-            with open(os.path.join(repo_dir, prior_record)) as f:
-                prior = json.load(f)
-            prior_extras = {
-                k: v
-                for k, v in prior.get("extra_queries", {}).items()
-                if isinstance(v, (int, float)) and v > 0
-            }
-        except (OSError, ValueError) as e:
-            print(f"bench retime: prior record unreadable ({e})", file=sys.stderr)
+    prior_extras = _retime_baselines(repo_dir)
     retimed: dict[str, dict] = {}
     for name in extra_order:
         first = timings.get(name, -1.0)
         prev = prior_extras.get(name)
-        if first < 0 or prev is None or first <= 2.0 * prev:
+        if first < 0 or prev is None or first <= 1.7 * prev:
             continue
         runs = []
         for _ in range(2):

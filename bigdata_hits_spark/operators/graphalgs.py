@@ -242,6 +242,51 @@ def triangle_counts_from_layout(spark, table_prefix: str) -> DataFrame:
     )
 
 
+def clustering_coefficient_from_layout(
+    spark, table_prefix: str, digits: int = 6
+) -> DataFrame:
+    """(id, degree, triangles, coeff) from a layout written by
+    :func:`persist_triangle_layout` — identical results to
+    :func:`clustering_coefficient` on the same edges (equality-tested in
+    tests/test_graphalgs.py), serving the coefficient at ~layout-scan
+    cost (VERDICT r12 #1: the in-session path recomputes the wedge
+    machinery the persisted layout already paid for — 98.6 s warm at
+    sf1 vs the layout path's triangle cost).
+
+    Degrees come FROM the layout: the oriented relation holds each
+    undirected edge exactly once as (lo, hi), so ``degree(v)`` is the
+    count of rows mentioning ``v`` on either side — two edge-sized
+    column projections and one hash agg, no re-symmetrization of the
+    raw edges.  The triangle half is the shared
+    :func:`_wedges_from_oriented` wedge plan whose self-join both sides
+    come pre-distributed out of the bucketed scan."""
+    from bigdata_hits_spark.sources.bucketed import read_bucketed
+
+    oriented = read_bucketed(spark, f"{table_prefix}_oriented")
+    nodes = spark.table(f"{table_prefix}_nodes")
+    deg = (
+        oriented.select(F.col("lo").alias("idh"))
+        .unionByName(oriented.select(F.col("hi").alias("idh")))
+        .groupBy("idh")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    per_node = _wedges_from_oriented(oriented).withColumnRenamed("id", "idh")
+    d = F.col("degree")
+    tri = F.coalesce(F.col("triangles"), F.lit(0))
+    return (
+        nodes.join(deg, "idh")  # every layout node has degree >= 1
+        .join(per_node, "idh", "left")
+        .select(
+            "id",
+            "degree",
+            tri.cast("long").alias("triangles"),
+            F.round(
+                F.when(d >= 2, F.lit(2.0) * tri / (d * (d - 1))), digits
+            ).alias("coeff"),
+        )
+    )
+
+
 #: Rounds at which rank-encoding the loop pays for itself (interleaved
 #: A/B, scripts/ab_labelprop.py at sf0.1): quiet session k=3 string
 #: 4.53s vs encoded 5.10s (encode cost > 3 rounds of long-key savings),

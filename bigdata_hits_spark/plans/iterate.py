@@ -93,10 +93,26 @@ def materialize(df: DataFrame) -> DataFrame:
     doesn't need it.
     """
     out = df.localCheckpoint(eager=True)
-    size = int(out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    try:
+        size = int(_estimated_size_bytes(out))
+    except Exception:
+        # The probe reads private JVM internals; if a PySpark upgrade
+        # moves them, degrade to the unconditional reset (correct, just
+        # pays the cache build every call) instead of raising at every
+        # materialize site at once.
+        return _stats_reset(out)
     if size.bit_length() <= _STATS_BITS_CAP:
         return out
     return _stats_reset(out)
+
+
+def _estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for ``df``'s optimized plan.
+
+    Reads private JVM internals (``_jdf.queryExecution()...``) — callers
+    must treat any exception as "estimate unavailable" and fall back.
+    """
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
 def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:

@@ -4976,6 +4976,7 @@ def q_streaming_hourly_agg(spark, sf_dir):
     events_hourly_agg."""
     import os
     import shutil
+    import tempfile
 
     from bigdata_hits_spark.operators.events import hourly_event_counts
     from bigdata_hits_spark.streaming.jobs import (
@@ -4984,9 +4985,10 @@ def q_streaming_hourly_agg(spark, sf_dir):
         run_to_memory,
     )
 
+    # Unique per-invocation staging dir: a fixed path would let two
+    # concurrent runs (bench + pytest) clobber each other mid-stream.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    stage = os.path.join(repo_root, ".tmp_stream_hourly_query")
-    os.makedirs(stage, exist_ok=True)
+    stage = tempfile.mkdtemp(prefix=".tmp_stream_hourly_", dir=repo_root)
     try:
         shutil.copy(
             os.path.join(sf_dir, "events.parquet"),
@@ -5042,6 +5044,7 @@ def q_streaming_sessionize(spark, sf_dir):
     the in-query equivalence IS the value check."""
     import os
     import shutil
+    import tempfile
 
     from bigdata_hits_spark.operators.events import sessionize
     from bigdata_hits_spark.streaming.jobs import (
@@ -5050,16 +5053,15 @@ def q_streaming_sessionize(spark, sf_dir):
         sessionize_stream,
     )
 
+    # Unique per-invocation staging dir (concurrent bench + pytest safe).
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    stage = os.path.join(repo_root, ".tmp_stream_sessionize_query")
+    stage = tempfile.mkdtemp(prefix=".tmp_stream_sessionize_", dir=repo_root)
     ev = load_table(spark, sf_dir, "events")
     med = ev.select(F.expr("approx_percentile(ts_ns, 0.5)")).first()[0]
     raw = ev.select(
         *[c for c in ev.columns if c not in ("ts", "ts_ns")],
         F.col("ts_ns").alias("ts"),
     )
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
     try:
         halves = (raw.filter(F.col("ts") <= med), raw.filter(F.col("ts") > med))
         for i, half in enumerate(halves):

@@ -204,8 +204,12 @@ def sessionize_stream(
         # sorted(chunk2) is not sorted(all) — per-chunk sorting
         # mis-sessionized 26 of ~950k sessions at the sf1 smoke (time
         # running backward across the chunk seam), invisible at small
-        # scale where every group fits one chunk.  Per-group batch
-        # volume is state-sized, so the concat is bounded.
+        # scale where every group fits one chunk.  The concat's bound is
+        # PER-KEY ROWS PER MICRO-BATCH (not state size): a hot key in an
+        # availableNow backfill holds all its batch rows in the worker at
+        # once, so callers size maxFilesPerTrigger / trigger interval to
+        # keep per-key batch volume sane; if that assumption ever breaks,
+        # swap for heapq.merge over per-chunk sorts.
         pdfs = [p for p in pdf_iter if len(p)]
         if pdfs:
             pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]

@@ -131,7 +131,86 @@ SMOKE = [
     "chunk_docs_tokens",
     "chunk_padding_waste",
     "streaming_sessionize",
+    # round-13 (VERDICT r12 #1): clustering coefficient served from the
+    # persisted triangle layout (registered in main() after the build) —
+    # the in-session path's 98.6 s warm at sf1 was the largest measured
+    # 10x cost left; the serving twin should read ~the layout triangle
+    # cost.  Plus the new rows: the incremental crawl-dedup streaming
+    # twin and the multi-merge BPE trainer.
+    "graph_clustering_coefficient_layout",
+    "streaming_incremental_dedup",
+    "bpe_merges_k4",
 ]
+
+
+def merge_smoke_records(records: list[dict]) -> dict:
+    """Merge >=2 same-round scale-smoke session records into one
+    committed artifact: per-query MIN across sessions (VERDICT r12 #7 —
+    the wedge family swings ~1.6-2x session-to-session at 10x, so a
+    single-session smoke row is weak evidence for round-over-round scale
+    claims; the cross-session min removes the session smear the same way
+    bench.py --merge does for the local bench).  ``queries_cold`` merges
+    by min across each session's own pass-0 (every contributing number
+    is still a genuinely cold first derivation), per-session canaries
+    and per_pass lists are retained, and build costs keep each session's
+    reading as a list."""
+    if not records:
+        raise ValueError("merge_smoke_records needs at least one record")
+
+    def _min_map(key: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for r in records:
+            for name, t in r.get(key, {}).items():
+                if not isinstance(t, (int, float)):
+                    continue
+                prev = out.get(name)
+                out[name] = t if prev is None or prev < 0 else (
+                    min(prev, t) if t >= 0 else prev
+                )
+        return out
+
+    timings = _min_map("queries")
+    per_pass: dict[str, list] = {}
+    for r in records:
+        for name, ts in r.get("per_pass", {}).items():
+            per_pass.setdefault(name, []).append(ts)
+    return {
+        "metric": "scale_smoke_query_sec",
+        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": _min_map("queries_cold"),
+        "queries_warm": _min_map("queries_warm"),
+        "per_pass": per_pass,
+        "canary_sec": [r.get("canary_sec", []) for r in records],
+        "sessions": len(records),
+        "session_totals": [r.get("value") for r in records],
+        "triangles_layout_build_sec": [
+            r.get("triangles_layout_build_sec") for r in records
+        ],
+        "scc_layout_build_sec": [r.get("scc_layout_build_sec") for r in records],
+        "ann_build_sec": [r.get("ann_build_sec") for r in records],
+        "sf_dir": records[0].get("sf_dir"),
+        "n_failed": max(r.get("n_failed", 0) for r in records),
+    }
+
+
+def _merge_main(argv: list[str]) -> None:
+    out = "BENCH_sf1_merged.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    paths = [a for a in argv if not a.startswith("--")]
+    records = []
+    for p in paths:
+        with open(p) as f:
+            records.append(json.load(f))
+    rec = merge_smoke_records(records)
+    rec["merged_from"] = [os.path.basename(p) for p in paths]
+    with open(out, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print(json.dumps({k: rec[k] for k in ("metric", "value", "sessions", "session_totals", "n_failed")}))
 
 
 def main() -> None:
@@ -177,6 +256,15 @@ def main() -> None:
     print(f"triangles layout build: {layout_build}", file=sys.stderr)
     registry["graph_triangles_layout"] = lambda s, d: triangle_counts_from_layout(
         s, "t_scale_tri"
+    )
+    # Clustering coefficient served from the SAME layout (VERDICT r12
+    # #1): no extra build cost — the serving twin reuses t_scale_tri.
+    from bigdata_hits_spark.operators.graphalgs import (
+        clustering_coefficient_from_layout,
+    )
+
+    registry["graph_clustering_coefficient_layout"] = (
+        lambda s, d: clustering_coefficient_from_layout(s, "t_scale_tri")
     )
 
     # Same nightly-build-then-serve split for the SCC labeling (VERDICT
@@ -276,11 +364,23 @@ def main() -> None:
             timings[name] = dt if prev is None or prev < 0 else (
                 min(prev, dt) if dt >= 0 else prev
             )
+    # Labeled cold/warm split (VERDICT r12 #8): pass 0 of a fresh session
+    # is the COLD number (first derivation — for memo-served rows like
+    # graph_scc this is the algorithm's cost); later passes are warm
+    # serves.  First-class fields so no consumer has to reverse-engineer
+    # per_pass to avoid quoting a memo read as the algorithm cost.
+    queries_cold = {n: ts[0] for n, ts in per_pass.items() if ts}
+    queries_warm = {
+        n: min((t for t in ts[1:] if t >= 0), default=-1.0)
+        for n, ts in per_pass.items()
+    }
     rec = {
         "metric": "scale_smoke_query_sec",
         "value": round(sum(t for t in timings.values() if t >= 0), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_cold": queries_cold,
+        "queries_warm": queries_warm,
         "per_pass": per_pass,
         "triangles_layout_build_sec": layout_build,
         "scc_layout_build_sec": scc_layout_build,
@@ -303,4 +403,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--merge" in sys.argv:
+        _merge_main(sys.argv[sys.argv.index("--merge") + 1 :])
+    else:
+        main()

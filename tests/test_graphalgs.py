@@ -91,6 +91,37 @@ def test_triangle_layout_matches_in_session_and_skips_prep(spark):
         spark.sql("DROP TABLE IF EXISTS t_tri_layout_nodes")
 
 
+def test_clustering_coefficient_layout_matches_in_session(spark):
+    """clustering_coefficient_from_layout must return the identical
+    (id, degree, triangles, coeff) relation as the in-session operator
+    on the same edges (VERDICT r12 #1), including the degree-1 NULL
+    coeff convention, and — like the triangle serving path — its plan
+    must skip the symmetrize/orientation prep entirely."""
+    from bigdata_hits_spark.operators.graphalgs import (
+        clustering_coefficient,
+        clustering_coefficient_from_layout,
+        persist_triangle_layout,
+    )
+
+    rng = random.Random(13)
+    pairs = list({(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(200)})
+    # a pendant edge guarantees at least one degree-1 node (NULL coeff)
+    pairs.append(("n0", "pendant"))
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    try:
+        persist_triangle_layout(df, "t_cc_layout", buckets=8)
+        out = clustering_coefficient_from_layout(spark, "t_cc_layout")
+        direct = {tuple(r) for r in clustering_coefficient(df).collect()}
+        got = {tuple(r) for r in out.collect()}
+        assert got == direct and len(got) > 0
+        assert any(r[3] is None for r in got)  # degree-1 NULL convention
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "deg_a" not in plan and "deg_b" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cc_layout_oriented")
+        spark.sql("DROP TABLE IF EXISTS t_cc_layout_nodes")
+
+
 def test_label_propagation_two_cliques_with_bridge(spark):
     """Two tight cliques joined by one bridge edge settle into two
     communities labeled by each clique's minimum id."""
