@@ -4659,6 +4659,59 @@ def q_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_n=50)
 
 
+BPE_MERGES = 4
+
+
+def _bpe_train_sql(merges: int = BPE_MERGES) -> str:
+    # Unrolled CTE per merge round (the kcore unroll precedent).  The
+    # greedy non-overlapping left-to-right merge is SQL `replace()` over
+    # a chr(31)-delimited encoding where every symbol is wrapped as
+    # SEP||sym||SEP: replace scans left-to-right and never rescans its
+    # own output — exactly BPE's merge discipline — and the double
+    # separator between symbols means a pair pattern can only match at
+    # symbol boundaries (no prefix false-positives like (a,a) matching
+    # inside [a, ab]).  Assumes chr(31) never occurs in corpus text.
+    S = "chr(31)"
+    sql = (
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), "
+        "wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word), "
+        f"e0 AS (SELECT regexp_replace(word, '([\\s\\S])', {S} || '\\1' || {S}, 'g') AS e, cnt "
+        "FROM wc WHERE length(word) >= 2)"
+    )
+    for r in range(1, merges + 1):
+        p = r - 1
+        sql += (
+            f", s{r} AS (SELECT string_split(trim(e, {S}), {S} || {S}) AS syms, cnt FROM e{p})"
+            f", x{r} AS (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i FROM s{r})"
+            f", p{r} AS (SELECT syms[i] AS lft, syms[i + 1] AS rgt, CAST(SUM(cnt) AS BIGINT) AS cnt "
+            f"FROM x{r} GROUP BY lft, rgt)"
+            f", b{r} AS (SELECT lft, rgt, cnt FROM p{r} ORDER BY cnt DESC, lft, rgt LIMIT 1)"
+            f", e{r} AS (SELECT replace(w.e, {S} || b.lft || {S} || {S} || b.rgt || {S}, "
+            f"{S} || b.lft || b.rgt || {S}) AS e, w.cnt FROM e{p} w, b{r} b)"
+        )
+    parts = [
+        f'SELECT CAST({r - 1} AS BIGINT) AS merge_idx, lft AS "left", rgt AS "right", '
+        f"lft || rgt AS merged, cnt FROM b{r}"
+        for r in range(1, merges + 1)
+    ]
+    return sql + " " + " UNION ALL ".join(parts)
+
+
+@register("bpe_merges_k4", _bpe_train_sql())
+def q_bpe_merges(spark, sf_dir):
+    """Multi-merge BPE trainer (operators/textstats.py bpe_train,
+    VERDICT r12 #6): BPE_MERGES successive merges, each round
+    re-pairing against the symbol table the previous merge produced —
+    the tokenizer-training loop whose single step bpe_pair_counts_top50
+    verifies.  Exact integer counts and a deterministic (cnt desc,
+    left, right) tiebreak make the merge table cell-exact; the oracle
+    unrolls the loop as chained CTEs with the greedy merge expressed as
+    boundary-safe string replace over a chr(31)-delimited encoding."""
+    from bigdata_hits_spark.operators.textstats import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), merges=BPE_MERGES)
+
+
 #: Dedup window for the DECLARED events row: the synthetic corpus's
 #: per-user cadence is minutes, so the operator's 5 s production default
 #: never fires there; 10 min makes the drop predicate BINDING at sf0.01
@@ -5102,6 +5155,105 @@ def q_streaming_sessionize(spark, sf_dir):
             f"{n_stream} streamed vs {n_batch} batch sessions"
         )
     return latest
+
+
+@register("streaming_incremental_dedup", None)  # incremental execution: rows-only
+def q_streaming_incremental_dedup(spark, sf_dir):
+    """Continuous-corpus-construction dedup computed by the STREAMING
+    twin (streaming/jobs.py incremental_dedup_stream, ``foreachBatch`` +
+    a persistent signature-only store): the documents table is staged as
+    TWO parity-split parquet files (even doc_ids = the "historical
+    crawl", odd = the "new crawl", the same split the oracle-green
+    dedup_minhash_incremental row uses) and drained with
+    ``maxFilesPerTrigger=1`` + ``trigger(availableNow=True)``, so batch
+    2's docs are deduped against a signature store that batch 1 wrote —
+    yesterday's corpus is never re-read, its state is 16 longs/doc
+    (VERDICT r12 #2: the production crawl-ingest path gets a declared
+    row, not just pytest).
+
+    Equivalence is asserted IN-QUERY against the batch operator applied
+    sequentially (minhash_dedup_incremental on evens-vs-empty, then
+    odds-vs-evens' survivor signatures — deterministic: banded candidate
+    generation + min-id survivor election); any divergence raises
+    instead of returning.  Micro-batch boundaries and file-sink append
+    multiplicity are engine-internal, so the row is declared rows-only —
+    the in-query equivalence IS the value check, against the operator
+    whose stage-2 estimate DuckDB already verifies via
+    dedup_minhash_incremental."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from bigdata_hits_spark.operators.dedup import (
+        NUM_HASHES,
+        minhash_dedup_incremental,
+    )
+    from bigdata_hits_spark.streaming.jobs import incremental_dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = tempfile.mkdtemp(prefix=".tmp_stream_dedup_", dir=repo_root)
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    try:
+        halves = (
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )
+        for i, half in enumerate(halves):
+            tmp = os.path.join(stage, f"_write{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part), os.path.join(src, f"{i}.parquet"))
+            shutil.rmtree(tmp)
+            # FileStreamSource orders by modification time; pin it so the
+            # even half is ALWAYS the first micro-batch (the store's
+            # contents at batch 2 are then deterministic).
+            os.utime(os.path.join(src, f"{i}.parquet"), (1_000_000 + i, 1_000_000 + i))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        store = os.path.join(stage, "sig_store")
+        out = os.path.join(stage, "survivors")
+        q = incremental_dedup_stream(
+            stream, store, out, checkpoint=os.path.join(stage, "ckpt")
+        )
+        q.awaitTermination()
+        streamed = (
+            spark.read.parquet(out)
+            .select("doc_id", "source", F.length("text").alias("n_chars"))
+            .localCheckpoint()  # detach from the staging dir before cleanup
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    # Batch twin: the same two-step incremental computation, no streaming
+    # machinery — foreachBatch's sequential micro-batch discipline is
+    # exactly this fold.
+    sig_schema = T.StructType(
+        [T.StructField("id", T.LongType())]
+        + [T.StructField(f"h{j}", T.LongType()) for j in range(NUM_HASHES)]
+    )
+    empty_store = spark.createDataFrame([], sig_schema)
+    surv1, sigs1 = minhash_dedup_incremental(halves[0], empty_store)
+    surv2, _ = minhash_dedup_incremental(halves[1], sigs1.localCheckpoint())
+    batch = surv1.unionByName(surv2).select(
+        "doc_id", "source", F.length("text").alias("n_chars")
+    )
+    n_stream, n_batch = streamed.count(), batch.count()
+    if (
+        n_stream != n_batch
+        or streamed.exceptAll(batch).count()
+        or batch.exceptAll(streamed).count()
+    ):
+        raise AssertionError(
+            f"stream-batch divergence in incremental dedup: "
+            f"{n_stream} streamed vs {n_batch} batch survivors"
+        )
+    return streamed
 
 
 def _assortativity_sql() -> str:

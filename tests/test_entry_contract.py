@@ -33,6 +33,7 @@ def test_every_oracle_key_is_a_declared_query():
         # INSIDE the query; output order/micro-batching engine-internal
         "streaming_hourly_agg",
         "streaming_sessionize",
+        "streaming_incremental_dedup",
     }, rows_only
 
 

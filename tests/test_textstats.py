@@ -568,6 +568,40 @@ def test_bpe_pair_counts_and_single_char_guard(spark):
     assert set(rows) == {"ab", "bc"}
 
 
+def test_bpe_train_hand_computed_merges(spark):
+    """bpe_train: four merges over a hand-computable corpus — pair
+    counts weight the distinct-word table by frequency, overlapping
+    occurrences count but merge greedily non-overlapping left-to-right
+    (aaa + (a,a) -> [aa, a]), ties break lexicographic on (left, right),
+    and fully-merged words drop out of the working set."""
+    from bigdata_hits_spark.operators.textstats import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "aaa bb"), (1, "aaa aaa"), (2, "ab")], "doc_id long, text string"
+    )
+    # wc: aaa->3, bb->1, ab->1
+    # r0: (a,a) 2x3=6 wins -> aaa becomes [aa, a]
+    # r1: (aa,a) 3 wins -> aaa fully merged, drops out
+    # r2: (a,b) 1 ties (b,b) 1, lexicographic -> (a,b)
+    # r3: (b,b) 1
+    got = [tuple(r) for r in bpe_train(df, merges=4).orderBy("merge_idx").collect()]
+    assert got == [
+        (0, "a", "a", "aa", 6),
+        (1, "aa", "a", "aaa", 3),
+        (2, "a", "b", "ab", 1),
+        (3, "b", "b", "bb", 1),
+    ]
+    # greedy non-overlap on an even run: aaaa + (a,a) -> [aa, aa], so
+    # round 1's top pair is (aa, aa)
+    df2 = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    got2 = [tuple(r) for r in bpe_train(df2, merges=2).orderBy("merge_idx").collect()]
+    assert got2 == [(0, "a", "a", "aa", 6), (1, "aa", "aa", "aaaa", 2)]
+    # vocabulary exhaustion ends the loop early instead of erroring
+    df3 = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    got3 = [tuple(r) for r in bpe_train(df3, merges=4).collect()]
+    assert got3 == [(0, "a", "b", "ab", 2)]
+
+
 def test_chunk_tokens_windows_and_overlap(spark):
     """chunk_tokens: a short doc emits one clamped chunk; a long doc
     emits 1 + ceil((n-chunk)/stride) windows at stride offsets with the
