@@ -140,6 +140,8 @@ Beyond-reference pipeline jobs (no reference twin):
   edge list (trim + FW-BW coloring; scc = min member id).
 - ``vocab docs.parquet [top_n]`` — tokenizer vocabulary-coverage plan
   (top-n tokens, rank, cumulative token-mass share).
+- ``bpe_train docs.parquet [merges]`` — multi-merge BPE trainer (the
+  merge table a tokenizer ships).
 - ``bpe_pairs docs.parquet [top_n]`` — first BPE merge iteration:
   top-n adjacent character pairs by corpus frequency.
 """
@@ -1042,6 +1044,19 @@ def main(argv: list[str] | None = None) -> None:
         bpe_pair_counts(spark.read.parquet(src), top_n=top_n).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, "bpe_pairs"))
+    elif job == "bpe_train":
+        # bpe_train <docs.parquet> [merges] — multi-merge BPE trainer:
+        # the (merge_idx, left, right, merged, cnt) merge table a
+        # tokenizer ships.
+        from bigdata_hits_spark.operators.textstats import bpe_train
+
+        src = args.take()
+        if src is None:
+            raise SystemExit("bpe_train needs a documents parquet path")
+        merges = args.take(int, 4, usage="bpe_train <docs.parquet> [merges]")
+        bpe_train(spark.read.parquet(src), merges=merges).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "bpe_train"))
     else:
         raise SystemExit(f"unknown job {job!r}\n\n{__doc__}")
 

@@ -625,6 +625,7 @@ def clustering_coefficient(
     dst: str = "dst",
     digits: int = 6,
     sym: DataFrame | None = None,
+    tri: DataFrame | None = None,
 ) -> DataFrame:
     """Local clustering coefficient per node: ``(id, degree, triangles,
     coeff)`` with ``coeff = 2 * triangles / (degree * (degree - 1))`` —
@@ -642,11 +643,18 @@ def clustering_coefficient(
     same graph — the encode IS the triangle cost model) plus the
     collision guard.  Nodes without triangles arrive as 0 from
     triangle_counts' own left join; cost is the triangle count's; the
-    degree join adds one node-sized exchange."""
+    degree join adds one node-sized exchange.
+
+    ``tri=`` lets a session that already holds the (id, triangles)
+    relation — the triangle row's memo, or a layout serve — skip the
+    wedge machinery entirely (the coefficient is then one node-sized
+    join); :func:`clustering_coefficient_from_layout` is the
+    persisted-layout twin of the same composition."""
     if sym is None:
         sym = symmetric_edges(edges, src, dst)
     deg = sym.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
-    tri = triangle_counts(edges, src, dst, sym=sym)
+    if tri is None:
+        tri = triangle_counts(edges, src, dst, sym=sym)
     d = F.col("degree")
     return tri.join(deg, "id").select(
         "id",
