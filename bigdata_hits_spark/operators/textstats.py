@@ -962,12 +962,15 @@ def bpe_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    words = wc.select(
+    # length >= 2 BEFORE the char split: shorter words contribute no
+    # pairs, and sequence(1, 0) on the empty token (double spaces) would
+    # be DESCENDING, fabricating two empty symbols.
+    words = wc.filter(F.length("word") >= 2).select(
         F.expr(
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
         ).alias("syms"),
         "cnt",
-    ).filter(F.size("syms") >= 2)
+    )
     words = materialize(words)
     out_rows: list[tuple[int, str, str, str, int]] = []
     for m in range(merges):
@@ -1023,6 +1026,75 @@ def bpe_train(
     spark = df.sparkSession
     return spark.createDataFrame(
         out_rows, "merge_idx long, left string, right string, merged string, cnt long"
+    )
+
+
+def bpe_encode_token_counts(
+    df: DataFrame,
+    merges: int = 4,
+    text_col: str = "text",
+    group_col: str = "source",
+    digits: int = 6,
+) -> DataFrame:
+    """Train ``merges`` BPE merges (:func:`bpe_train`) and ENCODE the
+    corpus under them: per ``group_col``, ``(group, n_tokens, n_chars,
+    n_bpe_symbols, symbols_per_char)`` — the token-budget readout a
+    pretraining mix actually consumes (how many sequence positions each
+    source costs under the tokenizer trained on this corpus; lower
+    symbols_per_char = better compressed by the learned vocabulary).
+
+    Scale shape: the merge table is k rows on the driver (the same
+    k-bounded collect the trainer already does); encoding applies the k
+    merge folds NESTED IN ONE PROJECTION over the distinct-word table
+    (vocabulary-sized, one pass, zero shuffles beyond its hash agg),
+    then one broadcast-sized join back to per-(group, word) counts and
+    a group-count-sized rollup.  Corpus bodies are read once."""
+    from bigdata_hits_spark.functions.text import tokens
+
+    merge_rows = bpe_train(df, merges, text_col).orderBy("merge_idx").collect()
+    per = (
+        df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") >= 1)  # empty tokens cost no positions
+        .groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+
+    def _fold(col, lc, rc):
+        # closure factory: F.aggregate introspects the lambda's arity,
+        # so the pair literals can't ride as default args
+        return F.aggregate(
+            col,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == lc) & (x == rc),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(lc, rc)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    for r in merge_rows:
+        syms = _fold(syms, F.lit(r["left"]), F.lit(r["right"]))
+    sizes = (
+        per.select("word")
+        .distinct()
+        .select("word", F.size(syms).cast("long").alias("n_syms"))
+    )
+    tot_syms = F.sum(F.col("n") * F.col("n_syms"))
+    tot_chars = F.sum(F.col("n") * F.length("word"))
+    return (
+        per.join(sizes, "word")
+        .groupBy(group_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            tot_chars.cast("long").alias("n_chars"),
+            tot_syms.cast("long").alias("n_bpe_symbols"),
+            F.round(tot_syms / tot_chars, digits).alias("symbols_per_char"),
+        )
     )
 
 

@@ -4662,7 +4662,7 @@ def q_bpe_pair_counts(spark, sf_dir):
 BPE_MERGES = 4
 
 
-def _bpe_train_sql(merges: int = BPE_MERGES) -> str:
+def _bpe_chain_sql(merges: int = BPE_MERGES) -> str:
     # Unrolled CTE per merge round (the kcore unroll precedent).  The
     # greedy non-overlapping left-to-right merge is SQL `replace()` over
     # a chr(31)-delimited encoding where every symbol is wrapped as
@@ -4671,11 +4671,12 @@ def _bpe_train_sql(merges: int = BPE_MERGES) -> str:
     # separator between symbols means a pair pattern can only match at
     # symbol boundaries (no prefix false-positives like (a,a) matching
     # inside [a, ab]).  Assumes chr(31) never occurs in corpus text.
+    # ``word`` rides along so the encode row can map symbol counts back.
     S = "chr(31)"
     sql = (
         "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), "
         "wc AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word), "
-        f"e0 AS (SELECT regexp_replace(word, '([\\s\\S])', {S} || '\\1' || {S}, 'g') AS e, cnt "
+        f"e0 AS (SELECT word, regexp_replace(word, '([\\s\\S])', {S} || '\\1' || {S}, 'g') AS e, cnt "
         "FROM wc WHERE length(word) >= 2)"
     )
     for r in range(1, merges + 1):
@@ -4686,15 +4687,19 @@ def _bpe_train_sql(merges: int = BPE_MERGES) -> str:
             f", p{r} AS (SELECT syms[i] AS lft, syms[i + 1] AS rgt, CAST(SUM(cnt) AS BIGINT) AS cnt "
             f"FROM x{r} GROUP BY lft, rgt)"
             f", b{r} AS (SELECT lft, rgt, cnt FROM p{r} ORDER BY cnt DESC, lft, rgt LIMIT 1)"
-            f", e{r} AS (SELECT replace(w.e, {S} || b.lft || {S} || {S} || b.rgt || {S}, "
+            f", e{r} AS (SELECT w.word, replace(w.e, {S} || b.lft || {S} || {S} || b.rgt || {S}, "
             f"{S} || b.lft || b.rgt || {S}) AS e, w.cnt FROM e{p} w, b{r} b)"
         )
+    return sql
+
+
+def _bpe_train_sql(merges: int = BPE_MERGES) -> str:
     parts = [
         f'SELECT CAST({r - 1} AS BIGINT) AS merge_idx, lft AS "left", rgt AS "right", '
         f"lft || rgt AS merged, cnt FROM b{r}"
         for r in range(1, merges + 1)
     ]
-    return sql + " " + " UNION ALL ".join(parts)
+    return _bpe_chain_sql(merges) + " " + " UNION ALL ".join(parts)
 
 
 @register("bpe_merges_k4", _bpe_train_sql())
@@ -4710,6 +4715,43 @@ def q_bpe_merges(spark, sf_dir):
     from bigdata_hits_spark.operators.textstats import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"), merges=BPE_MERGES)
+
+
+def _bpe_encode_sql(merges: int = BPE_MERGES) -> str:
+    S = "chr(31)"
+    return (
+        _bpe_chain_sql(merges)
+        + f", sizes AS (SELECT word, len(string_split(trim(e, {S}), {S} || {S})) "
+        f"AS n_syms FROM e{merges}), "
+        "tokd AS (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents), "
+        "per AS (SELECT source, word, COUNT(*) AS n FROM tokd "
+        "WHERE length(word) >= 1 GROUP BY source, word), "
+        # length-1 words never enter the merge chain: one symbol each
+        "j AS (SELECT p.source, p.n, length(p.word) AS wlen, "
+        "COALESCE(s.n_syms, 1) AS n_syms FROM per p "
+        "LEFT JOIN sizes s ON s.word = p.word) "
+        "SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(n * wlen) AS BIGINT) AS n_chars, "
+        "CAST(SUM(n * n_syms) AS BIGINT) AS n_bpe_symbols, "
+        "ROUND(CAST(SUM(n * n_syms) AS DOUBLE) / SUM(n * wlen), 6) "
+        "AS symbols_per_char FROM j GROUP BY source"
+    )
+
+
+@register("bpe_encode_by_source", _bpe_encode_sql())
+def q_bpe_encode_by_source(spark, sf_dir):
+    """ENCODE the corpus under the bpe_merges_k4-trained symbol table
+    (operators/textstats.py bpe_encode_token_counts): per source, the
+    corpus position count under the learned vocabulary plus
+    symbols_per_char — the token-budget readout a pretraining mix
+    consumes and the first tokenizer-quality signal (which sources the
+    learned merges compress).  Exact integer sums in both engines; one
+    double division then round, drift-free."""
+    from bigdata_hits_spark.operators.textstats import bpe_encode_token_counts
+
+    return bpe_encode_token_counts(
+        load_table(spark, sf_dir, "documents"), merges=BPE_MERGES
+    )
 
 
 #: Dedup window for the DECLARED events row: the synthetic corpus's

@@ -576,8 +576,11 @@ def test_bpe_train_hand_computed_merges(spark):
     and fully-merged words drop out of the working set."""
     from bigdata_hits_spark.operators.textstats import bpe_train
 
+    # the double space yields an EMPTY token — it must contribute no
+    # pairs (the sequence(1, 0)-descending pitfall would fabricate two
+    # empty symbols from it)
     df = spark.createDataFrame(
-        [(0, "aaa bb"), (1, "aaa aaa"), (2, "ab")], "doc_id long, text string"
+        [(0, "aaa  bb"), (1, "aaa aaa"), (2, "ab")], "doc_id long, text string"
     )
     # wc: aaa->3, bb->1, ab->1
     # r0: (a,a) 2x3=6 wins -> aaa becomes [aa, a]
@@ -600,6 +603,26 @@ def test_bpe_train_hand_computed_merges(spark):
     df3 = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
     got3 = [tuple(r) for r in bpe_train(df3, merges=4).collect()]
     assert got3 == [(0, "a", "b", "ab", 2)]
+
+
+def test_bpe_encode_token_counts_hand_computed(spark):
+    """bpe_encode_token_counts: after 2 merges ((a,a) then (aa,a)) the
+    word 'aaa' costs 1 symbol, 'bb' and 'ab' cost 2 — per-source totals
+    and symbols_per_char follow exactly."""
+    from bigdata_hits_spark.operators.textstats import bpe_encode_token_counts
+
+    df = spark.createDataFrame(
+        [("s1", "aaa bb"), ("s1", "aaa aaa"), ("s2", "ab")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in bpe_encode_token_counts(df, merges=2).collect()}
+    assert rows["s1"]["n_tokens"] == 4
+    assert rows["s1"]["n_chars"] == 11
+    assert rows["s1"]["n_bpe_symbols"] == 3 * 1 + 2  # aaa->1 sym x3, bb->2
+    assert rows["s1"]["symbols_per_char"] == pytest.approx(round(5 / 11, 6))
+    assert rows["s2"]["n_tokens"] == 1
+    assert rows["s2"]["n_bpe_symbols"] == 2  # ab: (a,b) never merged
+    assert rows["s2"]["symbols_per_char"] == 1.0
 
 
 def test_chunk_tokens_windows_and_overlap(spark):
