@@ -5489,3 +5489,157 @@ def q_chunk_padding_waste(spark, sf_dir):
             6,
         ).alias("pad_frac"),
     )
+
+
+# --- round 13: classifier training (the quality/lang filter model) --------
+
+#: Four full-batch rounds at lr = 0.5 — enough for the trajectory to be
+#: non-trivial (weights move every round) while the unrolled oracle
+#: stays 2 CTEs per round.
+LOGREG_ITERS = 4
+LOGREG_LR = 0.5
+
+#: The surface-feature columns (bias first) and their declared-output
+#: aliases, shared by both logreg rows and their oracles.
+_LOGREG_FEATS = ["f_bias", "f_loglen", "f_space", "f_vowel"]
+
+#: DuckDB twin of _logreg_features(): y + f0..f3 from documents.  The
+#: Spark expressions below compute the literally identical doubles
+#: (integer length arithmetic, one cast-double division, ln/10) so the
+#: only cross-engine float risk is last-ulp exp() inside the averaged
+#: sigmoid — absorbed by the ROUND(GRAD_DIGITS) on every gradient
+#: component (operators/classify.py module docstring).
+_LOGREG_FEATS_CTE = (
+    "feats AS MATERIALIZED (SELECT "
+    "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, "
+    "1.0 AS f0, "
+    "ln(1 + n_chars) / 10.0 AS f1, "
+    "CAST(n_chars - length(replace(text, ' ', '')) AS DOUBLE) / n_chars AS f2, "
+    "CAST(n_chars - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE) "
+    "/ n_chars AS f3 FROM documents)"
+)
+
+
+def _logreg_features(docs, keep: tuple = ()):
+    """(features..., label) projection for the lang-id filter model:
+    bias, log-length (scaled /10 to keep gradients O(0.1)), space
+    ratio, vowel ratio — all exact integer counts + one double
+    division except ln (last-ulp engine risk, absorbed downstream).
+    ``keep`` carries passthrough columns (e.g. source) for scoring."""
+    n = F.col("n_chars")
+    return docs.select(
+        *[F.col(c) for c in keep],
+        F.lit(1.0).alias("f_bias"),
+        (F.log(F.lit(1) + n) / F.lit(10.0)).alias("f_loglen"),
+        ((n - F.length(F.regexp_replace("text", " ", ""))).cast("double") / n).alias(
+            "f_space"
+        ),
+        (
+            (n - F.length(F.regexp_replace("text", "[aeiou]", ""))).cast("double") / n
+        ).alias("f_vowel"),
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("__y"),
+    )
+
+
+def _logreg_train_ctes(iters: int = LOGREG_ITERS, lr: float = LOGREG_LR) -> list:
+    """The unrolled training trajectory as CTE rounds (the kcore/kmeans
+    discipline): g{t} = rounded avg gradient under w{t-1}, w{t} =
+    w{t-1} - lr * g{t} in exact doubles arithmetic (lr is a power of
+    two), gn = left-to-right g.g dot — associated identically to the
+    driver arithmetic in operators/classify.py."""
+    from bigdata_hits_spark.operators.classify import GRAD_DIGITS
+
+    ctes = [
+        _LOGREG_FEATS_CTE,
+        "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    z = "(w.w0 * f.f0 + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3)"
+    for t in range(1, iters + 1):
+        gsel = ", ".join(
+            f"ROUND(AVG((1.0 / (1.0 + exp(-{z})) - f.y) * f.f{j}), {GRAD_DIGITS}) AS g{j}"
+            for j in range(4)
+        )
+        ctes.append(f"g{t} AS (SELECT {gsel} FROM feats f, w{t - 1} w)")
+        wsel = ", ".join(f"w.w{j} - {lr} * g.g{j} AS w{j}" for j in range(4))
+        ctes.append(
+            f"w{t} AS (SELECT {wsel}, "
+            "sqrt(g.g0 * g.g0 + g.g1 * g.g1 + g.g2 * g.g2 + g.g3 * g.g3) AS gn "
+            f"FROM g{t} g, w{t - 1} w)"
+        )
+    return ctes
+
+
+def _logreg_train_sql(iters: int = LOGREG_ITERS) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS round, w0 AS w_bias, w1 AS w_loglen, w2 AS w_space, "
+        f"w3 AS w_vowel, gn AS grad_norm FROM w{t}"
+        for t in range(1, iters + 1)
+    )
+    return "WITH " + ", ".join(_logreg_train_ctes(iters)) + " " + rows
+
+
+def _logreg_fit(spark, sf_dir):
+    from bigdata_hits_spark.operators.classify import logistic_regression
+
+    docs = load_table(spark, sf_dir, "documents")
+    return logistic_regression(
+        _logreg_features(docs), _LOGREG_FEATS, "__y", iters=LOGREG_ITERS, lr=LOGREG_LR
+    )
+
+
+@register("logreg_train_langid", _logreg_train_sql())
+def q_logreg_train_langid(spark, sf_dir):
+    """Distributed logistic-regression training for the lang-id filter
+    model (operators/classify.py logistic_regression): LOGREG_ITERS
+    full-batch gradient rounds over surface features of ``documents``,
+    output = the whole weight trajectory (round, weights, grad L2
+    norm).  Each round is one scan + one map-side-combined hash-agg
+    collecting 4 rounded scalars — O(1) driver state, everything
+    (sigmoid included) in whole-stage codegen; the oracle unrolls the
+    identical trajectory as CTE rounds and compares cell-exact."""
+    res = _logreg_fit(spark, sf_dir)
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        [StructField("round", IntegerType())]
+        + [
+            StructField(c, DoubleType())
+            for c in ("w_bias", "w_loglen", "w_space", "w_vowel", "grad_norm")
+        ]
+    )
+    rows = [(r.round, *r.weights, r.grad_norm) for r in res.history]
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "logreg_score_by_source",
+    "WITH "
+    + ", ".join(_logreg_train_ctes())
+    + ", sc AS (SELECT f.source, "
+    "1.0 / (1.0 + exp(-(w.w0 * f.f0 + w.w1 * f.f1 + w.w2 * f.f2 + w.w3 * f.f3))) AS p "
+    "FROM (SELECT source, "
+    "1.0 AS f0, ln(1 + n_chars) / 10.0 AS f1, "
+    "CAST(n_chars - length(replace(text, ' ', '')) AS DOUBLE) / n_chars AS f2, "
+    "CAST(n_chars - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE) "
+    f"/ n_chars AS f3 FROM documents) f, w{LOGREG_ITERS} w) "
+    "SELECT source, COUNT(*) AS n_docs, ROUND(AVG(p), 6) AS mean_p "
+    "FROM sc GROUP BY source",
+)
+def q_logreg_score_by_source(spark, sf_dir):
+    """Corpus-wide screening under the trained filter model
+    (operators/classify.py predict_proba): train LOGREG_ITERS rounds,
+    then ONE shuffle-free literal-weight scoring projection over the
+    corpus rolled up per source (count + rounded mean predicted
+    probability) — the serve half of the train/serve pair, and the
+    shape a 100 TB screening pass takes: the model is 4 driver scalars,
+    the corpus never moves except one map-side-combinable aggregate."""
+    from bigdata_hits_spark.operators.classify import predict_proba
+
+    res = _logreg_fit(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _logreg_features(docs, keep=("source",))
+    scored = predict_proba(feats, res)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("p"), 6).alias("mean_p"),
+    )
