@@ -563,6 +563,95 @@ def bfs_distances(
     return dist
 
 
+def per_seed_bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    sym: DataFrame | None = None,
+) -> DataFrame:
+    """(seed, id, dist): hop distance from EACH seed separately —
+    :func:`bfs_distances` keyed by seed instead of collapsed to the
+    nearest one.  The per-landmark distance relation behind sampled
+    centrality estimates (harmonic/closeness a la Eppstein-Wang) and
+    landmark-based shortest-path sketches.
+
+    Same frontier loop as :func:`bfs_distances`, with (seed, id) as the
+    settled key: per round one edges x frontier equi-join on the pinned
+    ``b``-partitioned symmetric relation, a distinct, and an anti-join
+    against the settled set.  State is ``|seeds| x reachable`` rows —
+    the caller bounds |seeds| (that is the "sampled" in sampled
+    centrality), which keeps the moving data a small multiple of the
+    node vector at any graph size; the edge relation itself never
+    moves after its one partitioning shuffle.
+
+    Unlike :func:`bfs_distances` (lazy composition, cut every
+    ``_LP_CHECKPOINT_EVERY`` rounds), the settled set here is
+    MATERIALIZED every round: dist_r is referenced twice per round
+    (union + anti-join), so the lazy tree doubles per round and its
+    static exchange count compounds (measured 92 exchanges at depth 4
+    vs ~10 materialized) — the plan-size pathology the k-truss peel hit
+    (plans/iterate.py), paid once per round here instead.
+    """
+    if sym is None:
+        sym = materialize(symmetric_edges(edges, src, dst).repartition("b"))
+    dist = (
+        seeds.select(F.col("id").alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("id"))
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = dist.select("seed", "id")
+    for depth in range(1, max_depth + 1):
+        reached = (
+            sym.join(frontier, sym["b"] == frontier["id"])
+            .select("seed", F.col("a").alias("id"))
+            .distinct()
+        )
+        new = reached.join(dist, ["seed", "id"], "left_anti").withColumn(
+            "dist", F.lit(depth)
+        )
+        dist = materialize(dist.unionByName(new))
+        frontier = dist.filter(F.col("dist") == depth).select("seed", "id")
+    return dist
+
+
+def harmonic_centrality_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    sym: DataFrame | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """(id, n_reached, harmonic): sampled harmonic centrality —
+    ``sum(1 / d(s, v))`` over the seed landmarks ``s`` that reach ``v``
+    within ``max_depth`` hops (a seed's 0-distance to itself is
+    excluded).  The landmark-sampled estimator of Eppstein-Wang-style
+    centrality in its harmonic form (Boldi-Vigna's axiom-friendly
+    variant), which handles disconnected graphs without the
+    unreachable-node pathology of raw closeness; scale the sum by
+    ``n_nodes / n_seeds`` for the full-graph estimate.
+
+    Cost: the :func:`per_seed_bfs_distances` loop (|seeds|-bounded
+    state) plus ONE map-side-combinable hash aggregate.  The rounded
+    harmonic sum is engine-portable by construction: every distance is
+    an integer in 1..max_depth, so the sum is a rational with a small
+    fixed denominator (lcm <= 12 at depth 4) whose decimal expansion
+    can never land on a rounding tie."""
+    d = per_seed_bfs_distances(edges, seeds, max_depth, src, dst, sym)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), digits).alias("harmonic"),
+        )
+    )
+
+
 def link_prediction(
     edges: DataFrame,
     src: str = "src",

@@ -5643,3 +5643,66 @@ def q_logreg_score_by_source(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("p"), 6).alias("mean_p"),
     )
+
+
+# --- round 13: sampled harmonic centrality (landmark BFS) -----------------
+
+#: ~10 landmark seeds at sf0.01 (2000 parts / 211) — enough that most
+#: nodes see several landmarks at depth 4 while the per-seed state
+#: stays a small multiple of the node vector.
+HARMONIC_SEED_MOD = 211
+HARMONIC_DEPTH = 4
+
+
+def _harmonic_sql(k: int = HARMONIC_DEPTH) -> str:
+    # Frontier rounds unrolled per (seed, id) — the _bfs_sql shape with
+    # the seed key carried through; the final rollup excludes each
+    # seed's 0-distance to itself, mirroring harmonic_centrality_sampled.
+    ctes = [
+        f"e0 AS MATERIALIZED ({derived.G_PP_EDGES_SQL})",
+        _SYM_CTE.replace("sym AS (", "sym AS MATERIALIZED (", 1),
+        f"seeds AS (SELECT DISTINCT 'P' || p_partkey AS seed FROM part "
+        f"WHERE p_partkey % {HARMONIC_SEED_MOD} = 0)",
+        "r0 AS MATERIALIZED (SELECT seed, seed AS id, 0 AS dist FROM seeds)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"n{i} AS (SELECT DISTINCT r.seed, s.a AS id FROM sym s "
+            f"JOIN r{i - 1} r ON s.b = r.id WHERE r.dist = {i - 1})"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT seed, id, dist FROM r{i - 1} UNION ALL "
+            f"SELECT n.seed, n.id, {i} AS dist FROM n{i} n "
+            f"LEFT JOIN r{i - 1} p ON p.seed = n.seed AND p.id = n.id "
+            "WHERE p.id IS NULL)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT id, COUNT(*) AS n_reached, "
+        f"ROUND(SUM(1.0 / dist), 6) AS harmonic FROM r{k} "
+        "WHERE dist > 0 GROUP BY id"
+    )
+
+
+@register("graph_harmonic_sampled", _harmonic_sql())
+def q_graph_harmonic_sampled(spark, sf_dir):
+    """Sampled harmonic centrality on the part->part graph
+    (operators/graphalgs.py harmonic_centrality_sampled): sum(1/d) to
+    every ~211th part as a landmark, depth HARMONIC_DEPTH — the
+    Eppstein-Wang-style landmark estimator in Boldi-Vigna's harmonic
+    form, the node-importance measure that (unlike raw closeness)
+    survives disconnected graphs.  The per-seed frontier loop keeps
+    |seeds| x nodes state and never moves the pinned edge relation; the
+    rounded sum is engine-portable because depth-4 distances make it a
+    rational over lcm 12, which cannot land on a rounding tie.  Oracle:
+    the (seed, id)-keyed unrolled frontier CTEs."""
+    from bigdata_hits_spark.operators.graphalgs import harmonic_centrality_sampled
+
+    g = derived.g_pp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    seeds = part.filter(F.col("p_partkey") % HARMONIC_SEED_MOD == 0).select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("id")
+    )
+    return harmonic_centrality_sampled(
+        g.edges, seeds, max_depth=HARMONIC_DEPTH, sym=_sym(g)
+    )

@@ -568,3 +568,46 @@ def test_ktruss_deep_peel_cascade_beyond_40_rounds(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         k_truss(df, 4, max_iter=3)
+
+
+# --- sampled harmonic centrality ------------------------------------------
+
+
+def _path_edges(spark):
+    # path 1-2-3-4-5 (undirected via symmetric_edges)
+    rows = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_per_seed_bfs_keeps_each_landmark_separate(spark):
+    from bigdata_hits_spark.operators.graphalgs import per_seed_bfs_distances
+
+    seeds = spark.createDataFrame([(1,), (5,)], "id long")
+    got = {
+        (r["seed"], r["id"]): r["dist"]
+        for r in per_seed_bfs_distances(_path_edges(spark), seeds, max_depth=3).collect()
+    }
+    assert got[(1, 1)] == 0 and got[(5, 5)] == 0
+    assert got[(1, 2)] == 1 and got[(1, 4)] == 3
+    assert got[(5, 4)] == 1 and got[(5, 2)] == 3
+    # beyond max_depth: absent, not clamped
+    assert (1, 5) not in got and (5, 1) not in got
+
+
+def test_harmonic_centrality_hand_computed(spark):
+    from bigdata_hits_spark.operators.graphalgs import harmonic_centrality_sampled
+
+    seeds = spark.createDataFrame([(1,), (5,)], "id long")
+    got = {
+        r["id"]: (r["n_reached"], r["harmonic"])
+        for r in harmonic_centrality_sampled(
+            _path_edges(spark), seeds, max_depth=3
+        ).collect()
+    }
+    # middle of the path sees both landmarks; endpoints see neither
+    # (self at dist 0 is excluded, the far landmark is 4 > max_depth)
+    assert got == {
+        2: (2, round(1.0 + 1.0 / 3.0, 6)),
+        3: (2, 1.0),
+        4: (2, round(1.0 + 1.0 / 3.0, 6)),
+    }
