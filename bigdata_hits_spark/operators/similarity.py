@@ -523,25 +523,24 @@ def ivf_centroids_cached(
     return _IVF_CACHE[key]
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def _ivf_probe_score(
+    indexed: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = IVF_CENTROIDS,
-    n_probe: int = IVF_PROBE,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    centroids,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """IVF approximate top-k: corpus vectors are inverted-file-bucketed by
-    nearest centroid; each query exact-scores only the vectors in its
-    ``n_probe`` nearest buckets.  Work drops from |Q|·|C| to roughly
-    |Q|·|C|·n_probe/n_centroids, and the candidate join is a plain
-    equi-join on the cluster id — shuffle-partitioned, AQE/skew eligible,
-    no index structure to ship."""
+    """Shared IVF query side: each query explodes to its ``n_probe``
+    nearest coarse buckets, candidates arrive via a plain equi-join on
+    the cluster id against ``indexed`` (cid, cvec, cnrm, cluster), and
+    the rounded-cosine window takes the top k.  ``indexed`` is either
+    the in-session assignment (:func:`ivf_topk`) or the persisted
+    postings table (:func:`ivf_topk_from_index`) — results are
+    identical by construction for the same centroid matrix."""
     from pyspark.sql.functions import pandas_udf
 
-    centroids = ivf_centroids_cached(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
-    assign = _assign_udf(centroids)
     c_unit = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
 
     @pandas_udf("array<int>")
@@ -553,12 +552,6 @@ def ivf_topk(
         order = np.argsort(-(mat @ c_unit.T), axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
-    indexed = corpus.select(
-        F.col(id_col).alias("cid"),
-        F.col(vec_col).alias("cvec"),
-        l2_norm(F.col(vec_col)).alias("cnrm"),
-        assign(F.col(vec_col)).alias("cluster"),
-    )
     probed = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
@@ -578,6 +571,106 @@ def ivf_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-file-bucketed by
+    nearest centroid; each query exact-scores only the vectors in its
+    ``n_probe`` nearest buckets.  Work drops from |Q|·|C| to roughly
+    |Q|·|C|·n_probe/n_centroids, and the candidate join is a plain
+    equi-join on the cluster id — shuffle-partitioned, AQE/skew eligible,
+    no index structure to ship."""
+    centroids = ivf_centroids_cached(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    assign = _assign_udf(centroids)
+    indexed = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnrm"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    return _ivf_probe_score(indexed, queries, centroids, k, n_probe, id_col, vec_col)
+
+
+def persist_ivf_index(
+    corpus: DataFrame,
+    table_prefix: str,
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = IVF_LLOYD_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 16,
+) -> tuple:
+    """Persist the IVF index as TWO tables — the build half of the ANN
+    build/serve split, following the persist_triangle_layout /
+    persist_scc_labels precedent (operators/graphalgs.py:183,
+    operators/components.py:459): pay the quantizer training
+    (IVF_LLOYD_ITERS distributed Lloyd rounds) and the corpus
+    assignment pass ONCE at ingestion time, so serving sessions skip
+    both.
+
+    ``{prefix}_postings`` — (cluster, cid, cvec, cnrm): the inverted
+    file, hash-BUCKETED on ``cluster`` so the serve-time candidate join
+    reads the corpus already distributed on the join key (zero
+    corpus-sized exchange at query time — at 100 TB the postings scan
+    is the only big input left in the serve plan, and it arrives
+    pre-partitioned).  ``{prefix}_centroids`` — (cluster, centroid):
+    n_centroids x d rows, the driver-side probe matrix.  Returns the
+    two table names."""
+    from bigdata_hits_spark.sources.bucketed import (
+        clear_orphaned_location,
+        write_bucketed,
+    )
+
+    centroids = ivf_centroids(corpus, n_centroids, iters, id_col, vec_col)
+    assign = _assign_udf(centroids)
+    postings = corpus.select(
+        assign(F.col(vec_col)).alias("cluster"),
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        l2_norm(F.col(vec_col)).alias("cnrm"),
+    )
+    pt, ct = f"{table_prefix}_postings", f"{table_prefix}_centroids"
+    write_bucketed(postings, pt, "cluster", buckets)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    )
+    clear_orphaned_location(spark, ct)
+    cent_df.write.format("parquet").mode("overwrite").saveAsTable(ct)
+    return pt, ct
+
+
+def ivf_topk_from_index(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF top-k from an index written by :func:`persist_ivf_index`
+    — identical results to :func:`ivf_topk` with the same quantizer
+    (equality-tested in tests/test_similarity.py).  The cold path loads
+    n_centroids x d doubles to the driver (bounded, independent of
+    corpus size) and starts directly at the probe join against the
+    bucketed postings scan: no Lloyd rounds, no assignment pass, no
+    corpus-sized shuffle."""
+    from bigdata_hits_spark.sources.bucketed import read_bucketed
+
+    rows = spark.table(f"{table_prefix}_centroids").orderBy("cluster").collect()
+    centroids = np.array([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    indexed = read_bucketed(spark, f"{table_prefix}_postings")
+    return _ivf_probe_score(indexed, queries, centroids, k, n_probe, id_col, vec_col)
 
 
 def lsh_bucket_topk(

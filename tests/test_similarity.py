@@ -746,3 +746,20 @@ def test_pq_codebooks_deterministic_and_reconstruction_bounded(spark, emb):
         ).alias("n2"),
     ).selectExpr("avg(d / (n1 * n2)) AS mc").first()["mc"]
     assert rec > 0.5, f"PQ reconstruction barely correlates: {rec}"
+
+
+def test_ivf_from_persisted_index_equals_in_session(spark, emb):
+    """The persisted-index serve path must return the IDENTICAL result
+    set (ids AND cosines) as the in-session ivf_topk for the same
+    quantizer — the build/serve equality contract of the layout family
+    (persist_triangle_layout precedent)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    pt, ct = SIM.persist_ivf_index(emb, "t_ivf_layout", buckets=4)
+    assert pt == "t_ivf_layout_postings" and ct == "t_ivf_layout_centroids"
+    served = SIM.ivf_topk_from_index(spark, "t_ivf_layout", queries, k=10)
+    insess = SIM.ivf_topk(emb, queries, k=10)
+    key = lambda r: (r["qid"], r["cid"], r["cosine"])
+    assert sorted(map(key, served.collect())) == sorted(map(key, insess.collect()))
+    # serving must not retrain: the plan reads the bucketed postings
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "t_ivf_layout_postings" in plan
