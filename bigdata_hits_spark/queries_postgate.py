@@ -5706,3 +5706,82 @@ def q_graph_harmonic_sampled(spark, sf_dir):
     return harmonic_centrality_sampled(
         g.edges, seeds, max_depth=HARMONIC_DEPTH, sym=_sym(g)
     )
+
+
+# --- round 13: streaming transition-matrix maintenance --------------------
+
+
+@register("streaming_transition_matrix", _transitions_sql())
+def q_streaming_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix maintained by the STATEFUL
+    streaming twin (streaming/jobs.py transition_pairs_stream): events
+    staged as TWO time-split files, drained with maxFilesPerTrigger=1 +
+    availableNow so per-user (last event type) state genuinely carries
+    across a micro-batch boundary — a user's pair straddling the median
+    timestamp is formed FROM state in batch 2.  The pair emissions are
+    append-mode and final, so (unlike the update-sink sessionize row)
+    the sink rollup is deterministic and this is the first streaming
+    row with a full DuckDB oracle: it shares events_transition_matrix's
+    _transitions_sql twin.  In-query stream/batch equivalence against
+    operators/events.py transition_counts raises on divergence on top
+    of that."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from bigdata_hits_spark.operators.events import transition_counts
+    from bigdata_hits_spark.queries_events import _events_us
+    from bigdata_hits_spark.streaming.jobs import (
+        read_events_stream,
+        run_to_memory,
+        transition_pairs_stream,
+    )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stage = tempfile.mkdtemp(prefix=".tmp_stream_transitions_", dir=repo_root)
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.select(F.expr("approx_percentile(ts_ns, 0.5)")).first()[0]
+    raw = ev.select(
+        *[c for c in ev.columns if c not in ("ts", "ts_ns")],
+        F.col("ts_ns").alias("ts"),
+    )
+    try:
+        halves = (raw.filter(F.col("ts") <= med), raw.filter(F.col("ts") > med))
+        for i, half in enumerate(halves):
+            tmp = os.path.join(stage, f"_write{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            os.replace(os.path.join(tmp, part), os.path.join(stage, f"{i}.parquet"))
+            shutil.rmtree(tmp)
+            # FileStreamSource orders by modification time; pin it so
+            # "all ts <= median" is always batch 1 (the per-user
+            # in-order contract across the boundary).
+            os.utime(os.path.join(stage, f"{i}.parquet"), (1_000_000 + i, 1_000_000 + i))
+        run_to_memory(
+            transition_pairs_stream(
+                read_events_stream(spark, stage, max_files_per_trigger=1)
+            ),
+            "t_stream_transitions",
+            output_mode="append",
+        )
+        pairs = spark.table("t_stream_transitions").localCheckpoint()
+    finally:
+        spark.catalog.dropTempView("t_stream_transitions")
+        shutil.rmtree(stage, ignore_errors=True)
+    c = pairs.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    out = c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev_type")),
+            6,
+        ).alias("p"),
+    )
+    batch = transition_counts(_events_us(spark, sf_dir)).select(*out.columns)
+    if out.exceptAll(batch).count() or batch.exceptAll(out).count():
+        raise AssertionError("stream-batch divergence in transition matrix")
+    return out

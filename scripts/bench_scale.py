@@ -148,6 +148,10 @@ SMOKE = [
     "logreg_train_langid",
     "graph_harmonic_sampled",
     "ann_ivf_layout",
+    # first ORACLE-backed streaming row (append-mode pair emissions make
+    # the sink rollup deterministic): per-user state volume and the
+    # two-batch drain are the scale question.
+    "streaming_transition_matrix",
 ]
 
 
