@@ -621,7 +621,7 @@ def q_quality_ntile_gate(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
-        "doc_id", F.round(TX.quality_score(F.col("text")), 7).alias("quality")
+        "doc_id", TX.round_portable(TX.quality_score(F.col("text"))).alias("quality")
     )
     out = ntile_exact(
         scored, NTILE_N, [F.desc_nulls_last("quality"), F.asc("doc_id")], tile_col="tile"
@@ -1069,7 +1069,7 @@ def q_quality_top_frac_by_source(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
-        "doc_id", "source", F.round(TX.quality_score(F.col("text")), 7).alias("quality")
+        "doc_id", "source", TX.round_portable(TX.quality_score(F.col("text"))).alias("quality")
     )
     kept = top_fraction_by(
         scored, TOPFRAC_BY, "source", [F.desc_nulls_last("quality"), F.asc("doc_id")]
@@ -1417,7 +1417,7 @@ def q_quality_top_frac_skew_safe(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
-        "doc_id", "source", F.round(TX.quality_score(F.col("text")), 7).alias("quality")
+        "doc_id", "source", TX.round_portable(TX.quality_score(F.col("text"))).alias("quality")
     )
     kept = top_fraction_by(
         scored,
@@ -1713,7 +1713,7 @@ def _clean_corpus_sql() -> str:
         f"fph AS (SELECT doc_id, {duck_token_hash('w[i + 1]')} * (i + 1) AS term FROM fpe), "
         f"fp AS (SELECT doc_id, CAST(SUM(term) % {TX.FINGERPRINT_MOD} AS BIGINT) AS fingerprint "
         "FROM fph GROUP BY doc_id) "
-        "SELECT s.doc_id, ROUND(s.quality, 7) AS quality, "
+        "SELECT s.doc_id, (FLOOR(s.quality * 10000000.0 + 0.5) / 10000000.0) AS quality, "
         "len(s.w) AS n_tokens, "
         f"len(regexp_extract_all(s.text, '{TX.BPE_SPLIT_PATTERN}')) AS n_bpe_tokens, "
         f"{lang_case} AS lang_pred, fp.fingerprint AS fingerprint "
@@ -1740,6 +1740,7 @@ def q_clean_corpus_docs(spark, sf_dir):
     (``vectors``) — each is individually oracle-backed
     (strip_boilerplate, text_unigram_logprob, dedup_semantic); this row
     proves the default composition whole."""
+    from bigdata_hits_spark.functions import text as TX
     from bigdata_hits_spark.operators.pipeline import clean_corpus
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1748,7 +1749,7 @@ def q_clean_corpus_docs(spark, sf_dir):
     )
     return cleaned.select(
         "doc_id",
-        F.round("quality", 7).alias("quality"),
+        TX.round_portable(F.col("quality")).alias("quality"),
         "n_tokens",
         "n_bpe_tokens",
         "lang_pred",
@@ -4819,7 +4820,7 @@ def q_dedup_survivors_quality(spark, sf_dir):
     vs dedup_components' min-id convention.  Ordering runs on the
     7-digit-rounded quality on BOTH engines (the quality_ntile_gate
     parity discipline), so the argmax is drift-free."""
-    from bigdata_hits_spark.functions.text import quality_score
+    from bigdata_hits_spark.functions.text import quality_score, round_portable
     from bigdata_hits_spark.operators.components import dedup_survivors_ranked
     from bigdata_hits_spark.queries_dedup import (
         MINHASH_MAX_BUCKET_DECLARED,
@@ -4827,7 +4828,7 @@ def q_dedup_survivors_quality(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.round(quality_score(F.col("text")), 7).alias("quality")
+        "doc_id", round_portable(quality_score(F.col("text"))).alias("quality")
     )
     pairs = DD.minhash_near_duplicates(
         load_table(spark, sf_dir, "documents"),

@@ -60,9 +60,20 @@ QUALITY_RAW_SQL_EXPR = (
     "AS DOUBLE)"
 )
 
+def portable_round_sql(expr: str, digits: int = 7) -> str:
+    """DuckDB twin of functions/text.py round_portable: floor-scale
+    rounding as three IEEE ops, bit-stable across engines for the same
+    input double (see round_portable's docstring for why plain ROUND
+    diverges near decimal ties)."""
+    s = f"{10**digits}.0"
+    return f"(FLOOR(({expr}) * {s} + 0.5) / {s})"
+
+
 #: Rounded-to-7 form for value compares — shared with the quality NTILE
-#: gate in queries_postgate.
-QUALITY_SQL_EXPR = f"ROUND({QUALITY_RAW_SQL_EXPR}, 7)"
+#: gate in queries_postgate.  Floor-scale portable rounding (NOT SQL
+#: ROUND): quality rationals land exactly on decimal rounding ties and
+#: the engines' ROUND algorithms disagree there (sf0.1 finding, round 13).
+QUALITY_SQL_EXPR = portable_round_sql(QUALITY_RAW_SQL_EXPR)
 
 
 @register(
@@ -72,7 +83,7 @@ QUALITY_SQL_EXPR = f"ROUND({QUALITY_RAW_SQL_EXPR}, 7)"
 )
 def q_text_quality(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.round(TX.quality_score(F.col("text")), 7).alias("quality"))
+    return docs.select("doc_id", TX.round_portable(TX.quality_score(F.col("text"))).alias("quality"))
 
 
 def _lang_id_sql() -> str:

@@ -87,6 +87,19 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    names_exact = None
+    if "--names" in args:
+        # comma-separated EXACT names (or @file with one name per line):
+        # the slice runner for long sf-scaled passes — run the surface in
+        # resumable chunks and merge the per-slice --json records.
+        i = args.index("--names")
+        spec = args[i + 1]
+        del args[i : i + 2]
+        if spec.startswith("@"):
+            with open(spec[1:]) as f:
+                names_exact = [ln.strip() for ln in f if ln.strip()]
+        else:
+            names_exact = [s for s in spec.split(",") if s]
     if args:
         filt = args[0]
 
@@ -98,6 +111,12 @@ def main() -> int:
     all_q = q.queries()
     all_o = q.oracle_sql()
     names = [n for n in all_q if filt is None or filt in n]
+    if names_exact is not None:
+        missing = [n for n in names_exact if n not in all_q]
+        if missing:
+            print(f"unknown query names: {missing}")
+            return 1
+        names = [n for n in names if n in set(names_exact)]
     failed = []
     record: dict[str, dict] = {}
     for name in names:

@@ -654,3 +654,38 @@ def test_chunk_tokens_windows_and_overlap(spark):
 
     with pytest.raises(ValueError, match="stride"):
         textstats.chunk_tokens(df, chunk=4, stride=5)
+
+
+def test_round_portable_matches_duckdb_twin_on_tie_neighbors(spark):
+    """The floor-scale portable rounding (functions/text.py
+    round_portable) and its SQL twin must agree on the EXACT doubles
+    around decimal rounding ties — the values where Spark's BigDecimal
+    HALF_UP and DuckDB's scaled-float ROUND legitimately diverge (the
+    sf0.1 quality failures, round 13)."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bigdata_hits_spark.functions.text import round_portable
+    from bigdata_hits_spark.queries_text import portable_round_sql
+
+    ties = [0.10546875, 0.86359375, 0.88859375, 0.22265625, 0.12345675]
+    xs = []
+    for t in ties:
+        x = float(t)
+        xs.append(x)
+        xs.append(math.nextafter(x, 0.0))
+        xs.append(math.nextafter(x, 2.0))
+    df = spark.createDataFrame([(v,) for v in xs], "x double")
+    got = [
+        r["r"]
+        for r in df.select(round_portable(F.col("x")).alias("r")).collect()
+    ]
+    con = duckdb.connect()
+    expr = portable_round_sql("x")
+    duck = [
+        con.execute(f"SELECT {expr} AS r FROM (SELECT CAST(? AS DOUBLE) AS x)", [v]).fetchone()[0]
+        for v in xs
+    ]
+    assert got == duck
