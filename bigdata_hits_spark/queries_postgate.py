@@ -5653,6 +5653,14 @@ def q_logreg_score_by_source(spark, sf_dir):
 #: stays a small multiple of the node vector.
 HARMONIC_SEED_MOD = 211
 HARMONIC_DEPTH = 4
+#: HARD landmark cap (first k qualifying keys in key order).  Without
+#: it the modulo rule scales the landmark count WITH the data — at the
+#: 10x smoke that meant ~950 seeds x ~200k reachable nodes of frontier
+#: state and a 1293 s row (vs ~2 s at sf0.1), the textbook
+#: sampled-centrality mistake: the estimator's whole point is a FIXED
+#: landmark budget at any graph size.  Not binding at sf0.01 (~9
+#: qualifiers), so the small-sf trajectory is unchanged.
+HARMONIC_SEEDS_K = 16
 
 
 def _harmonic_sql(k: int = HARMONIC_DEPTH) -> str:
@@ -5662,8 +5670,10 @@ def _harmonic_sql(k: int = HARMONIC_DEPTH) -> str:
     ctes = [
         f"e0 AS MATERIALIZED ({derived.G_PP_EDGES_SQL})",
         _SYM_CTE.replace("sym AS (", "sym AS MATERIALIZED (", 1),
-        f"seeds AS (SELECT DISTINCT 'P' || p_partkey AS seed FROM part "
-        f"WHERE p_partkey % {HARMONIC_SEED_MOD} = 0)",
+        f"seeds AS (SELECT 'P' || p_partkey AS seed FROM ("
+        f"SELECT DISTINCT p_partkey FROM part "
+        f"WHERE p_partkey % {HARMONIC_SEED_MOD} = 0 "
+        f"ORDER BY p_partkey LIMIT {HARMONIC_SEEDS_K}))",
         "r0 AS MATERIALIZED (SELECT seed, seed AS id, 0 AS dist FROM seeds)",
     ]
     for i in range(1, k + 1):
@@ -5692,17 +5702,26 @@ def q_graph_harmonic_sampled(spark, sf_dir):
     every ~211th part as a landmark, depth HARMONIC_DEPTH — the
     Eppstein-Wang-style landmark estimator in Boldi-Vigna's harmonic
     form, the node-importance measure that (unlike raw closeness)
-    survives disconnected graphs.  The per-seed frontier loop keeps
-    |seeds| x nodes state and never moves the pinned edge relation; the
-    rounded sum is engine-portable because depth-4 distances make it a
-    rational over lcm 12, which cannot land on a rounding tie.  Oracle:
-    the (seed, id)-keyed unrolled frontier CTEs."""
+    survives disconnected graphs.  The landmark set is HARD-CAPPED at
+    the first HARMONIC_SEEDS_K qualifying keys (the fixed budget that
+    makes the estimator scale-free — the uncapped modulo rule cost
+    1293 s at the 10x smoke, see HARMONIC_SEEDS_K), so the per-seed
+    frontier loop keeps k x nodes state and never moves the pinned
+    edge relation; the rounded sum is engine-portable because depth-4
+    distances make it a rational over lcm 12, which cannot land on a
+    rounding tie.  Oracle: the (seed, id)-keyed unrolled frontier
+    CTEs."""
     from bigdata_hits_spark.operators.graphalgs import harmonic_centrality_sampled
 
     g = derived.g_pp(spark, sf_dir)
     part = load_table(spark, sf_dir, "part")
-    seeds = part.filter(F.col("p_partkey") % HARMONIC_SEED_MOD == 0).select(
-        F.concat(F.lit("P"), F.col("p_partkey")).alias("id")
+    seeds = (
+        part.filter(F.col("p_partkey") % HARMONIC_SEED_MOD == 0)
+        .select("p_partkey")
+        .distinct()
+        .orderBy("p_partkey")
+        .limit(HARMONIC_SEEDS_K)
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
     )
     return harmonic_centrality_sampled(
         g.edges, seeds, max_depth=HARMONIC_DEPTH, sym=_sym(g)
