@@ -627,27 +627,30 @@ def pca_top_component(
     digits: int = 6,
 ) -> DataFrame:
     """(dim, loading): the top principal component of an
-    ``array<float>`` column by DISTRIBUTED power iteration over the
-    covariance relation — the "which direction carries the variance"
-    profile read before dimensionality reduction, and the cheap
+    ``array<float>`` column — one distributed covariance aggregate,
+    then power iteration over the collected dims²-bounded matrix — the
+    "which direction carries the variance" profile read before
+    dimensionality reduction, and the cheap
     degenerate-encoder detector (a single dominant loading means a
     dimension swallowed the space).
 
-    The covariance matrix never leaves the cluster and no eigensolver
-    runs on the driver: C is the :func:`array_covariance` relation
-    mirrored to full symmetry, v_0 is the uniform unit vector, and each
-    of ``iters`` rounds is w = C v (one dims-sized equi-join + hash agg)
-    normalized in-plan by a broadcast one-row norm aggregate — the same
-    fused-scalar shape as the ranking loop, composed lazily with
-    periodic lineage truncation.  Every relation after the covariance
-    agg is dims-sized, so the whole iteration is free at any corpus
-    scale.  Fixed start + fixed iteration count + per-step rounding
-    (``PCA_ITER_DIGITS``) make the trajectory a pure function of the
+    The only corpus-sized pass is the covariance aggregate
+    (:func:`array_covariance`, memoized per session); the dims² matrix
+    it produces is then collected and the power iteration runs ON THE
+    DRIVER (:func:`_power_iterate_local`) — dims is the embedding
+    width, so the collect is corpus-free and the eigensolve is driver
+    microseconds at any scale.  Fixed start + fixed iteration count +
+    per-step rounding (``PCA_ITER_DIGITS``, replicated bit-exactly by
+    ``_round_half_up``) make the trajectory a pure function of the
     data — deterministic across runs, partitionings, and engines (the
     declared oracle unrolls the same recurrence as a CTE chain)."""
     cfull = _sym_covariance(df, vec_col)
-    v, _ = _power_iterate(cfull, iters)
-    return v.select("dim", F.round(F.col("v"), digits).alias("loading"))
+    dims, C = _collect_cov(cfull)
+    v, _ = _power_iterate_local(C, iters)
+    return df.sparkSession.createDataFrame(
+        [(int(d), _round_half_up(x, digits)) for d, x in zip(dims, v)],
+        "dim int, loading double",
+    )
 
 
 #: Session-lifetime cache of PERSISTED symmetric covariance relations,
@@ -682,39 +685,67 @@ def _sym_covariance(df: DataFrame, vec_col: str) -> DataFrame:
     return _COV_CACHE[key]
 
 
-def _power_iterate(cfull: DataFrame, iters: int) -> tuple[DataFrame, DataFrame]:
-    """``iters`` rounds of w = C v over a pinned symmetric matrix
-    relation (i, j, cov).  Returns (v, lam_row): the final normalized
-    vector (dim, v) and a one-row relation carrying the final norm
-    ||w|| rounded to PCA_ITER_DIGITS as ``__lam`` — the Rayleigh-
-    quotient stand-in the deflation step consumes (for a converged PSD
-    iteration ||Cv|| is the eigenvalue; rounded because it is a
-    cross-engine scalar like every other per-step pin)."""
-    d_row = cfull.agg((F.countDistinct("i")).alias("d"))
-    v = cfull.select(F.col("i").alias("dim")).distinct().crossJoin(
-        F.broadcast(d_row)
-    ).select("dim", F.round(F.lit(1.0) / F.sqrt(F.col("d")), PCA_ITER_DIGITS).alias("v"))
-    norm = None
-    for t in range(iters):
-        w = (
-            cfull.join(v, cfull["j"] == v["dim"])
-            .groupBy(cfull["i"].alias("dim2"))
-            .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
-            # Pinned EVERY iteration: w feeds both the norm aggregate
-            # and the division, and without the pin each reference
-            # duplicates the whole upstream subtree — plan (and
-            # recompute) growth is 2^iters.  The checkpoint keeps both
-            # readers on one dims-sized RDD and the lineage flat; lazy,
-            # so the loop still composes into one job per block.
-            .localCheckpoint(eager=False)
+def _round_half_up(x: float, digits: int) -> float:
+    """Exact replica of Spark's ``round()`` on DoubleType:
+    ``BigDecimal.valueOf(x)`` parses ``Double.toString(x)`` (the
+    shortest round-trip decimal — same contract as Python ``repr``)
+    and ``setScale(digits, HALF_UP)`` rounds that decimal string, so
+    the Python twin is Decimal(repr(x)) quantized HALF_UP."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(float(x))).quantize(
+            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
         )
-        norm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__n"))
-        v = w.crossJoin(F.broadcast(norm)).select(
-            F.col("dim2").alias("dim"),
-            F.round(F.col("w") / F.col("__n"), PCA_ITER_DIGITS).alias("v"),
-        )
-    lam_row = norm.select(F.round(F.col("__n"), PCA_ITER_DIGITS).alias("__lam"))
-    return v, lam_row
+    )
+
+
+def _collect_cov(cfull: DataFrame) -> tuple[list[int], list[list[float]]]:
+    """Collect the symmetric covariance relation to a dense driver-side
+    matrix.  dims² rows — bounded by the embedding WIDTH, never the
+    corpus (the repo's k-/dim-bounded collect discipline), so at any
+    corpus scale this is a few thousand scalars."""
+    rows = cfull.collect()
+    dims = sorted({r["i"] for r in rows})
+    index = {d: k for k, d in enumerate(dims)}
+    d = len(dims)
+    C = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        C[index[r["i"]]][index[r["j"]]] = r["cov"] if r["cov"] is not None else 0.0
+    return dims, C
+
+
+def _power_iterate_local(
+    C: list[list[float]], iters: int
+) -> tuple[list[float], float]:
+    """``iters`` rounds of w = C v on the driver — the r13 optimization
+    of the old in-plan loop, which ran ~1 broadcast-norm barrier + 1
+    dims-sized join/agg job per iteration (15–30 chained jobs per
+    declared PCA row, 2.0–4.1 s each at sf0.1 with the covariance memo
+    already warm).  The local solve replaces all of it with driver
+    microseconds, leaving the only corpus-sized work where it belongs
+    (the covariance aggregate and the projection join).
+
+    Trajectory parity: v0, every per-step normalized v, and the final
+    lam are rounded at PCA_ITER_DIGITS with :func:`_round_half_up` —
+    bit-identical to Spark's round() on the same operands.  The
+    unrounded w and its norm differ from the old plan (and from the
+    DuckDB oracle) only in summation ORDER (fsum here — correctly
+    rounded, hence partitioning-independent), which the oracle design
+    already absorbs: the division by the irrational norm keeps every
+    rounded cell off the half-boundary landmine (see PCA_ITER_DIGITS)
+    — re-verified cell-exact against the unrolled-CTE oracles at
+    sf0.01 and sf0.1.  Returns (v, lam)."""
+    import math
+
+    d = len(C)
+    v = [_round_half_up(1.0 / math.sqrt(d), PCA_ITER_DIGITS)] * d
+    nrm = 0.0
+    for _ in range(iters):
+        w = [math.fsum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        nrm = math.sqrt(math.fsum(x * x for x in w))
+        v = [_round_half_up(x / nrm, PCA_ITER_DIGITS) for x in w]
+    return v, _round_half_up(nrm, PCA_ITER_DIGITS)
 
 
 def pca_components(
@@ -727,11 +758,11 @@ def pca_components(
     """(component, dim, loading) for the top ``r`` principal components
     by power iteration WITH DEFLATION: after extracting v_c with
     eigenvalue lambda_c (the final ||w|| of its iteration), the matrix
-    relation becomes C <- C - lambda_c * v_c v_c^T — still a dims^2
-    DataFrame, two broadcast dims-sized attaches and a projection — and
-    the next component re-iterates on it.  Everything after the one
-    corpus-sized covariance aggregate stays dims-sized, so top-r costs r
-    x iters dims-sized rounds regardless of corpus scale.
+    becomes C <- C - lambda_c * v_c v_c^T and the next component
+    re-iterates on it.  Everything after the one corpus-sized
+    covariance aggregate is dims²-bounded and runs on the driver
+    (:func:`_power_iterate_local`), so top-r is driver microseconds
+    regardless of corpus scale.
 
     Engine portability (the declared-oracle contract): lambda and every
     v cell are rounded per step at PCA_ITER_DIGITS, and the deflated
@@ -745,38 +776,25 @@ def pca_components(
     genericity before the next round."""
     if r < 1:
         raise ValueError(f"r must be >= 1, got {r}")
-    cur = _sym_covariance(df, vec_col)
-    comps = []
+    dims, C = _collect_cov(_sym_covariance(df, vec_col))
+    d = len(dims)
+    rows = []
     for c in range(r):
-        v, lam_row = _power_iterate(cur, iters)
-        comps.append(
-            v.select(
-                F.lit(c).alias("component"),
-                "dim",
-                F.round(F.col("v"), digits).alias("loading"),
-            )
-        )
+        v, lam = _power_iterate_local(C, iters)
+        rows += [
+            (c, int(dim), _round_half_up(x, digits)) for dim, x in zip(dims, v)
+        ]
         if c < r - 1:
-            vi = v.select(F.col("dim").alias("i"), F.col("v").alias("__vi"))
-            vj = v.select(F.col("dim").alias("j"), F.col("v").alias("__vj"))
-            cur = (
-                cur.join(F.broadcast(vi), "i")
-                .join(F.broadcast(vj), "j")
-                .crossJoin(F.broadcast(lam_row))
-                .select(
-                    "i",
-                    "j",
-                    (
-                        F.col("cov")
-                        - F.col("__lam") * F.col("__vi") * F.col("__vj")
-                    ).alias("cov"),
-                )
-                .localCheckpoint(eager=False)
-            )
-    out = comps[0]
-    for c in comps[1:]:
-        out = out.unionByName(c)
-    return out
+            # Deflation C <- C - lam v v^T with the SAME left-associative
+            # per-cell order the oracle pins: cov - (lam * v_i) * v_j,
+            # deliberately NOT re-rounded (see the class docstring note
+            # on the half-boundary landmine).
+            C = [
+                [C[i][j] - lam * v[i] * v[j] for j in range(d)] for i in range(d)
+            ]
+    return df.sparkSession.createDataFrame(
+        rows, "component int, dim int, loading double"
+    )
 
 
 def pca_project_components(

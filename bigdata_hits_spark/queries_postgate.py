@@ -3642,11 +3642,10 @@ def _pca_project_sql(iters: int = PCA_ITERS) -> str:
 
 @register("embedding_pca_top", _pca_sql())
 def q_embedding_pca_top(spark, sf_dir):
-    """Top principal component by distributed power iteration
-    (operators/profiling.py pca_top_component): the covariance relation
-    never leaves the cluster; 15 dims-sized join+agg rounds with
-    in-plan broadcast norm scalars, trajectory pinned per step at
-    PCA_ITER_DIGITS on both engines."""
+    """Top principal component (operators/profiling.py
+    pca_top_component): one distributed covariance aggregate, then the
+    15-round power iteration over the collected dims²-bounded matrix,
+    trajectory pinned per step at PCA_ITER_DIGITS on both engines."""
     from bigdata_hits_spark.operators.profiling import pca_top_component
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3722,12 +3721,11 @@ def _pca_top2_sql(iters: int = PCA_ITERS) -> str:
 @register("embedding_pca_top2", _pca_top2_sql())
 def q_embedding_pca_top2(spark, sf_dir):
     """Top TWO principal components by power iteration with deflation
-    (operators/profiling.py pca_components): after the first component,
-    the covariance relation — still a DataFrame — becomes
-    C - lam v v^T via two broadcast dims-sized attaches, and the second
-    trajectory re-iterates on it with the same per-step pins.  Every
-    post-covariance relation is dims-sized; orthogonality of the
-    extracted pair is pinned in tests/test_profiling.py."""
+    (operators/profiling.py pca_components): one distributed covariance
+    aggregate, then both trajectories (and the C - lam v v^T deflation
+    between them) over the collected dims²-bounded matrix with the same
+    per-step pins.  Orthogonality of the extracted pair is pinned in
+    tests/test_profiling.py."""
     from bigdata_hits_spark.operators.profiling import pca_components
 
     emb = load_table(spark, sf_dir, "embeddings")
