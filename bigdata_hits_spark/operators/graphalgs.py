@@ -604,14 +604,21 @@ def per_seed_bfs_distances(
     )
     frontier = dist.select("seed", "id")
     for depth in range(1, max_depth + 1):
+        # shuffle_hash on the state side (r13 optimization): both the
+        # frontier and the settled set are stats-less checkpoints, so
+        # the planner's sort-merge fallback re-SORTED the pinned edge
+        # relation every round (measured ~2.5 s/round at sf0.1 for a
+        # 956-row converged state); the shuffled-hash build moves and
+        # hashes only the |seeds|-bounded state while the edges stay
+        # unsorted on their pinned ``b`` partitioning.
         reached = (
-            sym.join(frontier, sym["b"] == frontier["id"])
+            sym.join(frontier.hint("shuffle_hash"), sym["b"] == frontier["id"])
             .select("seed", F.col("a").alias("id"))
             .distinct()
         )
-        new = reached.join(dist, ["seed", "id"], "left_anti").withColumn(
-            "dist", F.lit(depth)
-        )
+        new = reached.join(
+            dist.hint("shuffle_hash"), ["seed", "id"], "left_anti"
+        ).withColumn("dist", F.lit(depth))
         dist = materialize(dist.unionByName(new))
         frontier = dist.filter(F.col("dist") == depth).select("seed", "id")
     return dist

@@ -5097,9 +5097,12 @@ def q_streaming_hourly_agg(spark, sf_dir):
     finally:
         spark.catalog.dropTempView("t_stream_hourly_agg")
         shutil.rmtree(stage, ignore_errors=True)
+    # Pinned: the batch twin feeds THREE actions (count + both exceptAll
+    # directions); unpinned it re-executed per action (r13 optimization —
+    # same rows, one execution).
     batch = hourly_event_counts(load_table(spark, sf_dir, "events")).select(
         *streamed.columns
-    )
+    ).localCheckpoint()
     n_stream, n_batch = streamed.count(), batch.count()
     if (
         n_stream != n_batch
@@ -5179,12 +5182,17 @@ def q_streaming_sessionize(spark, sf_dir):
     finally:
         spark.catalog.dropTempView("t_stream_sessionize")
         shutil.rmtree(stage, ignore_errors=True)
+    # Both sides pinned: latest feeds count + 2 exceptAll + the returned
+    # sink write, the batch twin count + 2 exceptAll — unpinned, each
+    # re-executed its full plan per action (r13 optimization — same
+    # rows, one execution each).
     latest = (
         streamed.groupBy("user_id", "session_idx")
         .agg(F.max(F.struct("n_events", "end_s", "start_s")).alias("s"))
         .select("user_id", "session_idx", "s.n_events", "s.start_s", "s.end_s")
+        .localCheckpoint()
     )
-    batch = sessionize(ev).select(*latest.columns)
+    batch = sessionize(ev).select(*latest.columns).localCheckpoint()
     n_stream, n_batch = latest.count(), batch.count()
     if (
         n_stream != n_batch
@@ -5281,9 +5289,12 @@ def q_streaming_incremental_dedup(spark, sf_dir):
     empty_store = spark.createDataFrame([], sig_schema)
     surv1, sigs1 = minhash_dedup_incremental(halves[0], empty_store)
     surv2, _ = minhash_dedup_incremental(halves[1], sigs1.localCheckpoint())
+    # Pinned: the twin is the two full dedup pipelines; unpinned it
+    # re-executed BOTH per action (count + 2 exceptAll — r13
+    # optimization, same rows, one execution).
     batch = surv1.unionByName(surv2).select(
         "doc_id", "source", F.length("text").alias("n_chars")
-    )
+    ).localCheckpoint()
     n_stream, n_batch = streamed.count(), batch.count()
     if (
         n_stream != n_batch
@@ -5799,7 +5810,14 @@ def q_streaming_transition_matrix(spark, sf_dir):
             6,
         ).alias("p"),
     )
-    batch = transition_counts(_events_us(spark, sf_dir)).select(*out.columns)
+    # Both sides pinned: out feeds 2 exceptAll + the returned sink
+    # write, the batch twin both exceptAll directions — unpinned, each
+    # re-executed per action (r13 optimization — same rows, one
+    # execution each).
+    out = out.localCheckpoint()
+    batch = transition_counts(_events_us(spark, sf_dir)).select(
+        *out.columns
+    ).localCheckpoint()
     if out.exceptAll(batch).count() or batch.exceptAll(out).count():
         raise AssertionError("stream-batch divergence in transition matrix")
     return out
