@@ -107,20 +107,35 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 def shingle_set(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, shingle) with per-document distinct shingles."""
+    """(id, shingle) with per-document distinct shingles.  The shingler
+    is the family's expensive per-row map, so a small single-row-group
+    scan is spread across the session's cores first (projected to the
+    two live columns before the exchange; no-op on real multi-split
+    inputs — sources/readers.py spread_small_scan)."""
+    from bigdata_hits_spark.sources.readers import spread_small_scan
+
+    docs = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")), "id"
+    )
     return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col))).alias("shingle"),
+        "id",
+        F.explode(word_shingles(F.col("__t"))).alias("shingle"),
     )
 
 
 def shingle_arrays(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, shs, n): per-document distinct shingle array + its size.
-    Shuffle-free (narrow map over the docs scan) — the verify-side
-    counterpart of :func:`shingle_set` that avoids re-exploding."""
+    No re-explosion — the verify-side counterpart of
+    :func:`shingle_set`; the same small-scan spread applies (the
+    shingler dominates, not the exchange)."""
+    from bigdata_hits_spark.sources.readers import spread_small_scan
+
+    docs = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")), "id"
+    )
     return docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col)).alias("shs"),
+        "id",
+        word_shingles(F.col("__t")).alias("shs"),
     ).withColumn("n", F.size("shs"))
 
 

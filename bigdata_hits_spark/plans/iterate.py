@@ -115,6 +115,30 @@ def _estimated_size_bytes(df: DataFrame) -> int:
     return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
+def materialize_lazy(df: DataFrame) -> DataFrame:
+    """Lineage cut WITHOUT the eager job: a lazy ``localCheckpoint``
+    that the caller's next action materializes in-job, with the same
+    estimate-compounding guard as :func:`materialize` (probed on the
+    optimized plan, which needs no materialization).
+
+    r13 optimization: loop bodies that interleave many eager
+    ``materialize`` calls with batched convergence counts pay one job
+    launch + driver gap PER call while the counted action would have
+    materialized the same chain anyway — graph_scc ran ~120 jobs of
+    which ~115 were under 0.25 s, with more wall in inter-job driver
+    latency than in compute.  Use this where the frame's first consumer
+    is (or leads into) an action that runs anyway; keep eager
+    :func:`materialize` where a job NOW is the point (pinning a memo,
+    isolating a phase for measurement)."""
+    try:
+        size = int(_estimated_size_bytes(df))
+    except Exception:
+        return _stats_reset(df)
+    if size.bit_length() <= _STATS_BITS_CAP:
+        return df.localCheckpoint(eager=False)
+    return _stats_reset(df)
+
+
 def materialize_counted(df: DataFrame) -> tuple[DataFrame, int]:
     """:func:`materialize` plus the row count every peel/fixpoint loop
     needs for its convergence test — counted through a persisted frame
