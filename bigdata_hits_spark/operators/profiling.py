@@ -579,7 +579,15 @@ def array_covariance(
     (the same merge shape, numpy matmul instead of explode) — this
     operator deliberately stays JVM-only for the profile-sized regime.
     """
-    el = df.select(F.col(vec_col).alias("__v")).select(
+    from bigdata_hits_spark.sources.readers import spread_small_scan
+
+    # The dims^2/2 fan-out below is the operator's whole cost and runs
+    # map-side on the scan's tasks — a single-row-group table would do
+    # it all on one core (r13; see spread_small_scan).  The covariance
+    # cells survive partitioning changes by the rounding margin the
+    # docstring argues (~1e-15 drift vs 6 digits).
+    df = spread_small_scan(df.select(F.col(vec_col).alias("__v")), "__v")
+    el = df.select(
         F.posexplode("__v").alias("i", "__x"), F.col("__v")
     )
     pairs = el.select(
