@@ -893,11 +893,18 @@ def winnow_fingerprints(
     the compact selected keys.  Only 8-byte keys shuffle, never text."""
     from bigdata_hits_spark.functions.text import token_hash
     from bigdata_hits_spark.operators.textstats import _ngram_terms
+    from bigdata_hits_spark.sources.readers import spread_small_scan
 
     cap = WINNOW_POSCAP
+    # The k-gram transform below runs in Catalyst's HOF interpreter —
+    # the expensive per-row map — so spread a single-row-group scan
+    # first (no-op on real multi-split inputs; r13).
+    docs = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")), "id"
+    )
     grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_ngram_terms(text_col, k)).alias("pos", "gram"),
+        "id",
+        F.posexplode(_ngram_terms("__t", k)).alias("pos", "gram"),
     )
     # Fail LOUDLY on pos >= WINNOW_POSCAP: a document with >= 2^20
     # k-grams would silently corrupt the (hash asc, pos desc) packing

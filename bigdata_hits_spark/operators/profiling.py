@@ -28,6 +28,14 @@ def profile_table(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     columns and numerically otherwise; the rendered value is the
     engine-portable ``CAST(x AS STRING)`` of the typed extremum.
     """
+    from bigdata_hits_spark.sources.readers import spread_small_scan
+
+    # exact_distinct plans an Expand (rows x columns) ahead of the
+    # partial agg — a per-row fan-out that a single-row-group scan runs
+    # on ONE task; spread it first (no-op on multi-split inputs; r13).
+    # Counts/min/max/distinct are partitioning-independent, so the
+    # profile is unchanged.
+    df = spread_small_scan(df, df.columns[0])
     distinct = (
         (lambda c: F.countDistinct(F.col(c)))
         if exact_distinct

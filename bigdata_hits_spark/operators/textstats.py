@@ -231,8 +231,15 @@ def ngram_overlap(
     # width cut).  xxhash64 collisions (~2^-64 per pair) can in principle
     # miscount by 1; that is noise against the screen's purpose.
     ng_hash = F.xxhash64(F.col("ng"))
+    from bigdata_hits_spark.sources.readers import spread_small_scan
+
+    # HOF-interpreted n-gram transform = the expensive per-row map;
+    # spread a single-row-group corpus scan first (no-op at scale; r13).
+    corpus_docs = spread_small_scan(
+        docs.select(F.col(id_col), F.col(text_col).alias("__t")), id_col
+    )
     corpus_ngrams = (
-        docs.select(id_col, F.explode(_ngram_terms(text_col, n)).alias("ng"))
+        corpus_docs.select(id_col, F.explode(_ngram_terms("__t", n)).alias("ng"))
         .select(id_col, ng_hash.alias("ng"))
         .distinct()
     )
@@ -803,9 +810,17 @@ def distinct_ngram_diversity(
     per-group totals — so the shuffle carries compact n-gram keys, never
     documents, and no COUNT DISTINCT expansion (the distinct count is
     the row count of the first level)."""
+    from bigdata_hits_spark.sources.readers import spread_small_scan
+
+    # Keyed on the text itself: the group column has too few distinct
+    # values to spread evenly (a handful of sources vs 32 partitions).
+    docs = spread_small_scan(
+        docs.select(F.col(group_col).alias("grp"), F.col(text_col).alias("__t")),
+        "__t",
+    )
     grams = docs.select(
-        F.col(group_col).alias("grp"),
-        F.explode(_ngram_terms(text_col, n)).alias("ng"),
+        "grp",
+        F.explode(_ngram_terms("__t", n)).alias("ng"),
     )
     per_gram = grams.groupBy("grp", "ng").agg(F.count(F.lit(1)).alias("c"))
     return (
